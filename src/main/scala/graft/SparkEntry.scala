@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data
+  * extension families) registers here as a named query over the sf-dir
+  * parquet tables, paired with a DuckDB oracle where the semantics are
+  * ANSI-SQL-expressible.
+  */
 object SparkEntry {
+
+  /** The registered query inventory, in module groups. */
+  def all: Seq[Q] = Seq(
+    // core relational (SURVEY §2.1–§2.7)
+    CoreQueries.s2ScanPushdown,
+    CoreQueries.p1StructFlatten,
+    CoreQueries.p4RenameProject,
+    CoreQueries.f1FilterSentinel,
+    CoreQueries.q1Agg,
+    CoreQueries.a3CountDistinct,
+    CoreQueries.a4PivotCount,
+    CoreQueries.a4PivotSum,
+    CoreQueries.w1TopkPerGroup,
+    CoreQueries.w2RunningSum,
+    CoreQueries.w3LagDelta,
+    CoreQueries.j1JoinUsing,
+    CoreQueries.joinStar,
+    CoreQueries.semiJoin,
+    CoreQueries.antiJoin,
+    CoreQueries.leftOuterJoin,
+    CoreQueries.u1UnionAll,
+    CoreQueries.setIntersect,
+    CoreQueries.setExcept,
+    CoreQueries.o2SortLimit,
+    CoreQueries.rollup,
+    // scalar functions (SURVEY §2.8)
+    ScalarQueries.c1CasewhenMap,
+    ScalarQueries.c2ArgmaxGreatest,
+    ScalarQueries.c4ConcatWsTaste,
+    ScalarQueries.c5Banding,
+    ScalarQueries.c6c7TrendNulls,
+    ScalarQueries.c8DateMonth,
+    ScalarQueries.jsonExtract,
+    ScalarQueries.explodeWordcount,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.joinStar.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

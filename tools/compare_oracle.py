@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle_sql.json entry in DuckDB (tables = views over the sf-dir
+parquet files), loads the matching Spark result parquet, and compares:
+column names (sorted), row counts, and cell values (rows sorted, exact for
+strings/ints/decimals, tiny epsilon for floats).
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return ("\x00null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return ("l",) + tuple(norm(x) for x in v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return ("d", str(v.normalize()))
+    except Exception:
+        pass
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    return (type(v).__name__, str(v))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = os.path.join(out_dir, name)
+        try:
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols want={sorted(want_cols)} got={sorted(got_cols)}")
+            n_fail += 1
+            continue
+        # reorder got columns to oracle's column order by name
+        idx = [got_cols.index(c) for c in want_cols]
+        got2 = [tuple(r[i] for i in idx) for r in got]
+        a = sorted(tuple(norm(c) for c in r) for r in want)
+        b = sorted(tuple(norm(c) for c in r) for r in got2)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows want={len(a)} got={len(b)}")
+            n_fail += 1
+        elif a != b:
+            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:")
+            print(f"  want {a[bad]}")
+            print(f"  got  {b[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
