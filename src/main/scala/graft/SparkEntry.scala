@@ -45,6 +45,28 @@ object SparkEntry {
     ScalarQueries.c8DateMonth,
     ScalarQueries.jsonExtract,
     ScalarQueries.explodeWordcount,
+    // event-time analytics (streaming-parity batch)
+    EventQueries.tumblingWindow,
+    EventQueries.sessionize,
+    EventQueries.approxDistinct,
+    // dedup family (training-data pipeline)
+    DedupQueries.exactSummary,
+    DedupQueries.exactKeepFirst,
+    DedupQueries.minhashSignature,
+    DedupQueries.minhashLshPairs,
+    DedupQueries.simhashBuckets,
+    DedupQueries.jaccardAllPairs,
+    DedupQueries.embeddingPairs,
+    // similarity search
+    SimilarityQueries.bruteForceTopK,
+    SimilarityQueries.ivfTopK,
+    // text analysis
+    TextQueries.langId,
+    TextQueries.quality,
+    TextQueries.tokenCounts,
+    TextQueries.fingerprintQ,
+    // multimodal plumbing
+    MultimodalQueries.decodeMeta,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Event-time analytics over the `events` table — the batch expression of
+  * the streaming semantics in graft.streaming (tumbling windows,
+  * gap-based sessionization). Batch and stream share the same logical
+  * shape, so these queries double as oracles for the streaming suite.
+  */
+object EventQueries {
+
+  private val dec = "decimal(18,2)"
+
+  /** Tumbling 1-hour windows per event type (the batch twin of a
+    * Structured Streaming `window($"ts", "1 hour")` aggregation). */
+  val tumblingWindow = Q(
+    "q_window_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(dec)).cast(dec).as("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gap-based sessionization (6-hour inactivity gap): a new session
+    * starts when the gap from the previous event exceeds the threshold;
+    * session_id = running count of session starts. Pure window algebra —
+    * the batch twin of flatMapGroupsWithState sessionization. */
+  val sessionize = Q(
+    "q_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |), sessions AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event,
+      |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byTime))
+      .withColumn("is_start",
+        when(col("prev_ms").isNull ||
+             unix_millis(col("ts")) - col("prev_ms") > 21600000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_start")).over(running))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Approximate distinct users per event type — the HLL sketch path for
+    * 100 TB cardinality work, pinned against its own determinism (same
+    * data, same sketch → same estimate) rather than a DuckDB oracle
+    * (different HLL implementations disagree by design). */
+  val approxDistinct = Q.rowsOnly("q_approx_distinct") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+}

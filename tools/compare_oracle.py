@@ -20,7 +20,7 @@ def norm(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
-        return ("f", round(v, 9))
+        return ("f", v.hex())
     if isinstance(v, (list, tuple)):
         return ("l",) + tuple(norm(x) for x in v)
     try:
