@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks. The reference writes straight to MySQL over JDBC with
+  * hardcoded credentials (ETL_customer_interaction.py:73-80,
+  * ETL_customer_behavior.py:145-158 — including a checked-in API key the
+  * engine must NOT reproduce). Here the sink is a trait: tests use
+  * Parquet/Console, production injects a [[JdbcSink]] with credentials
+  * supplied by the caller.
+  */
+trait Sink {
+  def write(df: DataFrame, table: String): Unit
+}
+
+/** Parquet warehouse directory; `overwrite` mirrors the reference's
+  * JDBC overwrite mode. */
+final case class ParquetSink(baseDir: String) extends Sink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$table")
+}
+
+/** Debug sink (`result.show()` at ETL_customer_behavior.py:202). */
+final case class ConsoleSink(numRows: Int = 20) extends Sink {
+  def write(df: DataFrame, table: String): Unit = df.show(numRows, truncate = false)
+}
+
+/** JDBC sink with injected credentials. `truncate=true` keeps the target
+  * table's DDL (indexes, grants) instead of the reference's drop+recreate
+  * overwrite — safer for a live warehouse; set false for exact parity. */
+final case class JdbcSink(
+    url: String,
+    user: String,
+    password: String,
+    driver: String = "com.mysql.cj.jdbc.Driver",
+    truncate: Boolean = true) extends Sink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("driver", driver)
+      .option("truncate", truncate.toString)
+      .mode(SaveMode.Overwrite)
+      .save()
+}

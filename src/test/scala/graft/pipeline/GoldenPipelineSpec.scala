@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.3: end-to-end golden tests on the reference's own sample
+  * data (values pinned from an independent DuckDB computation over the
+  * same files). Skipped cleanly if the reference data directory is
+  * absent. */
+class GoldenPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sampleDir = "/root/reference/data/log_content_sample"
+  private val searchDir = "/root/reference/data/log_search/20220701"
+  private def present(p: String) = Files.exists(Paths.get(p))
+
+  test("pipeline A reproduces the 30-day sample profile (golden facts)") {
+    assume(present(sampleDir))
+    val paths = Sources.dayRange("20220401", "20220430").map(d => s"$sampleDir/$d.json")
+    val profile = InteractionPipeline.build(spark, paths).cache()
+
+    assert(profile.count() == 2966) // distinct contracts after '0'/Error filters
+    val totals = profile.agg(
+      sum("Total_Phim_Truyen"), sum("Total_Thieu_Nhi"), sum("Total_Truyen_Hinh"),
+      sum("Total_Giai_Tri"), sum("Total_The_Thao"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(totals == ((9339946L, 1167186L, 71858868L, 0L, 0L)))
+
+    // one pinned contract, computed independently: film 23614, 2 active days
+    val r = profile.filter($"Contract" === "BDH053175").collect().head
+    assert(r.getAs[Long]("Total_Phim_Truyen") == 23614L)
+    assert(r.getAs[Long]("Active") == 2L)
+    assert(r.getAs[String]("Most Watched") == "Phim Truyen")
+    assert(r.getAs[String]("Taste") == "Phim Truyen")
+    assert(r.getAs[String]("Level_Activeness") == "Low")
+    profile.unpersist()
+  }
+
+  test("day-range utility matches the reference's pandas.date_range semantics") {
+    val r = Sources.dayRange("20220428", "20220502")
+    assert(r == Seq("20220428", "20220429", "20220430", "20220501", "20220502"))
+  }
+
+  test("pipeline B over the surviving search day: deterministic, all Unchanged") {
+    assume(present(searchDir))
+    // same day plays both months: categories must match ⇒ everything Unchanged
+    val out = BehaviorPipeline.build(spark, Seq(searchDir), Seq(searchDir)).cache()
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter($"Trending_Type" =!= "Unchanged").count() == 0)
+    assert(out.filter($"Category_Change" =!= "Unchanged").count() == 0)
+    assert(out.filter($"most_search_T6" =!= $"most_search_T7").count() == 0)
+    // distinct users with non-null user_id and keyword
+    val users = Sources.searchLogs(spark, Seq(searchDir))
+      .filter($"user_id".isNotNull).select("user_id").distinct().count()
+    assert(n == users)
+    out.unpersist()
+  }
+
+  test("multi-path read equals the reference's union-loop read (U1 ≡ S3)") {
+    assume(present(sampleDir))
+    val paths = Seq("20220401", "20220402", "20220403").map(d => s"$sampleDir/$d.json")
+    val multi = Sources.interactionLogs(spark, paths)
+    val looped = paths.map(p => Sources.interactionLogs(spark, Seq(p)))
+      .reduce(_ unionByName _)
+    assert(multi.count() == looped.count())
+    assert(multi.exceptAll(looped).count() == 0)
+  }
+}
