@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
+import graft.plans.CosineSimilarity.cosineSim
 
 /** Deduplication operator family for the training-data pipeline:
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
@@ -207,7 +207,7 @@ object DedupQueries {
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("ea"), col("eb")))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.45)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.functions.VectorFunctions._
+import graft.plans.CosineSimilarity.cosineSim
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -41,7 +41,7 @@ object SimilarityQueries {
     val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("eq"), col("ec")))
+      .withColumn("cosine", cosineSim(col("eq"), col("ec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
@@ -71,7 +71,7 @@ object SimilarityQueries {
                      col("embedding").as("ec"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(c, col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("eq"), col("ec")))
+      .withColumn("cosine", cosineSim(col("eq"), col("ec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cosine")
