@@ -65,77 +65,93 @@ object DedupQueries {
        |  list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS h2,
        |  list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS h3
        |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val withShingles = Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles(tokens(col("text")), 2).as("shingles"))
-    withShingles.select(
-      col("doc_id") +:
-        (0 to 3).map(i => arrayMinhash(i, col("shingles")).as(s"h$i")): _*)
+    // explode + codegen'd hash-agg mins (see minhashLshPairs plan notes)
+    val minhashes = (0 to 3).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhashes.head, minhashes.tail: _*)
       .orderBy("doc_id")
   }
 
-  /** MinHash + LSH near-dup pipeline, end to end: distinct-word sets →
-    * 8 salted minhashes → 4 bands × 2 hashes → band-bucket self-join for
-    * candidates → exact Jaccard verification at 0.8.
+  /** DuckDB fragment: distinct word 3-gram shingles of `text`. The
+    * shingle (not the word) is the dedup unit — this corpus has a
+    * ~31-word vocabulary, so word SETS collide for nearly every document
+    * pair while shared word ORDER marks true near-duplicates. */
+  private val SS =
+    s"""list_distinct([array_to_string(w[i:i+2], ' ')
+       |                 for i in range(1, len(w) - 1)])""".stripMargin
+
+  /** MinHash + LSH near-dup pipeline, end to end: distinct 3-gram
+    * shingles → 8 salted minhashes → 8 bands × 1 hash → pair generation
+    * on (band, key) with a ≥2-collision threshold → exact Jaccard
+    * verification at 0.5.
     *
-    * This is the 100 TB shape: the only pair generator is the equi-join on
-    * (band, key) — shuffle by band key, never n². */
+    * Scale/plan notes (the 100 TB shape):
+    *  - minhashes come from explode + hash-agg `min(md5(..))` — fully
+    *    codegen'd with map-side partial mins, NOT a `transform` lambda
+    *    (higher-order-function lambdas run interpreted: measured 20×
+    *    slower at sf0.1);
+    *  - the pair generator joins (band, key, doc_id) ONLY — no shingle
+    *    payloads travel through the join or the pair-dedup;
+    *  - requiring ≥2 of 8 band collisions keeps ~96% recall at J=0.5
+    *    while cutting false candidates ~27× (collision-count LSH);
+    *  - shingle sets re-attach via broadcast joins for verification. */
   val minhashLshPairs = Q(
     "q_dedup_minhash_lsh",
-    s"""WITH words AS (
-       |  SELECT doc_id, list_distinct($W) AS ws FROM documents
-       |), sig AS (
-       |  SELECT doc_id, ws,
-       |    md5(list_aggregate(list_transform(ws, x -> md5('0|' || x)), 'min')
-       |     || list_aggregate(list_transform(ws, x -> md5('1|' || x)), 'min')) AS b0,
-       |    md5(list_aggregate(list_transform(ws, x -> md5('2|' || x)), 'min')
-       |     || list_aggregate(list_transform(ws, x -> md5('3|' || x)), 'min')) AS b1,
-       |    md5(list_aggregate(list_transform(ws, x -> md5('4|' || x)), 'min')
-       |     || list_aggregate(list_transform(ws, x -> md5('5|' || x)), 'min')) AS b2,
-       |    md5(list_aggregate(list_transform(ws, x -> md5('6|' || x)), 'min')
-       |     || list_aggregate(list_transform(ws, x -> md5('7|' || x)), 'min')) AS b3
-       |  FROM words
+    s"""WITH sh AS (
+       |  SELECT doc_id, $SS AS ss
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
        |), bands AS (
-       |  SELECT doc_id, ws, 0 AS band, b0 AS key FROM sig
-       |  UNION ALL SELECT doc_id, ws, 1, b1 FROM sig
-       |  UNION ALL SELECT doc_id, ws, 2, b2 FROM sig
-       |  UNION ALL SELECT doc_id, ws, 3, b3 FROM sig
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.ws AS wa, b.ws AS wb
+       |  SELECT doc_id, band,
+       |    list_aggregate(list_transform(ss, x -> md5(band || '|' || x)), 'min') AS key
+       |  FROM sh, (SELECT unnest(range(0, 8)) AS band)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nbands
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
        |)
-       |SELECT doc_a, doc_b,
-       |  len(list_intersect(wa, wb)) * 1.0
-       |    / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jaccard
-       |FROM cand
-       |WHERE len(list_intersect(wa, wb)) * 1.0
-       |    / (len(wa) + len(wb) - len(list_intersect(wa, wb))) >= 0.8
+       |SELECT doc_a, doc_b, nbands,
+       |  len(list_intersect(sa.ss, sb.ss)) * 1.0
+       |    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
+       |FROM pairs
+       |JOIN sh sa ON sa.doc_id = doc_a
+       |JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE len(list_intersect(sa.ss, sb.ss)) * 1.0
+       |    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val words = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ws"))
-    val sig = words.select(
-      Seq(col("doc_id"), col("ws")) ++ (0 to 3).map { b =>
-        md5(concat(arrayMinhash(2 * b, col("ws")), arrayMinhash(2 * b + 1, col("ws"))))
-          .as(s"b$b")
-      }: _*)
-    val bands = (0 to 3).map { b =>
-      sig.select(col("doc_id"), col("ws"), lit(b).as("band"), col(s"b$b").as("key"))
-    }.reduce(_ unionByName _)
-    val a = bands.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
-                         col("band"), col("key"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
-                          col("band"), col("key"))
-    val cand = a.join(bb, Seq("band", "key"))
+    // tiny (n_docs) frame, read 3x (signatures + both verify sides):
+    // cache to avoid re-running the interpreted shingle lambdas
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+      .cache()
+    val minhashes = (0 to 7).map(b =>
+      min(md5(concat(lit(s"$b|"), col("shingle")))).as(s"h$b"))
+    val sig = sh
+      .select(col("doc_id"), explode(col("ss")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhashes.head, minhashes.tail: _*)
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(array((0 to 7).map(b => col(s"h$b")): _*)).as(Seq("band", "key")))
+    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "wa", "wb")
-      .distinct()
-    val inter = size(array_intersect(col("wa"), col("wb")))
-    val jac = inter.cast("double") / (size(col("wa")) + size(col("wb")) - inter)
-    cand
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
+      .filter(col("nbands") >= 2)
+    val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    pairs
+      .join(broadcast(sa), Seq("doc_a"))
+      .join(broadcast(sb), Seq("doc_b"))
       .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "nbands", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -154,36 +170,57 @@ object DedupQueries {
       |)
       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
       |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhash16(tokens(col("text"))).as("simhash"))
+    // explode form of TextFunctions.simhash16: one codegen'd md5 per word
+    // (not 16 interpreted lambda evals), bit votes as 16 agg sums
+    val votes = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 16).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+    sig
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy("simhash")
   }
 
-  /** O(n²) exact n-gram (unigram-set) Jaccard baseline — the recall oracle
-    * for the LSH pipeline above. Banner: only valid at small n; at scale
-    * the LSH query replaces it. */
+  /** O(n²) exact 3-gram Jaccard baseline — the recall oracle for the LSH
+    * pipeline above, on a deterministic 500-document subset (doc_id <
+    * 500). Only valid at small n; at scale the LSH query replaces it —
+    * the subset bound is what keeps the baseline honest in the bench. */
   val jaccardAllPairs = Q(
     "q_dedup_jaccard_pairs",
-    s"""WITH words AS (SELECT doc_id, list_distinct($W) AS ws FROM documents)
+    s"""WITH sh AS (
+       |  SELECT doc_id, $SS AS ss
+       |  FROM (SELECT doc_id, $W AS w FROM documents WHERE doc_id < 500)
+       |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  len(list_intersect(a.ws, b.ws)) * 1.0
-       |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
-       |FROM words a JOIN words b ON a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
-       |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+       |  len(list_intersect(a.ss, b.ss)) * 1.0
+       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.ss, b.ss)) * 1.0
+       |    / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val words = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ws"))
-    val a = words.select(col("doc_id").as("doc_a"), col("ws").as("wa"))
-    val b = words.select(col("doc_id").as("doc_b"), col("ws").as("wb"))
-    val inter = size(array_intersect(col("wa"), col("wb")))
-    val jac = inter.cast("double") / (size(col("wa")) + size(col("wb")) - inter)
+    val sh = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    // NOT cached: the nested-loop cross join fuses the codegen'd shingle
+    // pipeline directly; a columnar cache scan here measured 6x slower
+    val a = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
+      // J >= 0.5  ⟺  3·|∩| >= |A|+|B| — one integer-compared intersect
+      // per pair; the jaccard double is computed only for survivors
+      .filter(lit(3) * inter >= size(col("sa")) + size(col("sb")))
       .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

@@ -78,7 +78,7 @@ object EventQueries {
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
