@@ -67,6 +67,15 @@ object SparkEntry {
     TextQueries.fingerprintQ,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
+    // surface completion: full pipeline composition, salting, SQL layer,
+    // window suite, ordered collections, percentiles
+    ExtraQueries.engagementFull,
+    ExtraQueries.saltedAgg,
+    ExtraQueries.sqlLayer,
+    ExtraQueries.groupingSets,
+    ExtraQueries.windowSuite,
+    ExtraQueries.collectSorted,
+    ExtraQueries.medianAgg,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

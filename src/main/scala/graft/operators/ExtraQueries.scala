@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.sources.GraftSql
+
+/** Surface-completion queries: the full pipeline-A composition on the
+  * synthetic tables, skew-salted aggregation, the SQL-text layer (one
+  * string runs on both engines), the extended window-function suite,
+  * ordered collections, and interpolated percentiles. */
+object ExtraQueries {
+
+  private val dec = "decimal(18,2)"
+
+  /** The whole Customer360 engagement profile (pipeline A end to end) on
+    * `events`: explicit-value pivot sums → fill 0 → distinct active days
+    * → priority argmax → null-skipping taste → activeness bands. One
+    * query exercising A2+A3+A4+C2+C3+C4+C5+C10 together. */
+  val engagementFull = {
+    val types = CoreQueries.EventTypes // click, error, purchase, signup, view
+    val priority = Seq("view", "click", "purchase", "signup", "error")
+    def tot(t: String) = s"total_$t"
+    val sqlTotals = types.map(t =>
+      s"""COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |  FILTER (WHERE event_type = '$t') AS DECIMAL(18,2)), 0) AS total_$t""".stripMargin)
+      .mkString(",\n  ")
+    val sqlChain = priority.init.map(t =>
+      s"WHEN best = total_$t THEN '$t'").mkString(" ")
+    val sqlTaste = types.map(t =>
+      s"CASE WHEN total_$t > 0 THEN '$t' END").mkString(", ")
+    Q(
+      "q_engagement_full",
+      s"""SELECT user_id, ${types.map(tot).mkString(", ")}, active,
+         |  CASE $sqlChain ELSE '${priority.last}' END AS most_active,
+         |  concat_ws('-', $sqlTaste) AS taste,
+         |  CASE WHEN active > 27 THEN 'High'
+         |       WHEN active BETWEEN 25 AND 27 THEN 'Medium'
+         |       ELSE 'Low' END AS level_activeness
+         |FROM (
+         |  SELECT user_id, $sqlTotals,
+         |    count(DISTINCT date_trunc('day', ts)) AS active,
+         |    greatest(${types.map(t => s"COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DECIMAL(18,2)), 0)").mkString(", ")}) AS best
+         |  FROM events GROUP BY user_id
+         |) ORDER BY user_id""".stripMargin) { (s, d) =>
+      val pivoted = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(sum(col("value").cast(dec)).cast(dec))
+        .na.fill(0, types)
+        .join(
+          Tables.events(s, d).groupBy("user_id")
+            .agg(countDistinct(date_trunc("day", col("ts"))).as("active")),
+          Seq("user_id"))
+      val renamed = types.foldLeft(pivoted)((df, t) => df.withColumnRenamed(t, tot(t)))
+      val best = greatest(priority.map(t => col(tot(t))): _*)
+      val mostActive = priority.init.foldRight(lit(priority.last)) { (t, rest) =>
+        when(best === col(tot(t)), t).otherwise(rest)
+      }
+      renamed
+        .withColumn("most_active", mostActive)
+        .withColumn("taste",
+          concat_ws("-", types.map(t => when(col(tot(t)) > 0, lit(t))): _*))
+        .withColumn("level_activeness",
+          when(col("active") > 27, "High")
+            .when(col("active").between(25, 27), "Medium")
+            .otherwise("Low"))
+        .select(col("user_id") +: types.map(t => col(tot(t))) :+ col("active") :+
+                col("most_active") :+ col("taste") :+ col("level_activeness"): _*)
+        .orderBy("user_id")
+    }
+  }
+
+  /** Skew-salted two-stage aggregation — result identical to the plain
+    * groupBy (the oracle), only the shuffle layout differs. */
+  val saltedAgg = Q(
+    "q_salted_agg",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Salting
+      .saltedCountSum(Tables.events(s, d), "event_type", "event_id",
+                      col("value").cast(dec), nSalts = 16)
+      .select(col("event_type"), col("n"), col("total").cast(dec).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** SQL-text layer: this exact string runs on Spark (via temp views)
+    * AND on DuckDB — one dialect-neutral source of truth. */
+  private val q3Sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val sqlLayer = Q("q_sql_layer", q3Sql) { (s, d) => GraftSql.run(s, d, q3Sql) }
+
+  /** GROUPING SETS through the SQL layer (same text both engines). */
+  private val gsSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val groupingSets = Q("q_grouping_sets", gsSql) { (s, d) => GraftSql.run(s, d, gsSql) }
+
+  /** Extended ranking-window suite: rank / dense_rank / ntile / lead /
+    * first & last value with explicit frames, over a total order. */
+  val windowSuite = Q(
+    "q_window_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  rank()       OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  ntile(4)     OVER w AS quartile,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                AND UNBOUNDED FOLLOWING) AS biggest,
+      |  last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                AND UNBOUNDED FOLLOWING) AS smallest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first_value(col("o_orderkey")).over(wFull).as("biggest"),
+        last_value(col("o_orderkey")).over(wFull).as("smallest"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ordered collection aggregate (sorted set per group) — arrays as
+    * first-class result values. */
+  val collectSorted = Q(
+    "q_collect_sorted",
+    """SELECT l_returnflag,
+      |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Interpolated median (percentile_cont semantics): order-insensitive
+    * (computed from fully sorted values), so cross-engine deterministic. */
+  val medianAgg = Q(
+    "q_median",
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+}
