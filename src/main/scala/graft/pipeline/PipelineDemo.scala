@@ -37,6 +37,12 @@ object PipelineDemo {
     ParquetSink(outDir).write(behavior, "behavior_data")
     println(s"behavior_data rows: ${spark.read.parquet(s"$outDir/behavior_data").count()}")
 
+    println("=== pipeline B via batch (remote-LLM-shaped) classifier")
+    val behaviorBatch = BehaviorPipeline.build(spark, Seq(search), Seq(search),
+      new graft.semantic.MockLlmClassifier())
+    println(s"batch-classified rows: ${behaviorBatch.count()}, " +
+      s"agreeing with expression path: ${behaviorBatch.exceptAll(behavior).count() == 0}")
+
     spark.stop()
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.CoreQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions: the scale-critical physical properties
+  * (pushdown, pruning, broadcast, partial aggregation) pinned as tests
+  * so a regression in plan construction fails CI, not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    executed(df).toString + "\n" + df.queryExecution.executedPlan.toString
+  }
+
+  test("filter and column pruning reach the parquet scan (S2 pushdown)") {
+    val df = CoreQueries.s2ScanPushdown.run(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"missing pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan reads more than the 3 projected columns:\n$scan")
+  }
+
+  test("star join broadcasts every dimension (no sort-merge on dims)") {
+    val p = planString(CoreQueries.joinStar.run(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension join fell back to sort-merge:\n$p")
+  }
+
+  test("flagship aggregation is a two-phase hash aggregate (partial+final)") {
+    val p = planString(CoreQueries.q1Agg.run(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("semi join plans as a real left-semi, not an inner+distinct") {
+    val p = planString(CoreQueries.semiJoin.run(spark, sf0001))
+    assert(p.contains("LeftSemi"), s"semi join not preserved:\n$p")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** SURVEY §5.2 property tests over seeded random inputs: algebraic
+  * identities the operators must satisfy on ANY data, not just golden
+  * fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new Random(42)
+  private val types = ContentTypeMap.ContentTypes
+
+  private def randomTyped(n: Int) = {
+    val rows = Seq.fill(n)((
+      s"C${rng.nextInt(8)}",
+      types(rng.nextInt(types.size)),
+      rng.nextInt(1000).toLong,
+      f"202204${1 + rng.nextInt(28)}%02d"))
+    rows.toDF("Contract", "Type", "TotalDuration", "d")
+      .withColumn("log_date", to_date(col("d"), "yyyyMMdd")).drop("d")
+  }
+
+  test("pivot+sum over explicit values ≡ direct groupBy sum, re-widened (20 rounds)") {
+    (1 to 20).foreach { _ =>
+      val df = randomTyped(60)
+      val viaPivot = Engagement.pivotDaily(df)
+        .select(col("Contract") +: types.map(col): _*)
+        .groupBy("Contract")
+        .agg(sum(types.head).as(types.head),
+             types.tail.map(t => sum(t).as(t)): _*)
+      val direct = df.groupBy("Contract", "Type").agg(sum("TotalDuration").as("s"))
+        .groupBy("Contract")
+        .pivot("Type", types).sum("s").na.fill(0, types)
+      assert(viaPivot.exceptAll(direct).count() == 0)
+      assert(direct.exceptAll(viaPivot).count() == 0)
+    }
+  }
+
+  test("taste lists exactly the nonzero totals, in canonical order (20 rounds)") {
+    (1 to 20).foreach { _ =>
+      val profile = Engagement(randomTyped(40))
+      profile.collect().foreach { r =>
+        val expected = types.filter(t =>
+          r.getAs[Long]("Total_" + t.replace(' ', '_')) != 0L)
+        assert(r.getAs[String]("Taste") == expected.mkString("-"))
+      }
+    }
+  }
+
+  test("top keyword always carries the max per-user count (20 rounds)") {
+    (1 to 20).foreach { _ =>
+      val logs = Seq.fill(120)((s"u${rng.nextInt(6)}", s"kw${rng.nextInt(9)}"))
+        .toDF("user_id", "keyword")
+      val counts = logs.groupBy("user_id", "keyword").count()
+      val maxes = counts.groupBy("user_id").agg(max("count").as("mx"))
+        .as[(String, Long)].collect().toMap
+      val top = TopKeyword(logs)
+      val withCount = top.join(counts,
+        top("user_id") === counts("user_id") && top("most_search") === counts("keyword"))
+        .select(top("user_id"), col("count")).as[(String, Long)].collect()
+      withCount.foreach { case (u, c) => assert(c == maxes(u)) }
+      assert(top.count() == maxes.size)
+    }
+  }
+
+  test("most-watched always names a column holding the row maximum (20 rounds)") {
+    (1 to 20).foreach { _ =>
+      Engagement(randomTyped(40)).collect().foreach { r =>
+        val totals = types.map(t => t -> r.getAs[Long]("Total_" + t.replace(' ', '_'))).toMap
+        assert(totals(r.getAs[String]("Most Watched")) == totals.values.max)
+      }
+    }
+  }
+}
