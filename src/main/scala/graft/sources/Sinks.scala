@@ -20,6 +20,19 @@ final case class ParquetSink(baseDir: String) extends Sink {
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$table")
 }
 
+/** Hive-style partitioned parquet sink (`.../table/col=value/...`).
+  * The day-partitioned relayout SURVEY §4 prescribes: date-ranged reads
+  * prune whole directories at planning time instead of scanning 30
+  * day-files (verified by PartitionPruningSpec). */
+final case class PartitionedParquetSink(baseDir: String, partitionCols: String*)
+    extends Sink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$baseDir/$table")
+}
+
 /** Debug sink (`result.show()` at ETL_customer_behavior.py:202). */
 final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def write(df: DataFrame, table: String): Unit = df.show(numRows, truncate = false)
