@@ -17,13 +17,16 @@ object EventQueries {
     * Structured Streaming `window($"ts", "1 hour")` aggregation). */
   val tumblingWindow = Q(
     "q_window_tumbling",
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |  count(*) AS n,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    // window_start rendered as a string: Spark writes tz-aware parquet
+    // timestamps, DuckDB naive ones -- a raw timestamp output column
+    // would compare unequal in tz-strict readers
     Tables.events(s, d)
       .groupBy(
-        date_trunc("hour", col("ts")).as("window_start"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(dec)).cast(dec).as("total"))

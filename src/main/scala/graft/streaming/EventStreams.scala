@@ -39,8 +39,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-              col("n"), col("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
 
   /** Per-user event row for stateful processing. */
   final case class UserEvent(user_id: Long, event_id: Long, tsMs: Long)
