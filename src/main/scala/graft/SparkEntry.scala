@@ -54,6 +54,7 @@ object SparkEntry {
     DedupQueries.exactKeepFirst,
     DedupQueries.minhashSignature,
     DedupQueries.minhashLshPairs,
+    DedupQueries.resolveClusters,
     DedupQueries.simhashBuckets,
     DedupQueries.jaccardAllPairs,
     DedupQueries.embeddingPairs,

@@ -155,6 +155,16 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end dedup resolution: LSH pairs → connected components →
+    * keep-list. Iterative (pointer-jumping label propagation), hence no
+    * single-statement SQL oracle — rows-only check; semantics pinned by
+    * DedupResolveSpec. */
+  val resolveClusters = Q.rowsOnly("q_dedup_resolve") { (s, d) =>
+    DedupResolve
+      .keepList(minhashLshPairs.run(s, d).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash signatures (16-bit, string-rendered) with collision-bucket
     * sizes — documents sharing a bucket are near-dup candidates. */
   val simhashBuckets = Q(
