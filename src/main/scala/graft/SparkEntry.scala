@@ -76,6 +76,8 @@ object SparkEntry {
     ExtraQueries.groupingSets,
     ExtraQueries.windowSuite,
     ExtraQueries.collectSorted,
+    ExtraQueries.topkAggregator,
+    ExtraQueries.freqItems,
     ExtraQueries.medianAgg,
   )
 

@@ -151,6 +151,40 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group top-1 via the typed Aggregator (bounded partial buffers,
+    * pure hash-agg — no per-group sort shuffle). Same contract and same
+    * oracle as the window-function form (q_w1_topk_per_group). */
+  val topkAggregator = Q(
+    "q_topk_aggregator",
+    """SELECT user_id, event_type AS top_type, n FROM (
+      |  SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk
+      |  FROM (SELECT user_id, event_type, count(*) AS n
+      |        FROM events GROUP BY user_id, event_type)
+      |) WHERE rnk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val agg = graft.functions.TopKAggregator.topKByCount(1).toColumn
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .select(col("user_id").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)]
+      .map { case (u, k, n) => (u, (k, n)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("top"))
+      .map { case (u, top) => (u.toLong, top.head._1, top.head._2) }
+      .toDF("user_id", "top_type", "n")
+      .orderBy("user_id")
+  }
+
+  /** Frequent-items sketch (approximate heavy hitters) over the word
+    * stream — deterministic only up to partitioning, hence rows-only. */
+  val freqItems = Q.rowsOnly("q_freq_items") { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .stat.freqItems(Seq("word"), 0.05)
+  }
+
   /** Interpolated median (percentile_cont semantics): order-insensitive
     * (computed from fully sorted values), so cross-engine deterministic. */
   val medianAgg = Q(
