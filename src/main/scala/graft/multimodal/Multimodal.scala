@@ -51,6 +51,36 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** Deterministic fixed-size "feature vector" from payload bytes — the
+    * stand-in for an image/audio embedding model. Real plumbing, fake
+    * features: 16 dims derived from an md5 digest, normalized to [0,1).
+    * STUB — swap for a real encoder; the ANN path downstream (cosine
+    * top-k over the resulting vectors) is the real engine surface. */
+  def fakeEmbed(payload: Array[Byte], dims: Int = 16): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var dig = md.digest(payload)
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < dims) {
+      if (i % 16 == 0 && i > 0) dig = md.digest(dig) // extend beyond 16 bytes
+      out(i) = java.lang.Byte.toUnsignedInt(dig(i % 16)) / 256.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Payloads → (doc_id, embedding): the feature-extraction stage of a
+    * multimodal pipeline, distributed via mapPartitions like the decode. */
+  def embedAll(spark: SparkSession, payloads: DataFrame, dims: Int = 16):
+      DataFrame = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, fakeEmbed(bytes, dims)) })
+      .toDF("doc_id", "embedding")
+  }
+
   /** Decode a payload table into typed metadata. `mapPartitions` keeps
     * the decoder's per-partition init amortized and the data distributed;
     * no row ever visits the driver. */

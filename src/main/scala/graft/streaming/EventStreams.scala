@@ -43,6 +43,15 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact-dedup: drop duplicate event_ids with a watermark
+    * bounding the dedup state (late duplicates beyond the watermark are
+    * the accepted trade-off — unbounded state is not an option on an
+    * infinite stream). */
+  def dedupped(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Per-user event row for stateful processing. */
   final case class UserEvent(user_id: Long, event_id: Long, tsMs: Long)
 

@@ -1,0 +1,36 @@
+package graft.multimodal
+
+import graft.{SparkSpec, Tables}
+import graft.plans.CosineSimilarity.cosineSim
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: decode metadata determinism and the
+  * decode → embed → ANN pipeline shape. */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode is deterministic and covers every row, distributed") {
+    val payloads = Multimodal.withPayload(Tables.documents(spark, sf0001))
+      .repartition(7) // ensure multiple partitions exercise the lifecycle
+    val a = Multimodal.decodeAll(spark, payloads).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeAll(spark, payloads).collect().sortBy(_.doc_id)
+    assert(a.length == 500 && a.sameElements(b))
+    assert(a.forall(m => m.width >= 64 && m.height >= 64 && m.byte_len > 0))
+  }
+
+  test("decode -> embed -> cosine top-k runs end to end on binary payloads") {
+    val payloads = Multimodal.withPayload(Tables.documents(spark, sf0001))
+    val emb = Multimodal.embedAll(spark, payloads)
+    assert(emb.count() == 500)
+    // nearest neighbor of doc 0 among the rest, by native cosine
+    val q = broadcast(emb.filter(col("doc_id") === 0)
+      .select(col("embedding").as("eq")))
+    val top = emb.filter(col("doc_id") =!= 0)
+      .crossJoin(q)
+      .withColumn("cos", cosineSim(col("embedding"), col("eq")))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(3)
+      .collect()
+    assert(top.length == 3)
+    assert(top.forall(r => r.getAs[Double]("cos") > 0.5)) // all-positive vectors correlate
+  }
+}
