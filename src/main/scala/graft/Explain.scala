@@ -24,7 +24,7 @@ object Explain {
       println(s"\n========== $name ==========")
       df.explain("formatted")
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = df.queryExecution.toRdd.count() // full materialization
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

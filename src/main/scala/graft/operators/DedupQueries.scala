@@ -60,18 +60,22 @@ object DedupQueries {
        |  FROM (SELECT doc_id, $W AS w FROM documents)
        |)
        |SELECT doc_id,
-       |  list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min') AS h0,
-       |  list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min') AS h1,
-       |  list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min') AS h2,
-       |  list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min') AS h3
+       |  [list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min'),
+       |   list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min'),
+       |   list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min'),
+       |   list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min')] AS hs
        |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // explode + codegen'd hash-agg mins (see minhashLshPairs plan notes)
-    val minhashes = (0 to 3).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    // fused native expression: all 4 components in one map-only pass, as
+    // ONE array output (4 named element_at projections would each
+    // re-inline — and re-evaluate — the whole expression chain under
+    // CollapseProject). repartition first: the doc table is one tiny
+    // parquet split, which would serialize the map stage locally.
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("shingle"))
-      .groupBy("doc_id")
-      .agg(minhashes.head, minhashes.tail: _*)
+      .select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+              graft.plans.MinHashes.minhashes(
+                wordShingles(tokens(col("text")), 2), 4).as("hs"))
       .orderBy("doc_id")
   }
 
@@ -89,10 +93,10 @@ object DedupQueries {
     * verification at 0.5.
     *
     * Scale/plan notes (the 100 TB shape):
-    *  - minhashes come from explode + hash-agg `min(md5(..))` — fully
-    *    codegen'd with map-side partial mins, NOT a `transform` lambda
-    *    (higher-order-function lambdas run interpreted: measured 20×
-    *    slower at sf0.1);
+    *  - signatures come from the fused native MinHashes expression —
+    *    one map-only pass, no explode, no shuffle (a `transform` lambda
+    *    runs interpreted, measured 20× slower; explode + hash-agg adds
+    *    a 100k-row shuffle per 500 docs);
     *  - the pair generator joins (band, key, doc_id) ONLY — no shingle
     *    payloads travel through the join or the pair-dedup;
     *  - requiring ≥2 of 8 band collisions keeps ~96% recall at J=0.5
@@ -125,17 +129,16 @@ object DedupQueries {
     // tiny (n_docs) frame, read 3x (signatures + both verify sides):
     // cache to avoid re-running the interpreted shingle lambdas
     val sh = Tables.documents(s, d)
+      .select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism) // one input split
       .select(col("doc_id"),
               array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
       .cache()
-    val minhashes = (0 to 7).map(b =>
-      min(md5(concat(lit(s"$b|"), col("shingle")))).as(s"h$b"))
-    val sig = sh
-      .select(col("doc_id"), explode(col("ss")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(minhashes.head, minhashes.tail: _*)
-    val bandRows = sig.select(col("doc_id"),
-      posexplode(array((0 to 7).map(b => col(s"h$b")): _*)).as(Seq("band", "key")))
+    // fused map-only signatures (no explode/shuffle), then one row per band
+    val bandRows = sh
+      .select(col("doc_id"),
+              posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
+                .as(Seq("band", "key")))
     val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
     val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     val pairs = a.join(b, Seq("band", "key"))
