@@ -79,6 +79,8 @@ object SparkEntry {
     ExtraQueries.topkAggregator,
     ExtraQueries.freqItems,
     ExtraQueries.medianAgg,
+    ExtraQueries.analyticsSegments,
+    ExtraQueries.rangeJoin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -185,6 +185,60 @@ object ExtraQueries {
       .stat.freqItems(Seq("word"), 0.05)
   }
 
+  /** SURVEY §2.11 dashboard layer: per-activeness-segment rollup of the
+    * engagement profile (user counts, exact totals, hours as a derived
+    * double over the exact decimal — deterministic division). */
+  val analyticsSegments = Q(
+    "q_analytics_segments",
+    """SELECT level_activeness, count(*) AS n_users,
+      |  CAST(SUM(total) AS DECIMAL(18,2)) AS total_value,
+      |  CAST(SUM(total) AS DOUBLE) / 3600 AS value_hours
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+      |    CASE WHEN count(DISTINCT date_trunc('day', ts)) > 27 THEN 'High'
+      |         WHEN count(DISTINCT date_trunc('day', ts)) BETWEEN 25 AND 27 THEN 'Medium'
+      |         ELSE 'Low' END AS level_activeness
+      |  FROM events GROUP BY user_id
+      |) GROUP BY level_activeness ORDER BY level_activeness""".stripMargin) { (s, d) =>
+    val profile = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(col("value").cast(dec)).cast(dec).as("total"),
+        countDistinct(date_trunc("day", col("ts"))).as("active"))
+      .withColumn("level_activeness",
+        when(col("active") > 27, "High")
+          .when(col("active").between(25, 27), "Medium")
+          .otherwise("Low"))
+    profile
+      .groupBy("level_activeness")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("total")).cast(dec).as("total_value"),
+        (sum(col("total")).cast("double") / 3600).as("value_hours"))
+      .orderBy("level_activeness")
+  }
+
+  /** Date-range predicate join: lineitems shipped within 30 days of
+    * their order, per month — equi-join + day-difference filter. */
+  val rangeJoin = Q(
+    "q_range_join",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_items,
+      |  count(*) FILTER (WHERE date_diff('day', CAST(o_orderdate AS DATE),
+      |                                   CAST(l_shipdate AS DATE)) <= 30) AS shipped_30d
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY month""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, 1))
+          .as("shipped_30d"))
+      .orderBy("month")
+  }
+
   /** Interpolated median (percentile_cont semantics): order-insensitive
     * (computed from fully sorted values), so cross-engine deterministic. */
   val medianAgg = Q(
