@@ -81,6 +81,9 @@ object SparkEntry {
     ExtraQueries.medianAgg,
     ExtraQueries.analyticsSegments,
     ExtraQueries.rangeJoin,
+    ExtraQueries.scalarSuite,
+    ExtraQueries.dateSuite,
+    ExtraQueries.cube2d,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

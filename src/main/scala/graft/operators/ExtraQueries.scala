@@ -185,6 +185,61 @@ object ExtraQueries {
       .stat.freqItems(Seq("word"), 0.05)
   }
 
+  /** Scalar-function suite beyond the reference's C1–C11: string ops,
+    * date parts, null handling — the common ANSI surface users expect. */
+  val scalarSuite = Q(
+    "q_scalar_suite",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_uc,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  replace(p_type, ' ', '_') AS type_id,
+      |  length(p_name) AS name_len,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      |  COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
+      |  least(p_size, 25) AS size_capped,
+      |  CAST(p_size % 7 AS INTEGER) AS size_mod
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("p_type"), " ", "_").as("type_id"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("OTHER")).as("brand_or_other"),
+        least(col("p_size"), lit(25)).as("size_capped"),
+        (col("p_size") % 7).cast("int").as("size_mod"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date-part extraction suite (year/month/day/quarter + truncation). */
+  val dateSuite = Q(
+    "q_date_suite",
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  quarter(o_orderdate) AS q, day(o_orderdate) AS d,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, m, q, d""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"), dayofmonth(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y", "m", "q", "d")
+  }
+
+  /** CUBE (all grouping combinations — complements rollup). */
+  val cube2d = Q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** SURVEY §2.11 dashboard layer: per-activeness-segment rollup of the
     * engagement profile (user counts, exact totals, hours as a derived
     * double over the exact decimal — deterministic division). */

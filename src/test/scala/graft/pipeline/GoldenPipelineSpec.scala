@@ -59,6 +59,24 @@ class GoldenPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("userPlansMap array column: explode + plan:source split (map semantics)") {
+    assume(present(searchDir))
+    import org.apache.spark.sql.functions.{col, explode, split, count, lit}
+    // each entry is "PlanName:source" — the implicit map the reference
+    // never parses (SURVEY §1.4); explode + split covers the array/map
+    // function surface on real data
+    val plans = Sources.searchLogs(spark, Seq(searchDir))
+      .select(explode(col("userPlansMap")).as("entry"))
+      .select(
+        split(col("entry"), ":").getItem(0).as("plan"),
+        split(col("entry"), ":").getItem(1).as("src"))
+    val bySrc = plans.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.nonEmpty)
+    assert(bySrc.keys.forall(s => s != null && s.nonEmpty)) // every entry splits
+    assert(plans.count() == bySrc.values.sum)
+  }
+
   test("multi-path read equals the reference's union-loop read (U1 ≡ S3)") {
     assume(present(sampleDir))
     val paths = Seq("20220401", "20220402", "20220403").map(d => s"$sampleDir/$d.json")
