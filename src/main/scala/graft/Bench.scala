@@ -21,7 +21,11 @@ object Bench {
       // evaluating map-only projections entirely, under-reporting cost).
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query cached frames so queries don't pay each other's
+      // memory pressure (each is timed standalone)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -84,6 +84,7 @@ object SparkEntry {
     ExtraQueries.scalarSuite,
     ExtraQueries.dateSuite,
     ExtraQueries.cube2d,
+    ExtraQueries.regexpNullSafe,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

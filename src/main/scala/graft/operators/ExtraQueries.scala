@@ -240,6 +240,25 @@ object ExtraQueries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** Regex extraction + null-safe equality (IS NOT DISTINCT FROM /
+    * Spark's <=>): group keys that may be NULL compare as values. */
+  val regexpNullSafe = Q(
+    "q_regexp_nullsafe",
+    """SELECT id_digits, count(*) AS n,
+      |  count(*) FILTER (WHERE id_digits IS NOT DISTINCT FROM NULL) AS n_null
+      |FROM (
+      |  SELECT NULLIF(regexp_extract(c_name, '([0-9]+)', 1), '') AS id_digits
+      |  FROM customer
+      |) GROUP BY id_digits ORDER BY id_digits NULLS FIRST LIMIT 30""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(nullif(regexp_extract(col("c_name"), "([0-9]+)", 1), lit("")).as("id_digits"))
+      .groupBy("id_digits")
+      .agg(count(lit(1)).as("n"),
+           count(when(col("id_digits") <=> lit(null), 1)).as("n_null"))
+      .orderBy(col("id_digits").asc_nulls_first)
+      .limit(30)
+  }
+
   /** SURVEY §2.11 dashboard layer: per-activeness-segment rollup of the
     * engagement profile (user counts, exact totals, hours as a derived
     * double over the exact decimal — deterministic division). */
