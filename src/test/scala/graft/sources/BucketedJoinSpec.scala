@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bucketing: pre-partitioning both join sides on the key removes the
+  * join's shuffle entirely — the co-located-join layout a recurring
+  * 100 TB fact-to-fact join would be stored in. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join with zero Exchange in the plan") {
+    // (tables land in the session's default spark-warehouse dir,
+    // dropped in the finally block; dir is gitignored)
+    // AQE can inject local shuffle readers that obscure the assertion
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Tables.lineitem(spark, sf0001)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bucketed")
+      Tables.orders(spark, sf0001)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("ord_bucketed")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles on the key:\n$plan")
+
+      // correctness unchanged vs the unbucketed join
+      val expected = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(joined.exceptAll(expected).count() == 0)
+      assert(expected.exceptAll(joined).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
