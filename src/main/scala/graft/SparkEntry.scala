@@ -79,6 +79,7 @@ object SparkEntry {
     ExtraQueries.topkAggregator,
     ExtraQueries.freqItems,
     ExtraQueries.medianAgg,
+    ExtraQueries.statsSuite,
     ExtraQueries.analyticsSegments,
     ExtraQueries.rangeJoin,
     ExtraQueries.scalarSuite,

@@ -313,6 +313,23 @@ object ExtraQueries {
       .orderBy("month")
   }
 
+  /** Statistical aggregate surface (stddev/variance/corr/skew/approx
+    * percentile). Rows-only: these floats are partial-merge order
+    * dependent, so cross-engine hash equality is not defined — their
+    * algebra is pinned by Spark itself. */
+  val statsSuite = Q.rowsOnly("q_stats_suite") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        stddev_samp(col("l_extendedprice")).as("sd_price"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        skewness(col("l_discount")).as("skew_disc"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("price_p50_p95"))
+      .orderBy("l_returnflag")
+  }
+
   /** Interpolated median (percentile_cont semantics): order-insensitive
     * (computed from fully sorted values), so cross-engine deterministic. */
   val medianAgg = Q(
