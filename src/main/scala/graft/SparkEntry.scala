@@ -86,6 +86,8 @@ object SparkEntry {
     ExtraQueries.dateSuite,
     ExtraQueries.cube2d,
     ExtraQueries.regexpNullSafe,
+    ExtraQueries.asofJoin,
+    ExtraQueries.slidingWindow,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

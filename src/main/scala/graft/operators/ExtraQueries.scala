@@ -240,6 +240,56 @@ object ExtraQueries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** Backward as-of join: each purchase matched to the user's most
+    * recent prior (or simultaneous) click. Oracle = DuckDB's native
+    * ASOF JOIN; the Spark side is graft.operators.AsOfJoin (one
+    * window pass, no range explosion). */
+  val asofJoin = Q(
+    "q_asof_join",
+    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |           FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, c.click_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.click_ts) AS gap_ms
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts", "click_ts",
+                      Seq("click_id", "click_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Sliding 2-hour windows advancing hourly — each event lands in two
+    * windows (Spark's native window(); oracle unnests both candidate
+    * window starts). */
+  val slidingWindow = Q(
+    "q_window_sliding",
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  count(*) AS n
+      |FROM (
+      |  SELECT unnest([date_trunc('hour', ts),
+      |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+      |         event_type
+      |  FROM events
+      |) GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** Regex extraction + null-safe equality (IS NOT DISTINCT FROM /
     * Spark's <=>): group keys that may be NULL compare as values. */
   val regexpNullSafe = Q(

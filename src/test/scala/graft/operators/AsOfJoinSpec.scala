@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Backward as-of semantics: latest prior match, inclusive equality,
+  * null on no-match, per-key isolation. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("picks the latest right row at or before the left time, per key") {
+    val left = Seq(("u1", 100L, "p1"), ("u1", 50L, "p2"), ("u2", 10L, "p3"))
+      .toDF("k", "t", "pid")
+    val right = Seq(("u1", 40L, "c1"), ("u1", 100L, "c2"), ("u1", 120L, "c3"),
+                    ("u2", 20L, "c4"))
+      .toDF("k", "rt", "cid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid"))
+      .select("pid", "cid").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("c2")) // equal timestamp matches (inclusive)
+    assert(out("p2").contains("c1")) // latest at-or-before 50 is 40
+    assert(out("p3").isEmpty)        // u2's only click is AFTER the purchase
+  }
+
+  test("left rows with no right rows at all for the key get nulls") {
+    val left = Seq(("solo", 5L, "p")).toDF("k", "t", "pid")
+    val right = Seq(("other", 1L, "c")).toDF("k", "rt", "cid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid"))
+    assert(out.count() == 1)
+    assert(out.select("cid").collect().head.isNullAt(0))
+  }
+
+  test("row count always equals the left side (left-join contract)") {
+    val left = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "z"))
+      .toDF("k", "t", "pid")
+    val right = Seq(("a", 0L, "r1"), ("a", 1L, "r2")).toDF("k", "rt", "cid")
+    assert(AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid")).count() == 3)
+  }
+}
