@@ -59,6 +59,21 @@ class GoldenPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("classifier category distribution over the real search day (regression pin)") {
+    assume(present(searchDir))
+    // snapshot of RuleClassifier over 32,377 real Vietnamese keywords —
+    // regenerate deliberately if the rule table changes
+    val expected = Map(
+      "Action" -> 19L, "Animation" -> 195L, "C Drama" -> 25L, "Comedy" -> 31L,
+      "Drama" -> 695L, "Horror" -> 461L, "K Drama" -> 29L, "Music" -> 173L,
+      "News" -> 34L, "Other" -> 29792L, "Reality Show" -> 233L,
+      "Romance" -> 502L, "Sports" -> 55L, "TV Channel" -> 133L)
+    val got = BehaviorPipeline.build(spark, Seq(searchDir), Seq(searchDir))
+      .groupBy("category_T6").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("userPlansMap array column: explode + plan:source split (map semantics)") {
     assume(present(searchDir))
     import org.apache.spark.sql.functions.{col, explode, split, count, lit}
