@@ -43,16 +43,16 @@ object ExtraQueries {
          |    greatest(${types.map(t => s"COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '$t') AS DECIMAL(18,2)), 0)").mkString(", ")}) AS best
          |  FROM events GROUP BY user_id
          |) ORDER BY user_id""".stripMargin) { (s, d) =>
-      val pivoted = Tables.events(s, d)
+      // one scan, one shuffle: conditional sums play the pivot (the
+      // dedicated pivot operator is covered by q_a4_*; composing it here
+      // would scan events twice and add a join)
+      val condSums = types.map(t =>
+        coalesce(sum(when(col("event_type") === t, col("value").cast(dec))).cast(dec),
+                 lit(0).cast(dec)).as(tot(t)))
+      val renamed = Tables.events(s, d)
         .groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(sum(col("value").cast(dec)).cast(dec))
-        .na.fill(0, types)
-        .join(
-          Tables.events(s, d).groupBy("user_id")
-            .agg(countDistinct(date_trunc("day", col("ts"))).as("active")),
-          Seq("user_id"))
-      val renamed = types.foldLeft(pivoted)((df, t) => df.withColumnRenamed(t, tot(t)))
+        .agg(condSums.head,
+             condSums.tail :+ countDistinct(date_trunc("day", col("ts"))).as("active"): _*)
       val best = greatest(priority.map(t => col(tot(t))): _*)
       val mostActive = priority.init.foldRight(lit(priority.last)) { (t, rest) =>
         when(best === col(tot(t)), t).otherwise(rest)
