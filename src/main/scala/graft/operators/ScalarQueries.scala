@@ -161,11 +161,15 @@ object ScalarQueries {
     val w = Window.partitionBy("half", "user_id")
       .orderBy(col("n").desc, col("event_type"))
     val top1 = ranked.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-    val h1 = top1.filter(col("half") === "H1").select(col("user_id").as("u1"), col("event_type").as("type_h1"))
-    val h2 = top1.filter(col("half") === "H2").select(col("user_id").as("u2"), col("event_type").as("type_h2"))
-    h1.join(h2, col("u1") === col("u2"), "full_outer")
+    // top1 holds ≤1 row per (half, user): a conditional aggregation is
+    // the full-outer join of the two halves, in one pass with no join
+    top1
+      .groupBy("user_id")
+      .agg(
+        max(when(col("half") === "H1", col("event_type"))).as("type_h1"),
+        max(when(col("half") === "H2", col("event_type"))).as("type_h2"))
       .select(
-        coalesce(col("u1"), col("u2")).as("user_id"),
+        col("user_id"),
         col("type_h1"), col("type_h2"),
         when(col("type_h1") === col("type_h2"), "Unchanged").otherwise("Changed").as("trending_type"),
         when(col("type_h1") =!= col("type_h2"),
