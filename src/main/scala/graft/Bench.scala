@@ -19,13 +19,16 @@ object Bench {
       val t0 = System.nanoTime()
       // Materialize every output row (a bare count() lets Spark skip
       // evaluating map-only projections entirely, under-reporting cost).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query cached frames so queries don't pay each other's
       // memory pressure (each is timed standalone)
       spark.catalog.clearCache()
-      name -> dt
+      // -1 sentinel: a broken query must not read as a fast success
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

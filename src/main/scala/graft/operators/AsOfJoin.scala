@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * aggregation, independent of match distances, so it scales to
   * arbitrarily long histories. Right rows sort before left rows at
   * equal timestamps (inclusive `>=` semantics, matching DuckDB's
-  * `ASOF JOIN ... ON l.t >= r.t` oracle).
+  * `ASOF JOIN ... ON l.t >= r.t` oracle); duplicate (key, rightTime)
+  * rows resolve deterministically to the greatest first-payload value.
   */
 object AsOfJoin {
 
@@ -35,7 +36,12 @@ object AsOfJoin {
           lit(null).cast(taggedRight.schema("_pay").dataType).as("_pay")) ++
         leftCols.filterNot(_ == key).map(col): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    // tie-break on the first payload column: with duplicate
+    // (key, rightTime) rows the greatest payload value wins,
+    // deterministically (left rows sort after all right rows at the
+    // same instant via _side regardless of their null tie-break)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t"), col("_side"), col("_pay").getField(payload.head))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -7,7 +8,9 @@ import graft.plans.CosineSimilarity.cosineSim
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Two tiers, same output shape:
+  * Two tiers sharing one ranking scaffold ([[topK]]), so the tie-break
+  * and k can never desynchronize between the exact baseline and the
+  * approximate variant:
   *  - brute-force cosine top-k — the exact baseline; a query-side
   *    broadcast × corpus scan, embarrassingly parallel over corpus
   *    partitions (at 100 TB: broadcast the query batch, never the corpus);
@@ -21,10 +24,7 @@ object SimilarityQueries {
     """list_dot_product(q.e, c.e)
       |    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))""".stripMargin
 
-  /** Exact brute-force cosine top-5 for a fixed query batch (vec_id < 10),
-    * deterministically ranked (cosine desc, vec_id asc). */
-  val bruteForceTopK = Q(
-    "q_ann_bruteforce",
+  private def annSql(joinCond: String) =
     s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
        |SELECT query_id, neighbor_id, rank, cosine FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -32,20 +32,35 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY q.vec_id
        |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
        |  FROM (SELECT * FROM v WHERE vec_id < 10) q
-       |  JOIN v c ON c.vec_id <> q.vec_id
-       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
-    val q = broadcast(
-      v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("eq")))
-    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, col("neighbor_id") =!= col("query_id"))
+       |  JOIN v c ON $joinCond
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared ranking scaffold: broadcast query batch × candidate set,
+    * native-codegen cosine, deterministic (cosine desc, vec_id) top-k. */
+  private def topK(queries: DataFrame, candidates: DataFrame,
+                   joinCond: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(queries).join(candidates, joinCond)
       .withColumn("cosine", cosineSim(col("eq"), col("ec")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
       .orderBy("query_id", "rank")
+  }
+
+  /** Exact brute-force cosine top-5 for a fixed query batch (vec_id < 10),
+    * deterministically ranked (cosine desc, vec_id asc). */
+  val bruteForceTopK = Q(
+    "q_ann_bruteforce",
+    annSql("c.vec_id <> q.vec_id")) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+    topK(
+      v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
+      col("neighbor_id") =!= col("query_id"),
+      k = 5)
   }
 
   /** IVF-bucketed variant: candidates restricted to the query's coarse
@@ -53,28 +68,15 @@ object SimilarityQueries {
     * layout a 100 TB index would shard by. Same ranking semantics. */
   val ivfTopK = Q(
     "q_ann_ivf",
-    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-       |SELECT query_id, neighbor_id, rank, cosine FROM (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    $cosSql AS cosine,
-       |    row_number() OVER (PARTITION BY q.vec_id
-       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
-       |  FROM (SELECT * FROM v WHERE vec_id < 10) q
-       |  JOIN v c ON c.label = q.label AND c.vec_id <> q.vec_id
-       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    annSql("c.label = q.label AND c.vec_id <> q.vec_id")) { (s, d) =>
     val v = Tables.embeddings(s, d)
-    val q = broadcast(
+    topK(
       v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("label").as("ql"),
-                col("embedding").as("eq")))
-    val c = v.select(col("vec_id").as("neighbor_id"), col("label").as("cl"),
-                     col("embedding").as("ec"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("eq"), col("ec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-      .orderBy("query_id", "rank")
+                col("embedding").as("eq")),
+      v.select(col("vec_id").as("neighbor_id"), col("label").as("cl"),
+               col("embedding").as("ec")),
+      col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
+      k = 5)
   }
 }

@@ -44,6 +44,13 @@ object MinHashes {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
+  // seed prefixes are constants per k — never rebuild them per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(
+      k, kk => Array.tabulate(kk)(s => (s.toString + "|").getBytes("UTF-8")))
+
   private def toHex(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](d.length * 2)
     var i = 0
@@ -70,7 +77,7 @@ object MinHashes {
 
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Array[Byte]](k)
-    val seedPrefix = Array.tabulate(k)(s => (s.toString + "|").getBytes("UTF-8"))
+    val seedPrefix = prefixes(k)
     val md = digest.get()
     val n = arr.numElements()
     var i = 0

@@ -63,7 +63,9 @@ trait BatchClassifier extends KeywordClassifier {
 class MockLlmClassifier(dropEvery: Int = 0) extends BatchClassifier {
 
   private def ruleOf(k: String): String = {
-    val n = k.trim.toLowerCase
+    // Locale.ROOT: executor JVMs with e.g. Turkish default locale would
+    // lowercase differently from Spark's locale-agnostic lower()
+    val n = k.trim.toLowerCase(java.util.Locale.ROOT)
     RuleClassifier.Rules
       .collectFirst { case (pat, cat) if n.contains(pat) => cat }
       .getOrElse(KeywordClassifier.Fallback)

@@ -38,8 +38,10 @@ object Sources {
       .schema(Schemas.interactionLog)
       .json(paths: _*)
       .select(col("_source.*"), input_file_name().as("_file"))
+      // anchored to the FILE NAME (.../yyyyMMdd.json) — an 8-digit run
+      // in a parent directory must not win
       .withColumn("log_date",
-        to_date(regexp_extract(col("_file"), "(\\d{8})", 1), "yyyyMMdd"))
+        to_date(regexp_extract(col("_file"), "(\\d{8})[^/]*$", 1), "yyyyMMdd"))
       .drop("_file")
 
   /** Search logs (day-partitioned parquet dirs): one read over all day
@@ -48,8 +50,10 @@ object Sources {
     spark.read
       .schema(Schemas.searchLog)
       .parquet(dayDirs: _*)
+      // anchored to the DAY DIRECTORY (.../yyyyMMdd/part-*.parquet) —
+      // digit runs in part-file names or parent dirs must not win
       .withColumn("log_date",
-        to_date(regexp_extract(input_file_name(), "(\\d{8})", 1), "yyyyMMdd"))
+        to_date(regexp_extract(input_file_name(), "(\\d{8})/[^/]*$", 1), "yyyyMMdd"))
 
   /** Parity escape hatch: schema-inferred variant of [[interactionLogs]]
     * for verifying the declared schema against live data. */

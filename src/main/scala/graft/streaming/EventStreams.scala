@@ -43,17 +43,19 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
 
-  /** Streaming exact-dedup: drop duplicate event_ids with a watermark
-    * bounding the dedup state (late duplicates beyond the watermark are
-    * the accepted trade-off — unbounded state is not an option on an
-    * infinite stream). */
+  /** Streaming exact-dedup with BOUNDED state: duplicates arriving
+    * within the watermark window are dropped, and per-key state is
+    * evicted once the watermark passes it (plain dropDuplicates on a
+    * non-event-time key would grow state forever — the watermark alone
+    * does not bound it). */
   def dedupped(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
-  /** Per-user event row for stateful processing. */
-  final case class UserEvent(user_id: Long, event_id: Long, tsMs: Long)
+  /** Per-user event row for stateful processing (`ts` stays a real
+    * timestamp so the event-time watermark drives state timeouts). */
+  final case class UserEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
   /** A closed session emitted by the stateful sessionizer. */
   final case class Session(
@@ -64,38 +66,82 @@ object EventStreams {
   final case class SessionState(
       sessionId: Long, firstEvent: Long, firstMs: Long, lastMs: Long, n: Long)
 
-  /** Gap-based sessionization with `mapGroupsWithState`-style custom
-    * state — the streaming twin of EventQueries.sessionize (6 h gap).
+  /** Gap-based sessionization with custom cross-batch state — the
+    * streaming twin of EventQueries.sessionize (6 h gap).
     *
-    * Emits every CLOSED session when the next one opens; the final
-    * open session per user is emitted on state timeout (or, in the
-    * batch-parity tests, by a final flush batch). Designed for
-    * `OutputMode.Append`.
+    * Emits every CLOSED session when the next one opens; the final open
+    * session per user is emitted when the event-time watermark passes
+    * its gap deadline (GroupStateTimeout.EventTimeTimeout — the input
+    * MUST carry `withWatermark("ts", …)`, as [[sessionizeStream]]
+    * arranges). Late events inside the gap extend the session in both
+    * directions (min/max), never regress it. `OutputMode.Append`.
     */
   def sessionize(events: Dataset[UserEvent], gapMs: Long = 21600000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          // rows within a micro-batch arrive unordered: sort by (ts, id)
-          val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            if (st == null) {
-              st = SessionState(1L, e.event_id, e.tsMs, e.tsMs, 1L)
-            } else if (e.tsMs - st.lastMs > gapMs) {
-              closed += Session(userId, st.sessionId, st.n, st.firstEvent,
-                                st.lastMs - st.firstMs)
-              st = SessionState(st.sessionId + 1, e.event_id, e.tsMs, e.tsMs, 1L)
-            } else {
-              st = st.copy(lastMs = e.tsMs, n = st.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap: the session can no longer
+            // grow — emit it, but KEEP the session counter as a closed
+            // tombstone (n = 0) so later events continue the batch
+            // numbering instead of restarting at 1
+            val st = state.get
+            state.update(st.copy(n = 0L))
+            Iterator.single(
+              Session(userId, st.sessionId, st.n, st.firstEvent,
+                      st.lastMs - st.firstMs)) // st captured before copy
+          } else {
+            // rows within a micro-batch arrive unordered: sort by (ts, id)
+            val sorted = rows.toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) {
+                st = SessionState(1L, e.event_id, t, t, 1L)
+              } else if (st.n == 0L) { // closed tombstone: next session
+                st = SessionState(st.sessionId + 1, e.event_id, t, t, 1L)
+              } else if (t - st.lastMs > gapMs) {
+                closed += Session(userId, st.sessionId, st.n, st.firstEvent,
+                                  st.lastMs - st.firstMs)
+                st = SessionState(st.sessionId + 1, e.event_id, t, t, 1L)
+              } else {
+                // batch twin: first_event = min(event_id), duration =
+                // max(ts) - min(ts); a late event must extend, not regress
+                st = st.copy(
+                  firstEvent = math.min(st.firstEvent, e.event_id),
+                  firstMs = math.min(st.firstMs, t),
+                  lastMs = math.max(st.lastMs, t),
+                  n = st.n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              if (st.n > 0L) // no timeout pending on a closed tombstone
+                state.setTimeoutTimestamp(
+                  math.max(st.lastMs + gapMs,
+                           state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
       }
+  }
+
+  /** Watermarked end-to-end form: (user_id, event_id, ts) frame →
+    * sessions, with final sessions flushed by event-time timeout. */
+  def sessionizeStream(events: DataFrame, gapMs: Long = 21600000L,
+                       watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    sessionize(
+      events
+        .withWatermark("ts", watermark)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+                col("ts"))
+        .as[UserEvent],
+      gapMs)
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import graft.SparkSpec
 import graft.operators.EventQueries
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -27,9 +29,8 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionizer emits the batch sessionization (with flush sentinel)") {
-    // batch truth (drop the per-user final session, which the stream only
-    // closes on the flush sentinel below)
+  test("stateful sessionizer reproduces ALL batch sessions, finals via event-time timeout") {
+    // batch truth: every session, including each user's final one
     val batch = EventQueries.sessionize.run(spark, sf0001)
       .select($"user_id", $"session_id".cast("long"), $"n_events",
               $"first_event", $"duration_ms")
@@ -37,28 +38,31 @@ class EventStreamsSpec extends SparkSpec {
       .collect().toSet
 
     val events = graft.Tables.events(spark, sf0001)
-      .select($"user_id", $"event_id", unix_millis($"ts").as("tsMs"))
-      .as[EventStreams.UserEvent]
-      .collect().sortBy(e => (e.tsMs, e.event_id))
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, Timestamp)]
+      .collect().sortBy(e => (e._3.getTime, e._2))
 
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[EventStreams.UserEvent]
-    val q = EventStreams.sessionize(mem.toDS())
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams
+      .sessionizeStream(mem.toDF().toDF("user_id", "event_id", "ts"))
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("sessions_out").start()
     try {
-      // feed in two chunks to exercise cross-batch state, then flush with
-      // far-future sentinels that force every open session closed
+      // two chunks exercise cross-batch state; then a far-future event
+      // from a synthetic user advances the watermark past every real
+      // session's gap deadline, and one more batch fires the timeouts
       val (a, b) = events.splitAt(events.length / 2)
       mem.addData(a.toIndexedSeq); q.processAllAvailable()
       mem.addData(b.toIndexedSeq); q.processAllAvailable()
-      val maxTs = events.map(_.tsMs).max
-      val flush = events.map(_.user_id).distinct
-        .map(u => EventStreams.UserEvent(u, Long.MaxValue, maxTs + 10L * 21600000L))
-      mem.addData(flush.toIndexedSeq); q.processAllAvailable()
+      val maxTs = events.map(_._3.getTime).max
+      val far1 = new Timestamp(maxTs + 100L * 21600000L)
+      val far2 = new Timestamp(maxTs + 101L * 21600000L)
+      mem.addData(Seq((-1L, 1L, far1))); q.processAllAvailable()
+      mem.addData(Seq((-1L, 2L, far2))); q.processAllAvailable()
 
       val streamed = spark.table("sessions_out").as[EventStreams.Session]
-        .collect().toSet
+        .collect().filter(_.user_id >= 0).toSet
       assert(streamed == batch)
     } finally q.stop()
   }
