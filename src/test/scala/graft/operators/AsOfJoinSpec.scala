@@ -20,6 +20,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("p3").isEmpty)        // u2's only click is AFTER the purchase
   }
 
+  test("duplicate (key, rightTime) rows resolve deterministically to the greatest payload") {
+    val left = Seq(("u1", 100L, "p1")).toDF("k", "t", "pid")
+    val right = Seq(("u1", 50L, "ca"), ("u1", 50L, "cz"), ("u1", 50L, "cm"))
+      .toDF("k", "rt", "cid")
+    (1 to 5).foreach { _ =>
+      val out = AsOfJoin.backward(
+          left, right.repartition(3), "k", "t", "rt", Seq("cid"))
+        .select("cid").as[String].collect().toSeq
+      assert(out == Seq("cz")) // greatest first-payload value wins, every run
+    }
+  }
+
   test("left rows with no right rows at all for the key get nulls") {
     val left = Seq(("solo", 5L, "p")).toDF("k", "t", "pid")
     val right = Seq(("other", 1L, "c")).toDF("k", "rt", "cid")
