@@ -15,20 +15,27 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // One timed attempt: full materialization (a bare count() lets Spark
+    // skip map-only projections entirely, under-reporting cost), caches
+    // cleared after so queries don't pay each other's memory pressure.
+    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // Materialize every output row (a bare count() lets Spark skip
-      // evaluating map-only projections entirely, under-reporting cost).
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached frames so queries don't pay each other's
-      // memory pressure (each is timed standalone)
       spark.catalog.clearCache()
       // -1 sentinel: a broken query must not read as a fast success
-      name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // min of two runs: this host has noisy co-tenants that randomly
+      // inflate single measurements 5-10x; the minimum is the stable,
+      // round-over-round comparable capability number
+      val a = attempt(name, fn)
+      val b = if (a < 0) a else math.min(a, attempt(name, fn))
+      name -> b
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
