@@ -43,21 +43,6 @@ object TextFunctions {
   def arrayMinhash(seed: Int, shingles: Column): Column =
     array_min(transform(shingles, s => saltedHash(seed, s)))
 
-  /** 16-bit SimHash rendered as a '0'/'1' string. Bit j is the sign of
-    * sum(±1) over tokens, +1 when hex digit j of md5(token) has its top
-    * bit set (char >= '8'). String form avoids cross-engine integer
-    * bit-twiddling differences. */
-  def simhash16(words: Column): Column = {
-    val bits = (1 to 16).map { j =>
-      val vote = aggregate(
-        words,
-        lit(0),
-        (acc, w) => acc + when(substring(md5(w), j, 1) >= "8", 1).otherwise(-1))
-      when(vote > 0, "1").otherwise("0")
-    }
-    concat(bits: _*)
-  }
-
   /** Content fingerprint: md5 over the sorted distinct token set — the
     * "same bag of words" dedup key. DuckDB:
     * `md5(array_to_string(list_sort(list_distinct(w)), ' '))`. */

@@ -40,8 +40,10 @@ object PipelineDemo {
     println("=== pipeline B via batch (remote-LLM-shaped) classifier")
     val behaviorBatch = BehaviorPipeline.build(spark, Seq(search), Seq(search),
       new graft.semantic.MockLlmClassifier())
+    val agree = behaviorBatch.exceptAll(behavior).count() == 0 &&
+      behavior.exceptAll(behaviorBatch).count() == 0
     println(s"batch-classified rows: ${behaviorBatch.count()}, " +
-      s"agreeing with expression path: ${behaviorBatch.exceptAll(behavior).count() == 0}")
+      s"agreeing with expression path (both directions): $agree")
 
     spark.stop()
   }

@@ -73,10 +73,16 @@ object EventStreams {
     * session per user is emitted when the event-time watermark passes
     * its gap deadline (GroupStateTimeout.EventTimeTimeout — the input
     * MUST carry `withWatermark("ts", …)`, as [[sessionizeStream]]
-    * arranges). Late events inside the gap extend the session in both
-    * directions (min/max), never regress it. `OutputMode.Append`.
+    * arranges). Rows at/older than the watermark are dropped (allowed-
+    * lateness contract; keep the watermark delay ≤ the gap so a
+    * surviving late event can never belong to an already-closed
+    * session); in-gap late events extend the session via min/max.
+    * Closed-session tombstones keep the per-user numbering and are
+    * evicted after `tombstoneRetentionMs`, so state stays bounded.
+    * `OutputMode.Append`.
     */
-  def sessionize(events: Dataset[UserEvent], gapMs: Long = 21600000L): Dataset[Session] = {
+  def sessionize(events: Dataset[UserEvent], gapMs: Long = 21600000L,
+                 tombstoneRetentionMs: Long = 604800000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -84,18 +90,35 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastMs + gap: the session can no longer
-            // grow — emit it, but KEEP the session counter as a closed
-            // tombstone (n = 0) so later events continue the batch
-            // numbering instead of restarting at 1
             val st = state.get
-            state.update(st.copy(n = 0L))
-            Iterator.single(
-              Session(userId, st.sessionId, st.n, st.firstEvent,
-                      st.lastMs - st.firstMs)) // st captured before copy
+            if (st.n == 0L) {
+              // tombstone retention elapsed: evict — state stays bounded
+              // even with unbounded user cardinality (a returning user
+              // restarts numbering, the documented retention trade-off)
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed lastMs + gap: the session can no longer
+              // grow — emit it, but KEEP the session counter as a closed
+              // tombstone (n = 0) so later events continue the batch
+              // numbering instead of restarting at 1
+              state.update(st.copy(n = 0L))
+              state.setTimeoutTimestamp(
+                math.max(st.lastMs + gapMs,
+                         state.getCurrentWatermarkMs() + 1) + tombstoneRetentionMs)
+              Iterator.single(
+                Session(userId, st.sessionId, st.n, st.firstEvent,
+                        st.lastMs - st.firstMs)) // st captured before copy
+            }
           } else {
-            // rows within a micro-batch arrive unordered: sort by (ts, id)
-            val sorted = rows.toSeq
+            // rows within a micro-batch arrive unordered: sort by (ts, id).
+            // Drop rows at/older than the watermark (standard allowed-
+            // lateness): with watermark delay <= gap this also guarantees
+            // a late event can never fall more than `gap` before the live
+            // session's start, so backward-merge into a closed session
+            // cannot occur.
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = rows.filter(_.ts.getTime > wm).toSeq
               .sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.orNull
             val closed = Seq.newBuilder[Session]
@@ -121,10 +144,12 @@ object EventStreams {
             }
             if (st != null) {
               state.update(st)
-              if (st.n > 0L) // no timeout pending on a closed tombstone
-                state.setTimeoutTimestamp(
-                  math.max(st.lastMs + gapMs,
-                           state.getCurrentWatermarkMs() + 1))
+              val deadline = math.max(st.lastMs + gapMs,
+                                      state.getCurrentWatermarkMs() + 1)
+              // open session: fires at gap deadline; tombstone: at the
+              // retention horizon (then evicted) — state always bounded
+              state.setTimeoutTimestamp(
+                if (st.n > 0L) deadline else deadline + tombstoneRetentionMs)
             }
             closed.result().iterator
           }
