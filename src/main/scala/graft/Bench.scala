@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on the sf-dir given by
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (round-1 postmortem: a single giant stdout JSON line
+  * was tail-truncated by the harness and round 1 lost its official bench
+  * number): stdout carries ONE SHORT summary line, emitted LAST — and the
+  * full per-query map goes to `BENCH_DETAIL.json` in the working
+  * directory instead of stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,7 +29,7 @@ object Bench {
     // One timed attempt: full materialization (a bare count() lets Spark
     // skip map-only projections entirely, under-reporting cost), caches
     // cleared after so queries don't pay each other's memory pressure.
-    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -27,22 +37,31 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // -1 sentinel: a broken query must not read as a fast success
-      if (ok) dt else -1.0
+      if (ok) Some(dt) else None
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two runs: this host has noisy co-tenants that randomly
       // inflate single measurements 5-10x; the minimum is the stable,
       // round-over-round comparable capability number. One success is
       // enough — a transient second-run failure must not mask it.
-      val times = Seq(attempt(name, fn), attempt(name, fn)).filter(_ >= 0)
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      val times = Seq(attempt(name, fn), attempt(name, fn)).flatten
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total over successes only: a -1 sentinel must not LOWER the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val succeeded = results.collect { case (k, Some(v)) => k -> r3(v) }
+    val failed = results.collect { case (k, None) => k }
+    val total = r3(succeeded.map(_._2).sum)
+    // Per-query detail (and the explicit failed list — no -1 sentinels
+    // that a summing consumer could mistake for timings) to a file.
+    val qs = succeeded.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val fl = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    // Short summary is the LAST stdout line (the parseable artifact).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
   }
 }

@@ -79,14 +79,17 @@ object CoreQueries {
 
   // ----------------------------------------------------------------- aggs
 
-  /** A2 flagship: TPC-H-Q1-shaped multi-aggregate. Exact decimal math end
-    * to end so partial/final hash-agg order can't perturb the result. */
+  /** A2 flagship: TPC-H-Q1-shaped multi-aggregate. Exact decimal math
+    * internally so partial/final hash-agg order can't perturb the result;
+    * the FINAL columns are cast to DOUBLE on both engines (identical exact
+    * decimals → identical float64 bits), because the two engines render
+    * decimal values differently and would hash-mismatch on repr alone. */
   val q1Agg = Q(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -94,10 +97,10 @@ object CoreQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
+        sum(col("l_quantity").cast(dec)).cast(dec).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(dec).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -140,21 +143,23 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
-  /** A4 variant: pivot-sum over exact decimals. */
+  /** A4 variant: pivot-sum over exact decimals; final cells cast to
+    * DOUBLE on both engines (decimal repr differs across engines). */
   val a4PivotSum = Q(
     "q_a4_pivot_sum",
     """SELECT user_id,
-      |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DECIMAL(18,2)), 0) AS click,
-      |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DECIMAL(18,2)), 0) AS error,
-      |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,2)), 0) AS purchase,
-      |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DECIMAL(18,2)), 0) AS signup,
-      |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DECIMAL(18,2)), 0) AS view
+      |  CAST(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DECIMAL(18,2)), 0) AS DOUBLE) AS click,
+      |  CAST(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DECIMAL(18,2)), 0) AS DOUBLE) AS error,
+      |  CAST(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,2)), 0) AS DOUBLE) AS purchase,
+      |  CAST(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DECIMAL(18,2)), 0) AS DOUBLE) AS signup,
+      |  CAST(COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DECIMAL(18,2)), 0) AS DOUBLE) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy("user_id")
       .pivot("event_type", EventTypes)
       .agg(sum(col("value").cast(dec)).cast(dec))
       .na.fill(0, EventTypes)
+      .select(col("user_id") +: EventTypes.map(t => col(t).cast("double").as(t)): _*)
       .orderBy("user_id")
   }
 
@@ -184,16 +189,16 @@ object CoreQueries {
   val w2RunningSum = Q(
     "q_w2_running_sum",
     """SELECT event_id, user_id,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .select(
         col("event_id"), col("user_id"),
-        sum(col("value").cast(dec)).over(w).cast(dec).as("running_total"))
+        sum(col("value").cast(dec)).over(w).cast(dec).cast("double").as("running_total"))
       .orderBy("event_id")
   }
 
@@ -289,7 +294,7 @@ object CoreQueries {
   val leftOuterJoin = Q(
     "q_left_outer_join",
     """SELECT c_custkey, count(o_orderkey) AS n_orders,
-      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)), 0) AS total
+      |  CAST(COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)), 0) AS DOUBLE) AS total
       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
     Tables.customer(s, d)
@@ -297,7 +302,8 @@ object CoreQueries {
       .groupBy("c_custkey")
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(col("o_totalprice").cast(dec)).cast(dec), lit(0).cast(dec)).as("total"))
+        coalesce(sum(col("o_totalprice").cast(dec)).cast(dec), lit(0).cast(dec))
+          .cast("double").as("total"))
       .orderBy("c_custkey")
   }
 

@@ -60,22 +60,25 @@ object DedupQueries {
        |  FROM (SELECT doc_id, $W AS w FROM documents)
        |)
        |SELECT doc_id,
-       |  [list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min'),
-       |   list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min'),
-       |   list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min'),
-       |   list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min')] AS hs
+       |  array_to_string(
+       |    [list_aggregate(list_transform(shingles, x -> md5('0|' || x)), 'min'),
+       |     list_aggregate(list_transform(shingles, x -> md5('1|' || x)), 'min'),
+       |     list_aggregate(list_transform(shingles, x -> md5('2|' || x)), 'min'),
+       |     list_aggregate(list_transform(shingles, x -> md5('3|' || x)), 'min')],
+       |    '|') AS hs
        |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
     // fused native expression: all 4 components in one map-only pass, as
     // ONE array output (4 named element_at projections would each
     // re-inline — and re-evaluate — the whole expression chain under
     // CollapseProject). repartition first: the doc table is one tiny
     // parquet split, which would serialize the map stage locally.
+    // Rendered '|'-joined: the harness can't sort/hash list cells.
     Tables.documents(s, d)
       .select("doc_id", "text")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-              graft.plans.MinHashes.minhashes(
-                wordShingles(tokens(col("text")), 2), 4).as("hs"))
+              array_join(graft.plans.MinHashes.minhashes(
+                wordShingles(tokens(col("text")), 2), 4), "|").as("hs"))
       .orderBy("doc_id")
   }
 

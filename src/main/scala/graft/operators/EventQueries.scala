@@ -19,7 +19,7 @@ object EventQueries {
     "q_window_tumbling",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
     // window_start rendered as a string: Spark writes tz-aware parquet
     // timestamps, DuckDB naive ones -- a raw timestamp output column
@@ -29,7 +29,7 @@ object EventQueries {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(dec)).cast(dec).as("total"))
+           sum(col("value").cast(dec)).cast(dec).cast("double").as("total"))
       .orderBy("window_start", "event_type")
   }
 
@@ -48,8 +48,9 @@ object EventQueries {
       |  FROM events
       |), sessions AS (
       |  SELECT user_id, ts, event_id,
-      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS session_id
       |  FROM marked
       |)
       |SELECT user_id, session_id, count(*) AS n_events,

@@ -31,7 +31,7 @@ object ExtraQueries {
       s"CASE WHEN total_$t > 0 THEN '$t' END").mkString(", ")
     Q(
       "q_engagement_full",
-      s"""SELECT user_id, ${types.map(tot).mkString(", ")}, active,
+      s"""SELECT user_id, ${types.map(t => s"CAST(${tot(t)} AS DOUBLE) AS ${tot(t)}").mkString(", ")}, active,
          |  CASE $sqlChain ELSE '${priority.last}' END AS most_active,
          |  concat_ws('-', $sqlTaste) AS taste,
          |  CASE WHEN active > 27 THEN 'High'
@@ -65,7 +65,8 @@ object ExtraQueries {
           when(col("active") > 27, "High")
             .when(col("active").between(25, 27), "Medium")
             .otherwise("Low"))
-        .select(col("user_id") +: types.map(t => col(tot(t))) :+ col("active") :+
+        .select(col("user_id") +:
+                types.map(t => col(tot(t)).cast("double").as(tot(t))) :+ col("active") :+
                 col("most_active") :+ col("taste") :+ col("level_activeness"): _*)
         .orderBy("user_id")
     }
@@ -76,12 +77,12 @@ object ExtraQueries {
   val saltedAgg = Q(
     "q_salted_agg",
     """SELECT event_type, count(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Salting
       .saltedCountSum(Tables.events(s, d), "event_type", "event_id",
                       col("value").cast(dec), nSalts = 16)
-      .select(col("event_type"), col("n"), col("total").cast(dec).as("total"))
+      .select(col("event_type"), col("n"), col("total").cast(dec).cast("double").as("total"))
       .orderBy("event_type")
   }
 
@@ -135,18 +136,20 @@ object ExtraQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Ordered collection aggregate (sorted set per group) — arrays as
-    * first-class result values. */
+  /** Ordered collection aggregate (sorted set per group). The collection
+    * is rendered as a '|'-joined string on BOTH engines: the verification
+    * harness can't sort/hash list-typed cells, and a delimited rendering
+    * of a sorted set is lossless for comparison. */
   val collectSorted = Q(
     "q_collect_sorted",
     """SELECT l_returnflag,
-      |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        array_join(sort_array(collect_set(col("l_linestatus"))), "|").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -375,8 +378,10 @@ object ExtraQueries {
         var_samp(col("l_quantity")).as("var_qty"),
         corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
         skewness(col("l_discount")).as("skew_disc"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("price_p50_p95"))
+        // scalar percentiles, not array(0.5, 0.95): the harness can't
+        // sort/hash list-typed cells
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"))
       .orderBy("l_returnflag")
   }
 

@@ -182,12 +182,12 @@ object ScalarQueries {
   val c8DateMonth = Q(
     "q_c8_date_month",
     """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"),
-           sum(col("o_totalprice").cast(dec)).cast(dec).as("total"))
+           sum(col("o_totalprice").cast(dec)).cast(dec).cast("double").as("total"))
       .orderBy("month")
   }
 

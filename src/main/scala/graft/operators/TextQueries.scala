@@ -77,8 +77,8 @@ object TextQueries {
   val tokenCounts = Q(
     "q_text_tokens",
     s"""SELECT source,
-       |  sum(len($W)) AS ws_tokens,
-       |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+       |  CAST(sum(len($W)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
        |  count(*) AS n_docs
        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     Tables.documents(s, d)

@@ -38,7 +38,9 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+           // exact decimal internally; final DOUBLE matches the batch twin
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+             .cast("double").as("total"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
