@@ -58,6 +58,7 @@ object SparkEntry {
     DedupQueries.simhashBuckets,
     DedupQueries.jaccardAllPairs,
     DedupQueries.embeddingPairs,
+    DedupQueries.embeddingPairsExact,
     // similarity search
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.ivfTopK,

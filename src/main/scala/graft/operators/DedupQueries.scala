@@ -241,13 +241,85 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs (threshold tuned to this corpus's
-    * cosine range; the vectors are near-orthogonal so 0.45 marks true
-    * outlier similarity). Exact double arithmetic keeps parity with the
-    * oracle's list_dot_product. */
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH — the
+    * scale path (round-1's unbounded cross join was the one guaranteed
+    * 100 TB non-starter): 16 deterministic Rademacher hyperplanes → 8
+    * bands × 2 sign bits → candidate pairs from a (band, key) equi-join
+    * → exact codegen'd cosine verify at 0.45. NO cross join anywhere
+    * (PlanSpec pins this).
+    *
+    * The oracle recomputes the IDENTICAL pipeline (the hyperplanes are
+    * md5-derived, engine-independent), so the two engines agree exactly
+    * by construction; empirically the candidate set covers every
+    * qualifying pair at the verified SFs (recall 1.0 at sf0.01 — this
+    * corpus's 0.45 threshold sits barely above the random-pair cosine
+    * range, the regime where sign-LSH pruning is weakest; at the
+    * thresholds real near-dup passes use (≥0.8) the same band join
+    * rejects nearly all random pairs). */
   val embeddingPairs = Q(
     "q_dedup_embedding",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |dims AS (SELECT unnest(range(0, (SELECT max(len(e)) FROM v))) AS i),
+      |planes AS (
+      |  SELECT p, list(CASE WHEN md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR))[1] >= '8'
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+      |  FROM (SELECT unnest(range(0, 16)) AS p), dims GROUP BY p
+      |), bits AS (
+      |  SELECT vec_id, p,
+      |    CASE WHEN list_dot_product(e, sv) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM v, planes
+      |), bands AS (
+      |  SELECT vec_id, p // 2 AS band,
+      |    CAST(SUM(bit * (CASE WHEN p % 2 = 0 THEN 2 ELSE 1 END)) AS INTEGER) AS key
+      |  FROM bits GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT vec_a, vec_b,
+      |    list_dot_product(va.e, vb.e)
+      |      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+      |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b
+      |) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    // tiny frame read 3x (bands + both verify sides): cache; repartition
+    // first — the embeddings table is one parquet split
+    val v = Tables.embeddings(s, d)
+      .select("vec_id", "embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+      .cache()
+    // fused map-only signatures, one row per band
+    val bands = v.select(
+      col("vec_id"),
+      posexplode(graft.plans.HyperplaneBands.hyperplaneBands(col("embedding"), 16, 2))
+        .as(Seq("band", "key")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
+    // key-only candidate join — embeddings never travel through it
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand
+      .join(broadcast(va), Seq("vec_a"))
+      .join(broadcast(vb), Seq("vec_b"))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
+    * recall oracle for the LSH pipeline above (same role as
+    * q_dedup_jaccard_pairs for the text side). Only valid at small n;
+    * at scale q_dedup_embedding replaces it. */
+  val embeddingPairsExact = Q(
+    "q_dedup_embedding_exact",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 500)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
@@ -255,7 +327,7 @@ object DedupQueries {
       |WHERE list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val v = Tables.embeddings(s, d)
+    val v = Tables.embeddings(s, d).filter(col("vec_id") < 500)
     val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.crossJoin(b)

@@ -46,4 +46,12 @@ class PlanSpec extends SparkSpec {
     val p = planString(CoreQueries.semiJoin.run(spark, sf0001))
     assert(p.contains("LeftSemi"), s"semi join not preserved:\n$p")
   }
+
+  test("embedding near-dup is LSH-bucketed: no cross join on the unbounded table") {
+    val df = graft.operators.DedupQueries.embeddingPairs.run(spark, sf0001)
+    val p = planString(df)
+    spark.catalog.clearCache() // the query caches the embeddings frame
+    assert(!p.contains("CartesianProduct"), s"cross join in the scale path:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in the scale path:\n$p")
+  }
 }
