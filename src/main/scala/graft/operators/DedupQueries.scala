@@ -105,9 +105,11 @@ object DedupQueries {
     *  - requiring ≥2 of 8 band collisions keeps ~96% recall at J=0.5
     *    while cutting false candidates ~27× (collision-count LSH);
     *  - shingle sets re-attach via broadcast joins for verification. */
-  val minhashLshPairs = Q(
-    "q_dedup_minhash_lsh",
-    s"""WITH sh AS (
+  /** Shared DuckDB CTE chain for the LSH near-dup pipeline: shingles →
+    * bands → candidate pairs (≥2 band collisions) → verified pairs
+    * (`vpairs`). Reused verbatim by the resolve oracle below. */
+  private val lshCtes =
+    s"""sh AS (
        |  SELECT doc_id, $SS AS ss
        |  FROM (SELECT doc_id, $W AS w FROM documents)
        |), bands AS (
@@ -119,15 +121,21 @@ object DedupQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2
-       |)
-       |SELECT doc_a, doc_b, nbands,
-       |  len(list_intersect(sa.ss, sb.ss)) * 1.0
-       |    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
-       |FROM pairs
-       |JOIN sh sa ON sa.doc_id = doc_a
-       |JOIN sh sb ON sb.doc_id = doc_b
-       |WHERE len(list_intersect(sa.ss, sb.ss)) * 1.0
-       |    / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+       |), vpairs AS (
+       |  SELECT doc_a, doc_b, nbands,
+       |    len(list_intersect(sa.ss, sb.ss)) * 1.0
+       |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jaccard
+       |  FROM pairs
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b
+       |  WHERE len(list_intersect(sa.ss, sb.ss)) * 1.0
+       |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+       |)""".stripMargin
+
+  val minhashLshPairs = Q(
+    "q_dedup_minhash_lsh",
+    s"""WITH $lshCtes
+       |SELECT doc_a, doc_b, nbands, jaccard FROM vpairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // tiny (n_docs) frame, read 3x (signatures + both verify sides):
     // cache to avoid re-running the interpreted shingle lambdas
@@ -162,10 +170,25 @@ object DedupQueries {
   }
 
   /** End-to-end dedup resolution: LSH pairs → connected components →
-    * keep-list. Iterative (pointer-jumping label propagation), hence no
-    * single-statement SQL oracle — rows-only check; semantics pinned by
-    * DedupResolveSpec. */
-  val resolveClusters = Q.rowsOnly("q_dedup_resolve") { (s, d) =>
+    * keep-list. The Spark side iterates (pointer-jumping label
+    * propagation, O(log diameter) equi-join rounds); the oracle computes
+    * the same components as a DuckDB recursive transitive closure —
+    * viable at oracle scale because dup clusters are tiny, while the
+    * Spark form is the one that survives 100 TB. */
+  val resolveClusters = Q(
+    "q_dedup_resolve",
+    s"""WITH RECURSIVE $lshCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |)
+       |SELECT id AS doc_id, min(reach) AS cluster, id = min(reach) AS keep
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
     DedupResolve
       .keepList(minhashLshPairs.run(s, d).select("doc_a", "doc_b"))
       .orderBy("doc_id")

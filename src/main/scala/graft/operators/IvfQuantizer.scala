@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Trained IVF coarse quantizer: seeded Lloyd k-means over the
+  * `embeddings` table, DataFrame-only (round-1's stand-in searched the
+  * pre-labeled `label` column — a real corpus has no labels).
+  *
+  * Exactness across engines is the hard part: float means are
+  * accumulation-order dependent, so a naive k-means would never
+  * hash-match a DuckDB oracle. The whole TRAINING loop therefore runs in
+  * integer space:
+  *
+  *  - quantize: x = round((e[dim] + 4.0) * 1000) as BIGINT — positive
+  *    (|e| < 1 in this corpus; 4.0 is a wide guard), so integer division
+  *    truncation == floor on both engines;
+  *  - seed: cells 0..k-1 = the k smallest vec_ids' quantized vectors
+  *    (deterministic, no RNG);
+  *  - iterate (unrolled): assign each vector to the argmin squared-L2
+  *    cell (ties → smallest cell id), recompute centroids as per-dim
+  *    integer means — BIGINT sums are order-independent, so every engine
+  *    derives bit-identical centroids;
+  *  - the final SEARCH is exact cosine over the original float vectors,
+  *    restricted to the query's trained cell.
+  *
+  * Scale shape: vectors live long-form (vec_id, dim, x) — assignment is
+  * a broadcast join against k·dim centroid rows and centroid recompute
+  * is a (cell, dim) hash-agg, both embarrassingly parallel; nothing ever
+  * collects to the driver. At 100 TB the same plan holds with k in the
+  * thousands (centroid frame stays tiny).
+  */
+object IvfQuantizer {
+
+  /** Long-form quantized vectors: (vec_id, dim, x). */
+  private def vq(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
+      .select(col("vec_id"), col("dim"),
+              expr("CAST(round((CAST(f AS DOUBLE) + 4.0) * 1000) AS BIGINT)").as("x"))
+
+  /** Deterministic argmin assignment against a centroid frame
+    * (cell, dim, cval): squared-L2 in BIGINT, ties to the smallest cell. */
+  private def assign(vqDf: DataFrame, cent: DataFrame): DataFrame = {
+    val d2 = (col("x") - col("cval")) * (col("x") - col("cval"))
+    val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    vqDf.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "cell").agg(sum(d2).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** Final (vec_id, cell) assignment after `iters` Lloyd updates. */
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val q = vq(v).cache() // reused by every assign + recompute step
+    val seeds = v.select("vec_id").orderBy("vec_id").limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+    var cent = q.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("cell"), col("dim"), col("x").as("cval"))
+    for (_ <- 0 until iters) {
+      val a = assign(q, cent)
+      // integer mean: BIGINT sum (order-independent) div count; all
+      // values positive, so div truncation == floor on both engines
+      cent = q.join(a, Seq("vec_id"))
+        .groupBy("cell", "dim")
+        .agg(expr("sum(x) div count(1)").as("cval"))
+    }
+    assign(q, cent)
+  }
+
+  /** DuckDB oracle: the IDENTICAL training loop as unrolled CTEs. */
+  def oracleCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |vq AS (SELECT vec_id, i AS dim,
+              |         CAST(round((e[i + 1] + 4.0) * 1000) AS BIGINT) AS x
+              |       FROM v, (SELECT unnest(range(0, (SELECT max(len(e)) FROM v))) AS i)),
+              |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+              |          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT $k)),
+              |c0 AS (SELECT s.cell, vq.dim, vq.x AS cval FROM vq JOIN seeds s USING (vec_id)),
+              |""".stripMargin
+    for (t <- 0 to iters) {
+      sb ++= s"""d$t AS (SELECT vq.vec_id, c.cell,
+                |         SUM((vq.x - c.cval) * (vq.x - c.cval)) AS dist
+                |       FROM vq JOIN c$t c USING (dim) GROUP BY 1, 2),
+                |a$t AS (SELECT vec_id, cell FROM (
+                |         SELECT vec_id, cell,
+                |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                |         FROM d$t) WHERE rn = 1),
+                |""".stripMargin
+      if (t < iters)
+        sb ++= s"""c${t + 1} AS (SELECT a.cell, vq.dim,
+                  |         CAST(SUM(vq.x) AS BIGINT) // COUNT(*) AS cval
+                  |       FROM vq JOIN a$t a USING (vec_id) GROUP BY 1, 2),
+                  |""".stripMargin
+    }
+    sb ++= s"asn AS (SELECT vec_id, cell FROM a$iters)"
+    sb.result()
+  }
+}

@@ -63,18 +63,36 @@ object SimilarityQueries {
       k = 5)
   }
 
-  /** IVF-bucketed variant: candidates restricted to the query's coarse
-    * cell (equi-join on `label` instead of a full scan) — the partition
-    * layout a 100 TB index would shard by. Same ranking semantics. */
+  /** IVF-bucketed variant with a TRAINED coarse quantizer (round 1
+    * searched the pre-labeled `label` column — a real corpus has no
+    * labels): [[IvfQuantizer]] runs seeded integer-space k-means
+    * (k = 8, 2 Lloyd updates, deterministic and engine-exact), then
+    * candidates are restricted to the query's trained cell — the
+    * partition layout a 100 TB index would shard by. Same ranking
+    * semantics as the brute-force baseline. */
+  val ivfK = 8
+  val ivfIters = 2
   val ivfTopK = Q(
     "q_ann_ivf",
-    annSql("c.label = q.label AND c.vec_id <> q.vec_id")) { (s, d) =>
-    val v = Tables.embeddings(s, d)
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |  FROM (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |        WHERE v.vec_id < 10) q
+       |  JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
+       |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val asn = IvfQuantizer.assignments(s, d, ivfK, ivfIters)
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .join(asn, Seq("vec_id"))
     topK(
       v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label").as("ql"),
+        .select(col("vec_id").as("query_id"), col("cell").as("ql"),
                 col("embedding").as("eq")),
-      v.select(col("vec_id").as("neighbor_id"), col("label").as("cl"),
+      v.select(col("vec_id").as("neighbor_id"), col("cell").as("cl"),
                col("embedding").as("ec")),
       col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
       k = 5)
