@@ -88,6 +88,8 @@ object SparkEntry {
     ExtraQueries.cube2d,
     ExtraQueries.regexpNullSafe,
     ExtraQueries.asofJoin,
+    ExtraQueries.asofForward,
+    ExtraQueries.asofNearest,
     ExtraQueries.slidingWindow,
   )
 

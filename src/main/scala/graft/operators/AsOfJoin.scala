@@ -3,50 +3,137 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
-/** Backward as-of join — for each left row, the single most recent right
-  * row with the same key and `rightTime <= leftTime`. Spark has no
-  * native as-of join; the naive range join explodes to |L|×|R| per key.
+/** As-of joins — for each left row, ONE right row with the same key:
   *
-  * Technique: tag and union both sides, then one window pass per key in
-  * time order carrying the last non-null right payload
-  * (`last(_, ignoreNulls = true)` over an unbounded-preceding frame).
-  * Cost: ONE shuffle+sort by key — the same shape as a window
-  * aggregation, independent of match distances, so it scales to
-  * arbitrarily long histories. Right rows sort before left rows at
-  * equal timestamps (inclusive `>=` semantics, matching DuckDB's
-  * `ASOF JOIN ... ON l.t >= r.t` oracle); duplicate (key, rightTime)
-  * rows resolve deterministically to the greatest first-payload value.
+  *  - [[backward]]: the most recent right row with `rightTime <= leftTime`;
+  *  - [[forward]]:  the earliest right row with `rightTime >= leftTime`;
+  *  - [[nearest]]:  whichever of the two is closer in time (ties →
+  *    backward, the conventional as-of default).
+  *
+  * Spark has no native as-of join; the naive range join explodes to
+  * |L|×|R| per key. Technique: tag and union both sides, then one window
+  * pass per key in time order carrying the last non-null right payload
+  * (`last(_, ignoreNulls = true)` over an unbounded-preceding frame) —
+  * forward is the same pass with time order reversed, nearest runs both
+  * carries over one sort layout. Cost: ONE shuffle by key (nearest adds
+  * a second sort, not a second shuffle), independent of match distances,
+  * so it scales to arbitrarily long histories.
+  *
+  * Determinism: right rows sort before left rows at equal timestamps
+  * (inclusive bound semantics, matching DuckDB's `ASOF JOIN`), and
+  * duplicate (key, rightTime) right rows are pre-deduplicated to the
+  * greatest payload tuple — DuckDB's ASOF leaves the duplicate choice
+  * unspecified, so both engines must pin it the same way.
+  *
+  * Internal column names are generated collision-free against both
+  * inputs (a left frame already containing `_t`/`_side` can't silently
+  * corrupt the result), and payload names must be disjoint from the
+  * non-key left columns (both appear in the output).
   */
 object AsOfJoin {
+
+  /** Shortest `_asofN_` prefix no input column starts with. */
+  private def freshPrefix(cols: Iterable[String]): String =
+    Iterator.from(0).map(i => s"_asof${i}_")
+      .find(p => !cols.exists(_.startsWith(p))).get
+
+  /** Time distance in an exactly-comparable integer domain where the
+    * type allows (timestamps → microseconds); doubles otherwise. */
+  private def timeVal(c: Column, df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case TimestampType => unix_micros(c)
+      case DateType => datediff(c, lit("1970-01-01"))
+      case _ => c.cast("double")
+    }
+
+  /** One union+window layout shared by all three variants. Returns the
+    * tagged frame plus the generated column names. */
+  private case class Tagged(df: DataFrame, t: String, side: String,
+                            pay: String, mt: String, leftCols: Seq[String])
+
+  private def tagged(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String]): Tagged = {
+    val leftCols = left.columns.toSeq
+    val clash = payload.toSet & leftCols.filterNot(_ == key).toSet
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")}")
+    val p = freshPrefix(leftCols ++ right.columns ++ payload)
+    val (tC, sideC, payC, mtF, rnC) =
+      (p + "t", p + "side", p + "pay", p + "mt", p + "rn")
+
+    // duplicate (key, rightTime) right rows: keep the greatest payload
+    // tuple, deterministically — mirrors the oracle's explicit dedup
+    val wDup = Window.partitionBy(col(key), col(rightTime))
+      .orderBy(payload.map(c => col(c).desc): _*)
+    val rightDedup = right
+      .withColumn(rnC, row_number().over(wDup))
+      .filter(col(rnC) === 1)
+      .drop(rnC)
+
+    val pay = struct(col(rightTime).as(mtF) +: payload.map(col): _*)
+    val taggedRight = rightDedup.select(
+      Seq(col(key), col(rightTime).as(tC), lit(0).as(sideC), pay.as(payC)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(leftTime).as(tC), lit(1).as(sideC),
+          lit(null).cast(taggedRight.schema(payC).dataType).as(payC)) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    Tagged(taggedRight.unionByName(taggedLeft), tC, sideC, payC, mtF, leftCols)
+  }
+
+  private def carry(tg: Tagged, key: String, forward: Boolean): Column = {
+    val ord = if (forward) col(tg.t).desc else col(tg.t).asc
+    val w = Window.partitionBy(key).orderBy(ord, col(tg.side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last(col(tg.pay), ignoreNulls = true).over(w)
+  }
+
+  private def emit(tg: Tagged, matched: Column, payload: Seq[String]): DataFrame =
+    tg.df
+      .withColumn(tg.pay + "m", matched)
+      .filter(col(tg.side) === 1)
+      .select(tg.leftCols.map(col) ++
+              payload.map(p => col(tg.pay + "m").getField(p).as(p)): _*)
 
   /** @param payload right-side columns to attach (null when no match). */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val pay = struct(payload.map(col): _*)
+    val tg = tagged(left, right, key, leftTime, rightTime, payload)
+    emit(tg, carry(tg, key, forward = false), payload)
+  }
 
-    val taggedRight = right.select(
-      Seq(col(key), col(rightTime).as("_t"), lit(0).as("_side"),
-          pay.as("_pay")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
-    val taggedLeft = left.select(
-      Seq(col(key), col(leftTime).as("_t"), lit(1).as("_side"),
-          lit(null).cast(taggedRight.schema("_pay").dataType).as("_pay")) ++
-        leftCols.filterNot(_ == key).map(col): _*)
+  /** Earliest right row at or after the left time. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val tg = tagged(left, right, key, leftTime, rightTime, payload)
+    emit(tg, carry(tg, key, forward = true), payload)
+  }
 
-    // tie-break on the first payload column: with duplicate
-    // (key, rightTime) rows the greatest payload value wins,
-    // deterministically (left rows sort after all right rows at the
-    // same instant via _side regardless of their null tie-break)
-    val w = Window.partitionBy(key)
-      .orderBy(col("_t"), col("_side"), col("_pay").getField(payload.head))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    taggedRight.unionByName(taggedLeft)
-      .withColumn("_match", last(col("_pay"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)
+  /** Closer of the backward/forward matches; ties → backward. */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val tg = tagged(left, right, key, leftTime, rightTime, payload)
+    val back = carry(tg, key, forward = false)
+    val fwd = carry(tg, key, forward = true)
+    val bC = col(tg.pay + "b"); val fC = col(tg.pay + "f")
+    def t(c: Column) = timeVal(c, right, rightTime)
+    val lt = t(col(tg.t))
+    val chosen =
+      when(bC.isNull, fC)
+        .when(fC.isNull, bC)
+        .when(lt - t(bC.getField(tg.mt)) <= t(fC.getField(tg.mt)) - lt, bC)
+        .otherwise(fC)
+    tg.df
+      .withColumn(tg.pay + "b", back)
+      .withColumn(tg.pay + "f", fwd)
+      .filter(col(tg.side) === 1)
+      .select(tg.leftCols.map(col) ++
+              payload.map(p => chosen.getField(p).as(p)): _*)
   }
 }

@@ -243,28 +243,93 @@ object ExtraQueries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
-  /** Backward as-of join: each purchase matched to the user's most
-    * recent prior (or simultaneous) click. Oracle = DuckDB's native
-    * ASOF JOIN; the Spark side is graft.operators.AsOfJoin (one
-    * window pass, no range explosion). */
-  val asofJoin = Q(
-    "q_asof_join",
-    """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
-      |     c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
-      |           FROM events WHERE event_type = 'click')
-      |SELECT p.event_id, p.user_id, c.click_id,
-      |  epoch_ms(p.ts) - epoch_ms(c.click_ts) AS gap_ms
-      |FROM p ASOF LEFT JOIN c
-      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
-      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+  /** Shared oracle CTEs for the as-of family: purchases as the left
+    * side, clicks deduplicated per (user, instant) to the greatest
+    * event_id — DuckDB's ASOF leaves the duplicate choice unspecified,
+    * so both engines pin it identically (AsOfJoin dedups the same way). */
+  private val asofCtes =
+    """p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, click_id, click_ts FROM (
+      |             SELECT user_id, event_id AS click_id, ts AS click_ts,
+      |               row_number() OVER (PARTITION BY user_id, ts
+      |                                  ORDER BY event_id DESC) AS rn
+      |             FROM events WHERE event_type = 'click') WHERE rn = 1)""".stripMargin
+
+  private def asofInputs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
               col("ts").as("click_ts"))
+    (purchases, clicks)
+  }
+
+  /** Backward as-of join: each purchase matched to the user's most
+    * recent prior (or simultaneous) click. Oracle = DuckDB's native
+    * ASOF JOIN; the Spark side is graft.operators.AsOfJoin (one
+    * window pass, no range explosion). */
+  val asofJoin = Q(
+    "q_asof_join",
+    s"""WITH $asofCtes
+      |SELECT p.event_id, p.user_id, c.click_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.click_ts) AS gap_ms
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val (purchases, clicks) = asofInputs(s, d)
     AsOfJoin.backward(purchases, clicks, "user_id", "ts", "click_ts",
                       Seq("click_id", "click_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of join: each purchase matched to the user's next
+    * (or simultaneous) click. */
+  val asofForward = Q(
+    "q_asof_forward",
+    s"""WITH $asofCtes
+      |SELECT p.event_id, p.user_id, c.click_id,
+      |  epoch_ms(c.click_ts) - epoch_ms(p.ts) AS gap_ms
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val (purchases, clicks) = asofInputs(s, d)
+    AsOfJoin.forward(purchases, clicks, "user_id", "ts", "click_ts",
+                     Seq("click_id", "click_ts"))
+      .select(
+        col("event_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("click_ts")) - unix_millis(col("ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of join: the closer of the backward/forward matches
+    * (microsecond-exact comparison, ties → backward). gap_ms is signed:
+    * positive when the click preceded the purchase. */
+  val asofNearest = Q(
+    "q_asof_nearest",
+    s"""WITH $asofCtes,
+      |b AS (SELECT p.event_id, p.user_id, p.ts, c.click_id AS b_id, c.click_ts AS b_ts
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts),
+      |f AS (SELECT p.event_id, c.click_id AS f_id, c.click_ts AS f_ts
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.click_ts)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN b_id IS NULL THEN f_id
+      |       WHEN f_id IS NULL THEN b_id
+      |       WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+      |         THEN b_id ELSE f_id END AS click_id,
+      |  CASE WHEN b_id IS NULL THEN epoch_ms(b.ts) - epoch_ms(f_ts)
+      |       WHEN f_id IS NULL THEN epoch_ms(b.ts) - epoch_ms(b_ts)
+      |       WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+      |         THEN epoch_ms(b.ts) - epoch_ms(b_ts)
+      |       ELSE epoch_ms(b.ts) - epoch_ms(f_ts) END AS gap_ms
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY b.event_id""".stripMargin) { (s, d) =>
+    val (purchases, clicks) = asofInputs(s, d)
+    AsOfJoin.nearest(purchases, clicks, "user_id", "ts", "click_ts",
+                     Seq("click_id", "click_ts"))
       .select(
         col("event_id"), col("user_id"), col("click_id"),
         (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))

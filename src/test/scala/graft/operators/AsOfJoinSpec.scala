@@ -46,4 +46,47 @@ class AsOfJoinSpec extends SparkSpec {
     val right = Seq(("a", 0L, "r1"), ("a", 1L, "r2")).toDF("k", "rt", "cid")
     assert(AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid")).count() == 3)
   }
+
+  test("forward picks the earliest right row at or after the left time") {
+    val left = Seq(("u1", 100L, "p1"), ("u1", 50L, "p2"), ("u2", 30L, "p3"))
+      .toDF("k", "t", "pid")
+    val right = Seq(("u1", 40L, "c1"), ("u1", 100L, "c2"), ("u1", 120L, "c3"),
+                    ("u2", 20L, "c4"))
+      .toDF("k", "rt", "cid")
+    val out = AsOfJoin.forward(left, right, "k", "t", "rt", Seq("cid"))
+      .select("pid", "cid").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("c2")) // inclusive equality
+    assert(out("p2").contains("c2")) // earliest at-or-after 50 is 100
+    assert(out("p3").isEmpty)        // u2's only click is BEFORE the purchase
+  }
+
+  test("nearest picks the closer side; exact ties go backward") {
+    val left = Seq(("u", 100L, "mid"), ("u", 55L, "nearBack"),
+                   ("u", 130L, "nearFwd"), ("u", 10L, "onlyFwd"))
+      .toDF("k", "t", "pid")
+    val right = Seq(("u", 50L, "b"), ("u", 150L, "f")).toDF("k", "rt", "cid")
+    val out = AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("cid"))
+      .select("pid", "cid").as[(String, String)].collect().toMap
+    assert(out("mid") == "b")      // 50 each way: tie -> backward
+    assert(out("nearBack") == "b") // 5 back vs 95 forward
+    assert(out("nearFwd") == "f")  // 80 back vs 20 forward
+    assert(out("onlyFwd") == "b")  // no backward match: earliest later row (t=50) wins
+  }
+
+  test("internal names never collide with user columns") {
+    // left already uses the operator's first-choice internal names
+    val left = Seq(("u", 100L, "x", "y")).toDF("k", "t", "_asof0_t", "_asof0_side")
+    val right = Seq(("u", 50L, "c")).toDF("k", "rt", "cid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid"))
+    val row = out.select("_asof0_t", "_asof0_side", "cid").collect().head
+    assert(row.getString(0) == "x" && row.getString(1) == "y" && row.getString(2) == "c")
+  }
+
+  test("payload names colliding with left columns are rejected") {
+    val left = Seq(("u", 1L, "x")).toDF("k", "t", "cid")
+    val right = Seq(("u", 1L, "c")).toDF("k", "rt", "cid")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid"))
+    }
+  }
 }
