@@ -24,6 +24,17 @@ object Tables {
     * reader rejects. Read it as a long (legacy conf) and floor-divide to
     * microseconds — the same truncation DuckDB applies when it loads a
     * nanosecond timestamp, so oracle comparisons stay exact.
+    *
+    * SESSION-WIDE SIDE EFFECT (deliberate): this sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared session
+    * and leaves it set — the conf is consulted at ACTION time, not at
+    * `read.parquet` time, so a set-and-restore around this lazy call
+    * would break execution of the returned frame. Consequence: any later
+    * nanos-timestamp parquet read in the same session also surfaces as
+    * long. Every graft read path goes through [[Tables]], which applies
+    * the matching `ts div 1000` conversion, so inside the library the
+    * setting is invisible; sessions mixing graft with external nanos
+    * reads must apply the same conversion.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

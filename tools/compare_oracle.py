@@ -3,8 +3,11 @@
 
 Runs each oracle_sql.json entry in DuckDB (tables = views over the sf-dir
 parquet files), loads the matching Spark result parquet, and compares:
-column names (sorted), row counts, and cell values (rows sorted, exact for
-strings/ints/decimals, tiny epsilon for floats).
+column names (sorted), row counts, and cell values (rows sorted). ALL
+comparisons are bit-exact BY DESIGN — floats via float.hex(), matching the
+driver's hash gate: registered queries are required to produce
+deterministic, engine-identical float64 bits (exact decimal internals,
+final DOUBLE casts), so a last-ulp divergence is a real defect, not noise.
 
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 """
