@@ -48,6 +48,7 @@ object SparkEntry {
     // event-time analytics (streaming-parity batch)
     EventQueries.tumblingWindow,
     EventQueries.sessionize,
+    EventQueries.intervalJoin,
     EventQueries.approxDistinct,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,

@@ -74,6 +74,35 @@ object EventQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Interval (time-range) join: each purchase paired with every click
+    * by the same user in the preceding hour (inclusive both ends) — the
+    * batch twin of the watermarked stream-stream attribution join in
+    * graft.streaming.EventStreams.attributionJoin, and the oracle its
+    * parity test checks against. */
+  val intervalJoin = Q(
+    "q_interval_join",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p.event_id, click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+              (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy("event_id", "click_id")
+  }
+
   /** Approximate distinct users per event type — the HLL sketch path for
     * 100 TB cardinality work, pinned against its own determinism (same
     * data, same sketch → same estimate) rather than a DuckDB oracle

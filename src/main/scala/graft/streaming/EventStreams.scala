@@ -45,6 +45,38 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** Watermarked stream-stream INNER join: purchases attributed to every
+    * click by the same user in the preceding hour — the streaming twin
+    * of EventQueries.intervalJoin (its parity test's oracle).
+    *
+    * State bounds (the thing a naive stream-stream join lacks): BOTH
+    * sides carry event-time watermarks and the join condition carries a
+    * two-sided time range on the event times, so Spark derives state
+    * eviction for each side — a click older than (watermark − 1 h) can
+    * never match a future purchase and its state is dropped; likewise
+    * matched-window purchases. Without the range + watermarks the join
+    * state grows without bound.
+    *
+    * @param clicks    stream with (user_id, event_id, ts)
+    * @param purchases stream with (user_id, event_id, ts)
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+              (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+  }
+
   /** Streaming exact-dedup with BOUNDED state: duplicates arriving
     * within the watermark window are dropped, and per-key state is
     * evicted once the watermark passes it (plain dropDuplicates on a

@@ -29,6 +29,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val clicks = EventStreams.readEventStream(spark, sf0001)
+      .filter($"event_type" === "click")
+    val purchases = EventStreams.readEventStream(spark, sf0001)
+      .filter($"event_type" === "purchase")
+    val q = EventStreams.attributionJoin(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attribution_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_out")
+        .select("event_id", "user_id", "click_id", "gap_ms")
+      val batch = EventQueries.intervalJoin.run(spark, sf0001)
+      assert(batch.count() > 0)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer reproduces ALL batch sessions, finals via event-time timeout") {
     // batch truth: every session, including each user's final one
     val batch = EventQueries.sessionize.run(spark, sf0001)
