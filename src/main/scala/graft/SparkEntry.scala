@@ -16,6 +16,7 @@ object SparkEntry {
   def all: Seq[Q] = Seq(
     // core relational (SURVEY §2.1–§2.7)
     CoreQueries.s2ScanPushdown,
+    SourceQueries.jsonMultiday,
     CoreQueries.p1StructFlatten,
     CoreQueries.p4RenameProject,
     CoreQueries.f1FilterSentinel,

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Sources
+
+/** Harness registration for the NDJSON source surface (SURVEY §2.1
+  * S1 + S3): a declared-schema ES-envelope scan over MULTIPLE day files
+  * in one read, `log_date` stamped from the file name — exercised over a
+  * small checked-in fixture (`data/interactions/2022040{1,2}.json`,
+  * 15 ES-envelope rows per day) because the driver's sf-dirs carry no
+  * JSON tables. The oracle reads the same files via DuckDB's
+  * read_ndjson with the same filename-derived date. */
+object SourceQueries {
+
+  private val fixtureDays = Seq("20220401", "20220402")
+  private val fixturePaths =
+    fixtureDays.map(d => s"/root/repo/data/interactions/$d.json")
+
+  val jsonMultiday = Q(
+    "q_s1s3_json_multiday",
+    s"""SELECT CAST(strptime(regexp_extract(filename, '(\\d{8})[^/]*$$', 1), '%Y%m%d') AS DATE) AS log_date,
+       |  (_source).AppName AS app_name,
+       |  count(*) AS n,
+       |  CAST(SUM((_source).TotalDuration) AS BIGINT) AS total_dur
+       |FROM read_ndjson([${fixturePaths.map(p => s"'$p'").mkString(", ")}], filename=true)
+       |GROUP BY 1, 2 ORDER BY log_date, app_name""".stripMargin) { (s, _) =>
+    // sfDir-independent: the JSON surface has its own checked-in fixture
+    Sources.interactionLogs(s, fixturePaths)
+      .groupBy(col("log_date"), col("AppName").as("app_name"))
+      .agg(count(lit(1)).as("n"), sum(col("TotalDuration")).as("total_dur"))
+      .orderBy("log_date", "app_name")
+  }
+}

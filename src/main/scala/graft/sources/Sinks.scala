@@ -33,6 +33,29 @@ final case class PartitionedParquetSink(baseDir: String, partitionCols: String*)
       .parquet(s"$baseDir/$table")
 }
 
+/** Bucketed managed-table sink: pipeline outputs stored pre-partitioned
+  * (and optionally pre-sorted) on the join key. `bucketBy` requires a
+  * metastore table (`saveAsTable`) — the bucket spec is what lets a
+  * recurring downstream join or aggregation on the bucket key read BOTH
+  * sides with zero Exchange (BucketedJoinSpec pins the shuffle-free
+  * plan). This is the sort-merge-bucket storage layout for 100 TB
+  * fact-to-fact joins: pay one shuffle at write time, never again. */
+final case class BucketedTableSink(
+    buckets: Int,
+    bucketCols: Seq[String],
+    sortCols: Seq[String] = Nil) extends Sink {
+  require(bucketCols.nonEmpty, "bucketed sink needs at least one bucket column")
+  def write(df: DataFrame, table: String): Unit = {
+    val bucketed = df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.isEmpty) bucketed
+      else bucketed.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.saveAsTable(table)
+  }
+}
+
 /** Debug sink (`result.show()` at ETL_customer_behavior.py:202). */
 final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def write(df: DataFrame, table: String): Unit = df.show(numRows, truncate = false)

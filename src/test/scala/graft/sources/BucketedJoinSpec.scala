@@ -8,19 +8,17 @@ import org.apache.spark.sql.functions._
   * 100 TB fact-to-fact join would be stored in. */
 class BucketedJoinSpec extends SparkSpec {
 
-  test("bucketed-by-key tables join with zero Exchange in the plan") {
+  test("BucketedTableSink outputs join with zero Exchange in the plan") {
     // (tables land in the session's default spark-warehouse dir,
     // dropped in the finally block; dir is gitignored)
     // AQE can inject local shuffle readers that obscure the assertion
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Tables.lineitem(spark, sf0001)
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bucketed")
-      Tables.orders(spark, sf0001)
-        .withColumnRenamed("o_orderkey", "l_orderkey")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("ord_bucketed")
+      val sink = BucketedTableSink(8, Seq("l_orderkey"), Seq("l_orderkey"))
+      sink.write(Tables.lineitem(spark, sf0001), "li_bucketed")
+      sink.write(Tables.orders(spark, sf0001)
+                   .withColumnRenamed("o_orderkey", "l_orderkey"),
+                 "ord_bucketed")
 
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"), Seq("l_orderkey"))
