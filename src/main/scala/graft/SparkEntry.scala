@@ -64,6 +64,7 @@ object SparkEntry {
     // similarity search
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.ivfTopK,
+    SimilarityQueries.ivfTopKProbe2,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,

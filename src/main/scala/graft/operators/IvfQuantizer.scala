@@ -40,20 +40,29 @@ object IvfQuantizer {
       .select(col("vec_id"), col("dim"),
               expr("CAST(round((CAST(f AS DOUBLE) + 4.0) * 1000) AS BIGINT)").as("x"))
 
-  /** Deterministic argmin assignment against a centroid frame
-    * (cell, dim, cval): squared-L2 in BIGINT, ties to the smallest cell. */
-  private def assign(vqDf: DataFrame, cent: DataFrame): DataFrame = {
+  /** Deterministic nearest-`n` cells per vector against a centroid frame
+    * (cell, dim, cval): squared-L2 in BIGINT, ties to the smallest cell.
+    * n = 1 is the training/assignment step; n > 1 is the multi-probe
+    * search dial. */
+  private def nearestCells(vqDf: DataFrame, cent: DataFrame, n: Int): DataFrame = {
     val d2 = (col("x") - col("cval")) * (col("x") - col("cval"))
     val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     vqDf.join(broadcast(cent), Seq("dim"))
       .groupBy("vec_id", "cell").agg(sum(d2).as("dist"))
       .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= n)
       .select("vec_id", "cell")
   }
 
-  /** Final (vec_id, cell) assignment after `iters` Lloyd updates. */
-  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+  private def assign(vqDf: DataFrame, cent: DataFrame): DataFrame =
+    nearestCells(vqDf, cent, 1)
+
+  /** Trained state: final centroids (cell, dim, cval) and the quantized
+    * long-form vectors (vec_id, dim, x), for assignment or multi-probe. */
+  final case class Trained(centroids: DataFrame, quantized: DataFrame)
+
+  /** Run `iters` Lloyd updates; returns the trained centroids. */
+  def train(spark: SparkSession, dir: String, k: Int, iters: Int): Trained = {
     val v = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .repartition(spark.sparkContext.defaultParallelism)
     val q = vq(v).cache() // reused by every assign + recompute step
@@ -69,8 +78,19 @@ object IvfQuantizer {
         .groupBy("cell", "dim")
         .agg(expr("sum(x) div count(1)").as("cval"))
     }
-    assign(q, cent)
+    Trained(cent, q)
   }
+
+  /** The `n` nearest trained cells per vector (n = 1: home-cell
+    * assignment; n > 1: multi-probe search — the standard IVF
+    * recall/latency dial: candidates grow ~linearly with nprobe while
+    * the scan stays cell-pruned). */
+  def cellsOf(t: Trained, n: Int): DataFrame =
+    nearestCells(t.quantized, t.centroids, n)
+
+  /** Final (vec_id, cell) assignment after `iters` Lloyd updates. */
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    cellsOf(train(spark, dir, k, iters), 1)
 
   /** DuckDB oracle: the IDENTICAL training loop as unrolled CTEs. */
   def oracleCtes(k: Int, iters: Int): String = {

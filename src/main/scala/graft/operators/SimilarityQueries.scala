@@ -97,4 +97,42 @@ object SimilarityQueries {
       col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
       k = 5)
   }
+
+  /** Multi-probe IVF (nprobe = 2): each query searches its TWO nearest
+    * trained cells — the recall/latency dial of a real IVF index
+    * (candidates ×~2, recall strictly ≥ single-probe; the corpus scan
+    * stays cell-pruned). Candidates live in their single home cell, so
+    * probing two distinct cells can never duplicate a candidate. */
+  val ivfProbe = 2
+  val ivfTopKProbe2 = Q(
+    "q_ann_ivf_probe2",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |probe AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM d$ivfIters) WHERE rn <= $ivfProbe)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |  FROM (SELECT v.vec_id, p.cell, v.e FROM v JOIN probe p USING (vec_id)
+       |        WHERE v.vec_id < 10) q
+       |  JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
+       |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val t = IvfQuantizer.train(s, d, ivfK, ivfIters)
+    val asn = IvfQuantizer.cellsOf(t, 1)
+    val probes = IvfQuantizer.cellsOf(t, ivfProbe)
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+    topK(
+      v.filter(col("vec_id") < 10).join(probes, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("cell").as("ql"),
+                col("embedding").as("eq")),
+      v.join(asn, Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("cell").as("cl"),
+                col("embedding").as("ec")),
+      col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
+      k = 5)
+  }
 }

@@ -27,14 +27,19 @@ class IvfQuantizerSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("cell-pruned search keeps a usable fraction of the exact top-5") {
+  test("cell-pruned search keeps a usable fraction of the exact top-5; probing 2 cells helps") {
     val bf = SimilarityQueries.bruteForceTopK.run(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = SimilarityQueries.ivfTopK.run(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf2 = SimilarityQueries.ivfTopKProbe2.run(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     spark.catalog.clearCache()
     val recall = (bf & ivf).size.toDouble / bf.size
+    val recall2 = (bf & ivf2).size.toDouble / bf.size
     // single-probe IVF on near-orthogonal vectors: a floor, not a target
     assert(recall >= 0.5, s"recall@5 collapsed to $recall")
+    // widening the probe can only add candidates per query
+    assert(recall2 >= recall, s"probe2 recall $recall2 < single-probe $recall")
   }
 }
