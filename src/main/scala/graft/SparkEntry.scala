@@ -60,6 +60,7 @@ object SparkEntry {
     DedupQueries.simhashBuckets,
     DedupQueries.jaccardAllPairs,
     DedupQueries.embeddingPairs,
+    DedupQueries.embeddingResolve,
     DedupQueries.embeddingPairsExact,
     // similarity search
     SimilarityQueries.bruteForceTopK,

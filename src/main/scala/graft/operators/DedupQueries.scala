@@ -279,9 +279,11 @@ object DedupQueries {
     * range, the regime where sign-LSH pruning is weakest; at the
     * thresholds real near-dup passes use (≥0.8) the same band join
     * rejects nearly all random pairs). */
-  val embeddingPairs = Q(
-    "q_dedup_embedding",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  /** Shared DuckDB CTE chain for the embedding-LSH pipeline: deterministic
+    * hyperplanes → sign bits → band keys → candidate pairs → exact-cosine
+    * verified pairs (`epairs`). Reused by the vector resolve below. */
+  private val embCtes =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |dims AS (SELECT unnest(range(0, (SELECT max(len(e)) FROM v))) AS i),
       |planes AS (
       |  SELECT p, list(CASE WHEN md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR))[1] >= '8'
@@ -299,13 +301,20 @@ object DedupQueries {
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-      |)
-      |SELECT vec_a, vec_b, cosine FROM (
-      |  SELECT vec_a, vec_b,
-      |    list_dot_product(va.e, vb.e)
-      |      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
-      |  FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b
-      |) WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      |), epairs AS (
+      |  SELECT vec_a, vec_b, cosine FROM (
+      |    SELECT vec_a, vec_b,
+      |      list_dot_product(va.e, vb.e)
+      |        / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+      |    FROM cand JOIN v va ON va.vec_id = vec_a JOIN v vb ON vb.vec_id = vec_b
+      |  ) WHERE cosine >= 0.45
+      |)""".stripMargin
+
+  val embeddingPairs = Q(
+    "q_dedup_embedding",
+    s"""WITH $embCtes
+      |SELECT vec_a, vec_b, cosine FROM epairs
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     // tiny frame read 3x (bands + both verify sides): cache; repartition
     // first — the embeddings table is one parquet split
     val v = Tables.embeddings(s, d)
@@ -333,6 +342,29 @@ object DedupQueries {
       .filter(col("cosine") >= 0.45)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** End-to-end embedding dedup: LSH near-dup pairs → connected
+    * components → keep-list (the vector twin of q_dedup_resolve; same
+    * Spark label propagation, same recursive-CTE oracle technique). */
+  val embeddingResolve = Q(
+    "q_dedup_embedding_resolve",
+    s"""WITH RECURSIVE $embCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM epairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |)
+       |SELECT id AS doc_id, min(reach) AS cluster, id = min(reach) AS keep
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    DedupResolve
+      .keepList(embeddingPairs.run(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .orderBy("doc_id")
   }
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the

@@ -43,4 +43,32 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(secs < 120, s"LSH pair generation took ${secs}s on 5k docs")
     sh.unpersist()
   }
+
+  test("embedding LSH candidate generation completes on a 10x corpus of near-dup replicas") {
+    import graft.plans.HyperplaneBands.hyperplaneBands
+    // 10 replicas of every vector: identical vectors share all band keys,
+    // so every cross-replica pair is a guaranteed candidate — the worst
+    // case for bucket sizes, like the text smoke above
+    val base = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val x10 = (0 until 10).map { i =>
+      base.select((col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _).repartition(8).cache()
+
+    val bands = x10.select(col("vec_id"),
+      posexplode(hyperplaneBands(col("embedding"), 16, 2)).as(Seq("band", "key")))
+    val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
+    val t0 = System.nanoTime()
+    val nCand = a.join(b, Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // 500 vectors x C(10,2) = 22,500 guaranteed replica pairs survive
+    assert(nCand >= 22500, s"expected at least the replica pairs, got $nCand")
+    // the equi-join shape must finish promptly even at 5k vectors
+    assert(secs < 120, s"embedding candidate generation took ${secs}s on 5k vectors")
+    x10.unpersist()
+  }
 }
