@@ -73,10 +73,15 @@ object IvfQuantizer {
     for (_ <- 0 until iters) {
       val a = assign(q, cent)
       // integer mean: BIGINT sum (order-independent) div count; all
-      // values positive, so div truncation == floor on both engines
+      // values positive, so div truncation == floor on both engines.
+      // Eager localCheckpoint: the centroid frame is k·dim rows — tiny —
+      // and checkpointing it each round keeps the final search plan flat
+      // instead of replaying the whole iterative lineage through one
+      // deep DAG (the same bounded-lineage trick DedupResolve uses).
       cent = q.join(a, Seq("vec_id"))
         .groupBy("cell", "dim")
         .agg(expr("sum(x) div count(1)").as("cval"))
+        .localCheckpoint(true)
     }
     Trained(cent, q)
   }
