@@ -74,4 +74,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of joins ≡ brute-force reference on random histories (10 rounds)") {
+    (1 to 10).foreach { round =>
+      val nL = 40; val nR = 60
+      val left = Seq.tabulate(nL)(i =>
+        (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      // duplicate right timestamps on purpose: the dedup tie-break
+      // (greatest payload) must match the reference below
+      val right = Seq.tabulate(nR)(i =>
+        (s"k${rng.nextInt(5)}", rng.nextInt(500).toLong * 2, i.toLong))
+        .toDF("k", "rt", "rid")
+      val rightRows = right.as[(String, Long, Long)].collect()
+        .groupBy { case (k, rt, _) => (k, rt) }
+        .map { case (_, rows) => rows.maxBy(_._3) } // greatest payload per instant
+        .toSeq
+
+      def backRef(k: String, t: Long): Option[Long] =
+        rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      def fwdRef(k: String, t: Long): Option[Long] =
+        rightRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (-r._2, -r._3)).lastOption.map(_._3)
+      def nearRef(k: String, t: Long): Option[Long] = {
+        val b = rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val f = rightRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (-r._2, -r._3)).lastOption
+        (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            Some(if (t - bb._2 <= ff._2 - t) bb._3 else ff._3)
+          case (b2, f2) => b2.orElse(f2).map(_._3)
+        }
+      }
+
+      val leftRows = left.as[(String, Long, Long)].collect()
+      def check(out: org.apache.spark.sql.DataFrame, ref: (String, Long) => Option[Long], name: String): Unit = {
+        val got = out.select("lid", "rid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        leftRows.foreach { case (k, t, lid) =>
+          assert(got(lid) == ref(k, t), s"round $round $name: left ($k,$t,$lid)")
+        }
+      }
+      check(AsOfJoin.backward(left, right, "k", "t", "rt", Seq("rid")), backRef, "backward")
+      check(AsOfJoin.forward(left, right, "k", "t", "rt", Seq("rid")), fwdRef, "forward")
+      check(AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("rid")), nearRef, "nearest")
+    }
+  }
 }
