@@ -71,6 +71,8 @@ object SparkEntry {
     TextQueries.quality,
     TextQueries.tokenCounts,
     TextQueries.fingerprintQ,
+    SampleQueries.hashSample,
+    SampleQueries.stratifiedSample,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     // surface completion: full pipeline composition, salting, SQL layer,
