@@ -10,14 +10,41 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   SparkSession.builder().withExtensions(new GraftExtensions).…
   *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
   *
-  * then `SELECT cosine_sim(a.embedding, b.embedding) FROM …`.
+  * then e.g.
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM …
+  *   SELECT minhashes(shingles, 8) FROM …
+  *   SELECT hyperplane_bands(embedding, 16, 2) FROM …
+  *
+  * Literal-argument contract: `minhashes`/`hyperplane_bands` take their
+  * k/planes/bandBits as integer literals (they parameterize the fused
+  * loop, not per-row data).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhashes"),
+      new ExpressionInfo(classOf[MinHashes].getName, "minhashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashes(children(0), intLit(children(1), "minhashes k"))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneBands(children(0),
+          intLit(children(1), "hyperplane_bands planes"),
+          intLit(children(2), "hyperplane_bands bandBits"))))
   }
 }

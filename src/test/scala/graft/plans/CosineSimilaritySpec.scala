@@ -37,14 +37,31 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
-  test("cosine_sim is callable from SQL once registered") {
-    // same registration path GraftExtensions injects at session build time
+  test("native expressions are callable from SQL once registered") {
+    // same registration paths GraftExtensions injects at session build time
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhashes", exprs => MinHashes(exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bands", exprs => HyperplaneBands(exprs(0),
+        exprs(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int],
+        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]), "built-in")
     val r = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
       "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))").collect().head.getDouble(0)
     assert(r == 0.0)
+    val mh = spark.sql("SELECT minhashes(array('a b', 'b c'), 4)")
+      .collect().head.getSeq[String](0)
+    assert(mh.length == 4 && mh.forall(h => h != null && h.length == 32))
+    val hb = spark.sql(
+      "SELECT hyperplane_bands(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 16, 2)")
+      .collect().head.getSeq[Int](0)
+    assert(hb.length == 8 && hb.forall(k => k >= 0 && k < 4))
     assert(new GraftExtensions() != null) // extension class constructs cleanly
   }
 }
