@@ -49,4 +49,39 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("user_id", "most_search_T7", "category_T7")
     assert(Trend(june, july).count() == 0)
   }
+
+  test("as-of joins over empty sides: left-join contract holds") {
+    val noLeft = Seq.empty[(String, Long, Long)].toDF("k", "t", "lid")
+    val noRight = Seq.empty[(String, Long, Long)].toDF("k", "rt", "rid")
+    val left = Seq(("a", 5L, 1L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 3L, 9L)).toDF("k", "rt", "rid")
+    Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame](
+      AsOfJoin.backward, AsOfJoin.forward, AsOfJoin.nearest).foreach { join =>
+      assert(join(noLeft, right, "k", "t", "rt", Seq("rid")).count() == 0)
+      val vsEmpty = join(left, noRight, "k", "t", "rt", Seq("rid"))
+      assert(vsEmpty.count() == 1)
+      assert(vsEmpty.select("rid").collect().head.isNullAt(0))
+    }
+  }
+
+  test("hyperplane bands on empty and zero vectors stay total") {
+    import graft.plans.HyperplaneBands.hyperplaneBands
+    val out = Seq(
+      (1L, Some(Seq.empty[Float])),      // zero-dim: every projection is 0
+      (2L, Some(Seq(0.0f, 0.0f))))       // zero vector: dot = 0 -> bit 0
+      .toDF("id", "e")
+      .select(col("id"), hyperplaneBands(col("e"), 16, 2).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq.fill(8)(0))
+    assert(out(2L) == Seq.fill(8)(0))
+  }
+
+  test("IVF k-means with k larger than the corpus still assigns every vector") {
+    // 500 vectors, k=600 seeds clamp to the corpus; training must not
+    // divide by zero on empty cells or drop vectors
+    val asn = IvfQuantizer.assignments(spark, sf0001, k = 600, iters = 1)
+    assert(asn.count() == graft.Tables.embeddings(spark, sf0001).count())
+    spark.catalog.clearCache()
+  }
 }
