@@ -58,6 +58,7 @@ object SparkEntry {
     DedupQueries.minhashLshPairs,
     DedupQueries.resolveClusters,
     DedupQueries.simhashBuckets,
+    DedupQueries.simhashPairs,
     DedupQueries.jaccardAllPairs,
     DedupQueries.embeddingPairs,
     DedupQueries.embeddingResolve,

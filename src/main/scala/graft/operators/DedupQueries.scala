@@ -194,11 +194,9 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** SimHash signatures (16-bit, string-rendered) with collision-bucket
-    * sizes — documents sharing a bucket are near-dup candidates. */
-  val simhashBuckets = Q(
-    "q_dedup_simhash",
-    """WITH sig AS (
+  /** Shared DuckDB CTE: 16-bit string-rendered SimHash per document. */
+  private val simhashCte =
+    """sig AS (
       |  SELECT doc_id,
       |    array_to_string(
       |      [CASE WHEN list_sum([CASE WHEN md5(w)[j] >= '8' THEN 1 ELSE -1 END
@@ -206,14 +204,15 @@ object DedupQueries {
       |            THEN '1' ELSE '0' END for j in range(1, 17)],
       |      '') AS simhash
       |  FROM documents
-      |)
-      |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
-      |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin) { (s, d) =>
-    // explode form of TextFunctions.simhash16: one codegen'd md5 per word
-    // (not 16 interpreted lambda evals), bit votes as 16 agg sums
+      |)""".stripMargin
+
+  /** Spark side of the shared signature: explode form of
+    * TextFunctions.simhash16 — one codegen'd md5 per word (not 16
+    * interpreted lambda evals), bit votes as 16 agg sums. */
+  private def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val votes = (1 to 16).map(j =>
       sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j"))
-    val sig = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", md5(col("w")))
       .groupBy("doc_id")
@@ -221,10 +220,71 @@ object DedupQueries {
       .select(col("doc_id"),
         concat((1 to 16).map(j => when(col(s"v$j") > 0, "1").otherwise("0")): _*)
           .as("simhash"))
-    sig
+  }
+
+  /** SimHash signatures (16-bit, string-rendered) with collision-bucket
+    * sizes — documents sharing a bucket are near-dup candidates. */
+  val simhashBuckets = Q(
+    "q_dedup_simhash",
+    s"""WITH $simhashCte
+      |SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin) { (s, d) =>
+    simhashFrame(s, d)
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy("simhash")
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ 1, with GUARANTEED
+    * recall: the 16-bit signature splits into two 8-bit halves, and a
+    * pair differing in ≤ 1 bit must agree EXACTLY on at least one half
+    * (pigeonhole), so the (half, bits) equi-join generates every
+    * qualifying pair deterministically — no probabilistic misses, unlike
+    * band-sampling LSH. Verification counts the exact bit diff. The same
+    * construction scales to Hamming ≤ d with d+1 blocks. */
+  val simhashPairs = Q(
+    "q_dedup_simhash_pairs",
+    s"""WITH $simhashCte,
+      |halves AS (
+      |  SELECT doc_id, 0 AS h, substr(simhash, 1, 8) AS bits FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS h, substr(simhash, 9, 8) AS bits FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM halves a JOIN halves b
+      |    ON a.h = b.h AND a.bits = b.bits AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum([CASE WHEN sa.simhash[j] <> sb.simhash[j] THEN 1 ELSE 0 END
+      |                   for j in range(1, 17)]) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN sig sa ON sa.doc_id = doc_a
+      |  JOIN sig sb ON sb.doc_id = doc_b
+      |) WHERE hamming <= 1 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sig = simhashFrame(s, d).cache() // read 3x: halves + both verify sides
+    val halves = sig.select(col("doc_id"), lit(0).as("h"),
+                            substring(col("simhash"), 1, 8).as("bits"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
+                              substring(col("simhash"), 9, 8).as("bits")))
+    val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
+    val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
+    val cand = a.join(b, Seq("h", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val hamming = (1 to 16).map(j =>
+      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))),
+            Seq("doc_a"))
+      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))),
+            Seq("doc_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** O(n²) exact 3-gram Jaccard baseline — the recall oracle for the LSH
