@@ -50,6 +50,7 @@ object SparkEntry {
     EventQueries.tumblingWindow,
     EventQueries.sessionize,
     EventQueries.intervalJoin,
+    EventQueries.intervalJoinOuter,
     EventQueries.approxDistinct,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,

@@ -103,6 +103,34 @@ object EventQueries {
       .orderBy("event_id", "click_id")
   }
 
+  /** Left-outer interval join: every purchase, attributed clicks where
+    * they exist, nulls where none — the batch twin of the streaming
+    * left-outer attribution join (which emits the null rows once the
+    * watermark proves no in-range click can still arrive). */
+  val intervalJoinOuter = Q(
+    "q_interval_join_outer",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p.event_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("ts"), "left")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+              (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy(col("event_id"), col("click_id").asc_nulls_first)
+  }
+
   /** Approximate distinct users per event type — the HLL sketch path for
     * 100 TB cardinality work, pinned against its own determinism (same
     * data, same sketch → same estimate) rather than a DuckDB oracle

@@ -60,8 +60,12 @@ object EventStreams {
     * @param clicks    stream with (user_id, event_id, ts)
     * @param purchases stream with (user_id, event_id, ts)
     */
+  /** @param joinType "inner" (default) or "left_outer": the outer form
+    *        emits unmatched purchases with null click columns once the
+    *        watermark proves no in-range click can still arrive. */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
               col("ts").as("click_ts"))
@@ -72,7 +76,8 @@ object EventStreams {
     p.join(c,
         col("user_id") === col("c_user") &&
         col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") <= col("ts"))
+        col("click_ts") <= col("ts"),
+        joinType)
       .select(col("event_id"), col("user_id"), col("click_id"),
               (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
   }

@@ -49,6 +49,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-matches after the watermark, equal to batch") {
+    // memory streams: the file source delivers everything in one batch,
+    // so outer null-matches (which need a LATER watermark advance) would
+    // never flush; synthetic far-future rows on both sides force it
+    val ev = graft.Tables.events(spark, sf0001)
+    def rows(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, Timestamp)].collect().toIndexedSeq
+    val clicks = rows("click"); val purchases = rows("purchase")
+    val maxTs = (clicks ++ purchases).map(_._3.getTime).max
+
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.attributionJoin(
+        cMem.toDF().toDF("user_id", "event_id", "ts"),
+        pMem.toDF().toDF("user_id", "event_id", "ts"),
+        joinType = "left_outer")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attribution_outer_out").start()
+    try {
+      cMem.addData(clicks); pMem.addData(purchases)
+      q.processAllAvailable()
+      val far = new Timestamp(maxTs + 100L * 3600000L)
+      cMem.addData(Seq((-1L, 1L, far))); pMem.addData(Seq((-1L, 2L, far)))
+      q.processAllAvailable()
+      // one more empty-ish batch lets the engine act on the new watermark
+      val far2 = new Timestamp(maxTs + 101L * 3600000L)
+      cMem.addData(Seq((-1L, 3L, far2))); pMem.addData(Seq((-1L, 4L, far2)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("attribution_outer_out")
+        .filter($"user_id" >= 0)
+        .select("event_id", "user_id", "click_id", "gap_ms")
+      val batch = EventQueries.intervalJoinOuter.run(spark, sf0001)
+        .select("event_id", "user_id", "click_id", "gap_ms")
+      assert(batch.filter($"click_id".isNull).count() > 0) // outer rows exist
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer reproduces ALL batch sessions, finals via event-time timeout") {
     // batch truth: every session, including each user's final one
     val batch = EventQueries.sessionize.run(spark, sf0001)
