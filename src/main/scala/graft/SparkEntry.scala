@@ -45,6 +45,7 @@ object SparkEntry {
     ScalarQueries.c6c7TrendNulls,
     ScalarQueries.c8DateMonth,
     ScalarQueries.jsonExtract,
+    ScalarQueries.mapOps,
     ScalarQueries.explodeWordcount,
     // event-time analytics (streaming-parity batch)
     EventQueries.tumblingWindow,

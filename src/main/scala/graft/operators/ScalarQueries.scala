@@ -204,6 +204,27 @@ object ScalarQueries {
       .orderBy("k_mod")
   }
 
+  /** Map-typed surface in the harness (str_to_map → element_at → size):
+    * a "k:v,k:v" string column round-trips through a real MapType and
+    * back out to scalars. The oracle re-derives the same scalars from
+    * the source columns — an identity check that the map semantics
+    * (parse, lookup, cardinality) are faithful. */
+  val mapOps = Q(
+    "q_map_ops",
+    """SELECT p_partkey, p_brand AS brand, p_size AS size, 2 AS n_entries
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .withColumn("kv",
+        concat(lit("brand:"), col("p_brand"), lit(",size:"), col("p_size")))
+      .withColumn("m", expr("str_to_map(kv, ',', ':')"))
+      .select(
+        col("p_partkey"),
+        element_at(col("m"), "brand").as("brand"),
+        element_at(col("m"), "size").cast("int").as("size"),
+        size(col("m")).as("n_entries"))
+      .orderBy("p_partkey")
+  }
+
   /** Array ops: split → explode → word count → deterministic top-25
     * (explode/str_to_map family from SURVEY §2.8's extension list). */
   val explodeWordcount = Q(
