@@ -62,6 +62,7 @@ object SparkEntry {
     DedupQueries.simhashBuckets,
     DedupQueries.simhashPairs,
     DedupQueries.jaccardAllPairs,
+    DedupQueries.corpusCuration,
     DedupQueries.embeddingPairs,
     DedupQueries.embeddingResolve,
     DedupQueries.embeddingPairsExact,

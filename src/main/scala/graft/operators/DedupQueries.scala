@@ -427,6 +427,52 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus curation — the canonical pretraining-data pass,
+    * composed from the engine's own operators in ONE distributed plan:
+    *
+    *   quality gate (≥ 5 tokens) → near-dup removal (anti-join against
+    *   the LSH → connected-components drop-list; cluster minimum
+    *   survives) → deterministic 50% hash-gate sample → per-source
+    *   accounting (docs kept, whitespace tokens).
+    *
+    * Every stage is shuffle-on-key or map-only, so the composition
+    * scales exactly as its parts; the oracle replays the identical
+    * chain (recursive-CTE components included). */
+  val corpusCuration = Q(
+    "q_corpus_curation",
+    s"""WITH RECURSIVE $lshCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), drops AS (
+       |  SELECT id FROM walk GROUP BY id HAVING id <> min(reach)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len($W)) AS BIGINT) AS ws_tokens
+       |FROM documents
+       |WHERE len($W) >= 5
+       |  AND doc_id NOT IN (SELECT id FROM drops)
+       |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val dropList = DedupResolve
+      .keepList(minhashLshPairs.run(s, d).select("doc_a", "doc_b"))
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 5)
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "80")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("ws_tokens"))
+      .orderBy("source")
+  }
+
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as
     * q_dedup_jaccard_pairs for the text side). Only valid at small n;
