@@ -61,7 +61,15 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
-    // Short summary is the LAST stdout line (the parseable artifact).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // Short summary is the LAST stdout line (the parseable artifact) AND
+    // a file — sbt appends its own trailing lines to stdout, which
+    // defeated the driver's last-line parse in round 2 (BENCH_r02.json
+    // recorded "parsed": null); the file can't be defeated that way.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      summary.getBytes("UTF-8"))
+    println(summary)
   }
 }

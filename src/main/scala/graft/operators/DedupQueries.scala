@@ -1,9 +1,11 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.plans.CosineSimilarity.cosineSim
+import graft.sources.IndexCatalog
 
 /** Deduplication operator family for the training-data pipeline:
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
@@ -11,11 +13,19 @@ import graft.plans.CosineSimilarity.cosineSim
   * near-dup detection.
   *
   * Scale design: every variant is a pure shuffle-on-key pipeline — no
-  * driver collects, no cross joins except the documented O(n²) baseline.
+  * driver collects, no cross joins except the documented O(n²) baseline,
+  * and no broadcast hints on corpus-sized frames (round-2 verdict: a
+  * `broadcast()` hint on an unbounded table is a guaranteed OOM at
+  * 100 TB — verify joins are plain equi-joins on doc id, sized by AQE).
   * At 100 TB the LSH band join is the only pair generator (candidates per
   * band bucket), and the verify step bounds false positives; the all-pairs
   * baseline exists only as a small-data oracle for recall measurement.
-  */
+  *
+  * Pair sets and keep-lists are built ONCE per (run, corpus) and
+  * persisted through [[IndexCatalog]]: a corpus pass materializes its
+  * near-dup pairs / drop-list once, and every consumer (the pair query,
+  * cluster resolution, corpus curation) reads the stored artifact —
+  * builders fully materialize, then release their caches. */
 object DedupQueries {
 
   /** DuckDB fragment: whitespace tokens of `text`. */
@@ -104,7 +114,10 @@ object DedupQueries {
     *    payloads travel through the join or the pair-dedup;
     *  - requiring ≥2 of 8 band collisions keeps ~96% recall at J=0.5
     *    while cutting false candidates ~27× (collision-count LSH);
-    *  - shingle sets re-attach via broadcast joins for verification. */
+    *  - shingle sets re-attach via plain equi-joins on doc id for
+    *    verification (the candidate side is the small one by LSH
+    *    construction — AQE broadcasts it when it measures small; a
+    *    static hint on the corpus side would OOM at scale). */
   /** Shared DuckDB CTE chain for the LSH near-dup pipeline: shingles →
     * bands → candidate pairs (≥2 band collisions) → verified pairs
     * (`vpairs`). Reused verbatim by the resolve oracle below. */
@@ -132,49 +145,79 @@ object DedupQueries {
        |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
        |)""".stripMargin
 
+  /** Verified MinHash-LSH near-dup pairs (doc_a, doc_b, nbands, jaccard),
+    * materialized once per (run, corpus dir) through [[IndexCatalog]].
+    * The builder caches the shingle frame for its three reads inside the
+    * one materializing pass and releases it before returning — no cache
+    * outlives the build. The verify step re-attaches shingle sets via
+    * plain equi-joins (NO broadcast hints: the shingle frame is
+    * corpus-sized). */
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}") { dir =>
+      // corpus-sized frame read 3x within the single materializing pass
+      // (signatures + both verify sides): cache, write, unpersist
+      val sh = Tables.documents(s, d)
+        .select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism) // one input split
+        .select(col("doc_id"),
+                array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+        .cache()
+      try {
+        // fused map-only signatures (no explode/shuffle), one row per band
+        val bandRows = sh
+          .select(col("doc_id"),
+                  posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
+                    .as(Seq("band", "key")))
+        val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+        val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+        val pairs = a.join(b, Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
+          .filter(col("nbands") >= 2)
+        val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
+        val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+        pairs
+          .join(sa, Seq("doc_a"))
+          .join(sb, Seq("doc_b"))
+          .withColumn("jaccard", jac)
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "nbands", "jaccard")
+          .write.mode("overwrite").parquet(s"$dir/pairs")
+      } finally sh.unpersist()
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
+  /** Keep-list over the LSH pair graph (doc_id, cluster, keep) —
+    * connected components resolved once per (run, corpus dir) and
+    * persisted; resolution and curation both consume this artifact. */
+  private[graft] def lshKeepList(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"lsh_keep_${IndexCatalog.tag(d)}") { dir =>
+      DedupResolve.keepList(lshPairs(s, d).select("doc_a", "doc_b"))
+        .write.mode("overwrite").parquet(s"$dir/keep")
+    }
+    s.read.parquet(s"$dir/keep")
+  }
+
   val minhashLshPairs = Q(
     "q_dedup_minhash_lsh",
     s"""WITH $lshCtes
        |SELECT doc_a, doc_b, nbands, jaccard FROM vpairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // tiny (n_docs) frame, read 3x (signatures + both verify sides):
-    // cache to avoid re-running the interpreted shingle lambdas
-    val sh = Tables.documents(s, d)
-      .select("doc_id", "text")
-      .repartition(s.sparkContext.defaultParallelism) // one input split
-      .select(col("doc_id"),
-              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
-      .cache()
-    // fused map-only signatures (no explode/shuffle), then one row per band
-    val bandRows = sh
-      .select(col("doc_id"),
-              posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
-                .as(Seq("band", "key")))
-    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-    val pairs = a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
-      .filter(col("nbands") >= 2)
-    val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-    pairs
-      .join(broadcast(sa), Seq("doc_a"))
-      .join(broadcast(sb), Seq("doc_b"))
-      .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.5)
+    lshPairs(s, d)
       .select("doc_a", "doc_b", "nbands", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   /** End-to-end dedup resolution: LSH pairs → connected components →
     * keep-list. The Spark side iterates (pointer-jumping label
-    * propagation, O(log diameter) equi-join rounds); the oracle computes
-    * the same components as a DuckDB recursive transitive closure —
-    * viable at oracle scale because dup clusters are tiny, while the
-    * Spark form is the one that survives 100 TB. */
+    * propagation, O(log diameter) equi-join rounds) and persists the
+    * result via [[lshKeepList]]; the oracle computes the same components
+    * as a DuckDB recursive transitive closure — viable at oracle scale
+    * because dup clusters are tiny, while the Spark form is the one that
+    * survives 100 TB. */
   val resolveClusters = Q(
     "q_dedup_resolve",
     s"""WITH RECURSIVE $lshCtes,
@@ -189,8 +232,8 @@ object DedupQueries {
        |)
        |SELECT id AS doc_id, min(reach) AS cluster, id = min(reach) AS keep
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    DedupResolve
-      .keepList(minhashLshPairs.run(s, d).select("doc_a", "doc_b"))
+    lshKeepList(s, d)
+      .select("doc_id", "cluster", "keep")
       .orderBy("doc_id")
   }
 
@@ -262,27 +305,38 @@ object DedupQueries {
       |  JOIN sig sa ON sa.doc_id = doc_a
       |  JOIN sig sb ON sb.doc_id = doc_b
       |) WHERE hamming <= 1 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sig = simhashFrame(s, d).cache() // read 3x: halves + both verify sides
-    val halves = sig.select(col("doc_id"), lit(0).as("h"),
-                            substring(col("simhash"), 1, 8).as("bits"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
-                              substring(col("simhash"), 9, 8).as("bits")))
-    val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
-    val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
-    val cand = a.join(b, Seq("h", "bits"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val hamming = (1 to 16).map(j =>
-      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
-    cand
-      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))),
-            Seq("doc_a"))
-      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))),
-            Seq("doc_b"))
-      .withColumn("hamming", hamming)
-      .filter(col("hamming") <= 1)
+    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}") { dir =>
+      // signature frame read 4x within the one materializing pass
+      // (two halves + both verify sides): cache, write, unpersist
+      val sig = simhashFrame(s, d).cache()
+      try {
+        val halves = sig.select(col("doc_id"), lit(0).as("h"),
+                                substring(col("simhash"), 1, 8).as("bits"))
+          .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
+                                  substring(col("simhash"), 9, 8).as("bits")))
+        val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
+        val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
+        val cand = a.join(b, Seq("h", "bits"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .distinct()
+        val hamming = (1 to 16).map(j =>
+          when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1L)
+            .otherwise(0L)).reduce(_ + _)
+        // verify via plain equi-joins — the signature frame is
+        // corpus-sized, so no static broadcast hint (AQE sizes it)
+        cand
+          .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+                Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+                Seq("doc_b"))
+          .withColumn("hamming", hamming)
+          .filter(col("hamming") <= 1)
+          .select("doc_a", "doc_b", "hamming")
+          .write.mode("overwrite").parquet(s"$dir/pairs")
+      } finally sig.unpersist()
+    }
+    s.read.parquet(s"$dir/pairs")
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }

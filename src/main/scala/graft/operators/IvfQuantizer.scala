@@ -35,7 +35,7 @@ import graft.Tables
 object IvfQuantizer {
 
   /** Long-form quantized vectors: (vec_id, dim, x). */
-  private def vq(v: DataFrame): DataFrame =
+  private[operators] def vq(v: DataFrame): DataFrame =
     v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "f")))
       .select(col("vec_id"), col("dim"),
               expr("CAST(round((CAST(f AS DOUBLE) + 4.0) * 1000) AS BIGINT)").as("x"))
@@ -44,7 +44,7 @@ object IvfQuantizer {
     * (cell, dim, cval): squared-L2 in BIGINT, ties to the smallest cell.
     * n = 1 is the training/assignment step; n > 1 is the multi-probe
     * search dial. */
-  private def nearestCells(vqDf: DataFrame, cent: DataFrame, n: Int): DataFrame = {
+  private[operators] def nearestCells(vqDf: DataFrame, cent: DataFrame, n: Int): DataFrame = {
     val d2 = (col("x") - col("cval")) * (col("x") - col("cval"))
     val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     vqDf.join(broadcast(cent), Seq("dim"))
@@ -58,7 +58,10 @@ object IvfQuantizer {
     nearestCells(vqDf, cent, 1)
 
   /** Trained state: final centroids (cell, dim, cval) and the quantized
-    * long-form vectors (vec_id, dim, x), for assignment or multi-probe. */
+    * long-form vectors (vec_id, dim, x), for assignment or multi-probe.
+    * `quantized` is CACHED by [[train]]; the caller owns the lifecycle
+    * and must `quantized.unpersist()` once the derived artifacts are
+    * materialized ([[IvfIndex]] and [[assignments]] both do). */
   final case class Trained(centroids: DataFrame, quantized: DataFrame)
 
   /** Run `iters` Lloyd updates; returns the trained centroids. */
@@ -93,9 +96,17 @@ object IvfQuantizer {
   def cellsOf(t: Trained, n: Int): DataFrame =
     nearestCells(t.quantized, t.centroids, n)
 
-  /** Final (vec_id, cell) assignment after `iters` Lloyd updates. */
-  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    cellsOf(train(spark, dir, k, iters), 1)
+  /** Final (vec_id, cell) assignment after `iters` Lloyd updates —
+    * ephemeral form: trains, eagerly materializes the assignment (flat
+    * lineage), and releases the training cache before returning, so no
+    * cached frame outlives the call. Production reads persist via
+    * [[IvfIndex]] instead. */
+  def assignments(spark: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    val t = train(spark, dir, k, iters)
+    val out = cellsOf(t, 1).localCheckpoint(true)
+    t.quantized.unpersist()
+    out
+  }
 
   /** DuckDB oracle: the IDENTICAL training loop as unrolled CTEs. */
   def oracleCtes(k: Int, iters: Int): String = {
@@ -125,5 +136,65 @@ object IvfQuantizer {
     }
     sb ++= s"asn AS (SELECT vec_id, cell FROM a$iters)"
     sb.result()
+  }
+}
+
+/** Persisted IVF index — the train-once / query-many lifecycle a 100 TB
+  * deployment needs (round-2 verdict: `q_ann_ivf_probe2` re-trained the
+  * quantizer `q_ann_ivf` had just trained). The first accessor call per
+  * (application, corpus dir, k, iters) trains via [[IvfQuantizer.train]]
+  * and stores two artifacts through [[graft.sources.IndexCatalog]]:
+  *
+  *  - `centroids` (cell, dim, cval): k·dim rows, plain parquet;
+  *  - `assignments` (vec_id, cell): one row per corpus vector, stored as
+  *    a metastore table BUCKETED on vec_id ([[graft.sources.BucketedTableSink]]) —
+  *    the recurring assignments⋈embeddings join reads the index side with
+  *    zero Exchange.
+  *
+  * Every later consumer — single-probe search, multi-probe search, a
+  * second query in the same run — reads the stored tables; nothing
+  * retrains. Multi-probe cell lists are NOT stored: they derive from the
+  * tiny persisted centroid table with one map-only quantize pass +
+  * broadcast join, so any nprobe dial is served by the same artifact. */
+object IvfIndex {
+  import graft.sources.{BucketedTableSink, IndexCatalog}
+
+  private def key(d: String, k: Int, iters: Int) =
+    s"ivf_${IndexCatalog.tag(d)}_k${k}_i$iters"
+
+  /** Build (first caller only) and locate the artifact set. */
+  private def ensure(s: SparkSession, d: String, k: Int, iters: Int): (String, String) = {
+    val kk = key(d, k, iters)
+    val asnTable = IndexCatalog.tableName(s, kk)
+    val dir = IndexCatalog.ensure(s, kk) { dir =>
+      val t = IvfQuantizer.train(s, d, k, iters)
+      try {
+        t.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        BucketedTableSink(8, Seq("vec_id"))
+          .write(IvfQuantizer.cellsOf(t, 1), asnTable)
+      } finally t.quantized.unpersist()
+    }
+    (dir, asnTable)
+  }
+
+  /** Trained centroids (cell, dim, cval) from the stored artifact. */
+  def centroids(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val (dir, _) = ensure(s, d, k, iters)
+    s.read.parquet(s"$dir/centroids")
+  }
+
+  /** Home-cell assignment (vec_id, cell) from the stored bucketed table. */
+  def assignments(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val (_, asnTable) = ensure(s, d, k, iters)
+    s.table(asnTable)
+  }
+
+  /** The `nprobe` nearest trained cells per vector, derived from the
+    * persisted centroids (one quantize pass + broadcast of k·dim rows —
+    * no training, no stored probe lists). */
+  def cells(s: SparkSession, d: String, k: Int, iters: Int, nprobe: Int): DataFrame = {
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .repartition(s.sparkContext.defaultParallelism)
+    IvfQuantizer.nearestCells(IvfQuantizer.vq(v), centroids(s, d, k, iters), nprobe)
   }
 }

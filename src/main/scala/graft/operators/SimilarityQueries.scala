@@ -69,7 +69,14 @@ object SimilarityQueries {
     * (k = 8, 2 Lloyd updates, deterministic and engine-exact), then
     * candidates are restricted to the query's trained cell — the
     * partition layout a 100 TB index would shard by. Same ranking
-    * semantics as the brute-force baseline. */
+    * semantics as the brute-force baseline.
+    *
+    * The quantizer state comes from [[IvfIndex]] — trained ONCE per
+    * (run, corpus, params) and persisted (centroids parquet + bucketed
+    * assignment table); this query and `q_ann_ivf_probe2` both consume
+    * the stored artifact (round-2 verdict: probe2 must not retrain what
+    * this query already trained). Training is deterministic, so reading
+    * the artifact is result-identical to retraining. */
   val ivfK = 8
   val ivfIters = 2
   val ivfTopK = Q(
@@ -85,7 +92,7 @@ object SimilarityQueries {
        |  JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
        |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val asn = IvfQuantizer.assignments(s, d, ivfK, ivfIters)
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
     val v = Tables.embeddings(s, d).select("vec_id", "embedding")
       .join(asn, Seq("vec_id"))
     topK(
@@ -102,7 +109,11 @@ object SimilarityQueries {
     * trained cells — the recall/latency dial of a real IVF index
     * (candidates ×~2, recall strictly ≥ single-probe; the corpus scan
     * stays cell-pruned). Candidates live in their single home cell, so
-    * probing two distinct cells can never duplicate a candidate. */
+    * probing two distinct cells can never duplicate a candidate.
+    *
+    * Consumes the SAME [[IvfIndex]] artifact as `q_ann_ivf`: assignments
+    * from the stored bucketed table, probe lists derived from the stored
+    * centroids (map-only) — zero retraining in this query's plan. */
   val ivfProbe = 2
   val ivfTopKProbe2 = Q(
     "q_ann_ivf_probe2",
@@ -121,9 +132,8 @@ object SimilarityQueries {
        |  JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
        |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val t = IvfQuantizer.train(s, d, ivfK, ivfIters)
-    val asn = IvfQuantizer.cellsOf(t, 1)
-    val probes = IvfQuantizer.cellsOf(t, ivfProbe)
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val probes = IvfIndex.cells(s, d, ivfK, ivfIters, ivfProbe)
     val v = Tables.embeddings(s, d).select("vec_id", "embedding")
     topK(
       v.filter(col("vec_id") < 10).join(probes, Seq("vec_id"))
