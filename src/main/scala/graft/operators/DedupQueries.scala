@@ -152,40 +152,55 @@ object DedupQueries {
     * outlives the build. The verify step re-attaches shingle sets via
     * plain equi-joins (NO broadcast hints: the shingle frame is
     * corpus-sized). */
+  /** Per-document distinct 3-gram shingle sets — the input frame every
+    * LSH stage derives from. Uncached: callers own the cache lifecycle
+    * (the builder caches for its one materializing pass; the hygiene
+    * sweep plans it cold). */
+  private[graft] def lshShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism) // one input split
+      .select(col("doc_id"),
+              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+
+  /** The full pair-generation plan over a shingle frame: fused map-only
+    * signatures → (band, key, doc_id)-only candidate join (≥2 of 8 band
+    * collisions) → exact-Jaccard verify at 0.5 via plain equi-joins on
+    * doc id (NO broadcast hints — the shingle frame is corpus-sized; AQE
+    * broadcasts the candidate side when it measures small). Pure plan
+    * construction — nothing executes, so PlanHygieneSpec can inspect the
+    * exact shape the builder runs without materializing the artifact. */
+  private[graft] def lshPairsFrom(sh: DataFrame): DataFrame = {
+    // fused map-only signatures (no explode/shuffle), one row per band
+    val bandRows = sh
+      .select(col("doc_id"),
+              posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
+                .as(Seq("band", "key")))
+    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
+      .filter(col("nbands") >= 2)
+    val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    pairs
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "nbands", "jaccard")
+  }
+
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}") { dir =>
       // corpus-sized frame read 3x within the single materializing pass
       // (signatures + both verify sides): cache, write, unpersist
-      val sh = Tables.documents(s, d)
-        .select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism) // one input split
-        .select(col("doc_id"),
-                array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
-        .cache()
-      try {
-        // fused map-only signatures (no explode/shuffle), one row per band
-        val bandRows = sh
-          .select(col("doc_id"),
-                  posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
-                    .as(Seq("band", "key")))
-        val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-        val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
-        val pairs = a.join(b, Seq("band", "key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
-          .filter(col("nbands") >= 2)
-        val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
-        val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-        pairs
-          .join(sa, Seq("doc_a"))
-          .join(sb, Seq("doc_b"))
-          .withColumn("jaccard", jac)
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "nbands", "jaccard")
-          .write.mode("overwrite").parquet(s"$dir/pairs")
-      } finally sh.unpersist()
+      val sh = lshShingles(s, d).cache()
+      try lshPairsFrom(sh).write.mode("overwrite").parquet(s"$dir/pairs")
+      finally sh.unpersist()
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -278,6 +293,48 @@ object DedupQueries {
       .orderBy("simhash")
   }
 
+  /** The Hamming ≤ 1 pair-generation plan over a signature frame:
+    * pigeonhole two-half blocking → (half, bits) candidate equi-join →
+    * exact bit-diff verify via plain equi-joins on doc id (the signature
+    * frame is corpus-sized, so no static broadcast hint — AQE sizes it).
+    * Pure plan construction for the builder AND the hygiene sweep. */
+  private[graft] def simhashPairsFrom(sig: DataFrame): DataFrame = {
+    val halves = sig.select(col("doc_id"), lit(0).as("h"),
+                            substring(col("simhash"), 1, 8).as("bits"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
+                              substring(col("simhash"), 9, 8).as("bits")))
+    val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
+    val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
+    val cand = a.join(b, Seq("h", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val hamming = (1 to 16).map(j =>
+      when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
+            Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
+            Seq("doc_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Hamming ≤ 1 pair set, materialized once per (run, corpus dir)
+    * through [[IndexCatalog]] — same lifecycle as [[lshPairs]]. */
+  private[graft] def simhashPairsArtifact(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}") { dir =>
+      // signature frame read 4x within the one materializing pass
+      // (two halves + both verify sides): cache, write, unpersist
+      val sig = simhashFrame(s, d).cache()
+      try simhashPairsFrom(sig).write.mode("overwrite").parquet(s"$dir/pairs")
+      finally sig.unpersist()
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
   /** SimHash near-dup pairs at Hamming distance ≤ 1, with GUARANTEED
     * recall: the 16-bit signature splits into two 8-bit halves, and a
     * pair differing in ≤ 1 bit must agree EXACTLY on at least one half
@@ -305,38 +362,7 @@ object DedupQueries {
       |  JOIN sig sa ON sa.doc_id = doc_a
       |  JOIN sig sb ON sb.doc_id = doc_b
       |) WHERE hamming <= 1 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}") { dir =>
-      // signature frame read 4x within the one materializing pass
-      // (two halves + both verify sides): cache, write, unpersist
-      val sig = simhashFrame(s, d).cache()
-      try {
-        val halves = sig.select(col("doc_id"), lit(0).as("h"),
-                                substring(col("simhash"), 1, 8).as("bits"))
-          .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
-                                  substring(col("simhash"), 9, 8).as("bits")))
-        val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
-        val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
-        val cand = a.join(b, Seq("h", "bits"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-          .distinct()
-        val hamming = (1 to 16).map(j =>
-          when(substring(col("sa"), j, 1) =!= substring(col("sb"), j, 1), 1L)
-            .otherwise(0L)).reduce(_ + _)
-        // verify via plain equi-joins — the signature frame is
-        // corpus-sized, so no static broadcast hint (AQE sizes it)
-        cand
-          .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")),
-                Seq("doc_a"))
-          .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")),
-                Seq("doc_b"))
-          .withColumn("hamming", hamming)
-          .filter(col("hamming") <= 1)
-          .select("doc_a", "doc_b", "hamming")
-          .write.mode("overwrite").parquet(s"$dir/pairs")
-      } finally sig.unpersist()
-    }
-    s.read.parquet(s"$dir/pairs")
+    simhashPairsArtifact(s, d)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
@@ -424,17 +450,22 @@ object DedupQueries {
       |  ) WHERE cosine >= 0.45
       |)""".stripMargin
 
-  val embeddingPairs = Q(
-    "q_dedup_embedding",
-    s"""WITH $embCtes
-      |SELECT vec_a, vec_b, cosine FROM epairs
-      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    // tiny frame read 3x (bands + both verify sides): cache; repartition
-    // first — the embeddings table is one parquet split
-    val v = Tables.embeddings(s, d)
+  /** Corpus vector frame the embedding-LSH stages derive from.
+    * Uncached: callers own the cache lifecycle. Repartitioned first —
+    * the embeddings table is one parquet split. */
+  private[graft] def embeddingVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select("vec_id", "embedding")
       .repartition(s.sparkContext.defaultParallelism)
-      .cache()
+
+  /** The embedding pair-generation plan over a vector frame: fused
+    * map-only hyperplane sign bands → (band, key, vec_id)-only candidate
+    * join → exact codegen'd cosine verify at 0.45 via plain equi-joins
+    * on vec id (NO broadcast hints — the vector frame is corpus-sized;
+    * a static hint on it is the round-2 "guaranteed OOM at 100 TB"
+    * shape. AQE broadcasts the candidate side when it measures small).
+    * Pure plan construction for the builder AND the hygiene sweep. */
+  private[graft] def embeddingPairsFrom(v: DataFrame): DataFrame = {
     // fused map-only signatures, one row per band
     val bands = v.select(
       col("vec_id"),
@@ -450,17 +481,52 @@ object DedupQueries {
     val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cand
-      .join(broadcast(va), Seq("vec_a"))
-      .join(broadcast(vb), Seq("vec_b"))
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
       .withColumn("cosine", cosineSim(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Verified embedding near-dup pairs, materialized once per (run,
+    * corpus dir) through [[IndexCatalog]] — same lifecycle as
+    * [[lshPairs]]. */
+  private[graft] def embPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}") { dir =>
+      // vector frame read 3x within the one materializing pass
+      // (bands + both verify sides): cache, write, unpersist
+      val v = embeddingVectors(s, d).cache()
+      try embeddingPairsFrom(v).write.mode("overwrite").parquet(s"$dir/pairs")
+      finally v.unpersist()
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
+  /** Keep-list over the embedding pair graph — connected components
+    * resolved once per (run, corpus dir) and persisted. */
+  private[graft] def embKeepList(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"emb_keep_${IndexCatalog.tag(d)}") { dir =>
+      DedupResolve.keepList(
+          embPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .write.mode("overwrite").parquet(s"$dir/keep")
+    }
+    s.read.parquet(s"$dir/keep")
+  }
+
+  val embeddingPairs = Q(
+    "q_dedup_embedding",
+    s"""WITH $embCtes
+      |SELECT vec_a, vec_b, cosine FROM epairs
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    embPairs(s, d)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 
   /** End-to-end embedding dedup: LSH near-dup pairs → connected
     * components → keep-list (the vector twin of q_dedup_resolve; same
-    * Spark label propagation, same recursive-CTE oracle technique). */
+    * Spark label propagation, same recursive-CTE oracle technique),
+    * served from the persisted [[embKeepList]] artifact. */
   val embeddingResolve = Q(
     "q_dedup_embedding_resolve",
     s"""WITH RECURSIVE $embCtes,
@@ -475,9 +541,8 @@ object DedupQueries {
        |)
        |SELECT id AS doc_id, min(reach) AS cluster, id = min(reach) AS keep
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    DedupResolve
-      .keepList(embeddingPairs.run(s, d)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    embKeepList(s, d)
+      .select("doc_id", "cluster", "keep")
       .orderBy("doc_id")
   }
 
@@ -513,8 +578,9 @@ object DedupQueries {
        |  AND doc_id NOT IN (SELECT id FROM drops)
        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    val dropList = DedupResolve
-      .keepList(minhashLshPairs.run(s, d).select("doc_a", "doc_b"))
+    // the persisted drop-list artifact — curation never recomputes
+    // pair generation or connected components in-plan
+    val dropList = lshKeepList(s, d)
       .filter(!col("keep"))
       .select(col("doc_id"))
     Tables.documents(s, d)
@@ -526,6 +592,17 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("ws_tokens"))
       .orderBy("source")
   }
+
+  /** The unexecuted pair-generation plans behind every [[IndexCatalog]]
+    * artifact this object builds, keyed by artifact family. The hygiene
+    * sweep plan-checks THESE (the shapes the builders actually execute)
+    * instead of the registered queries, whose own plans are just
+    * artifact parquet scans — and whose construction would materialize
+    * the artifact mid-sweep. Nothing here caches or executes. */
+  private[graft] def builderPlans(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
+    "lsh_pairs"     -> lshPairsFrom(lshShingles(s, d)),
+    "simhash_pairs" -> simhashPairsFrom(simhashFrame(s, d)),
+    "emb_pairs"     -> embeddingPairsFrom(embeddingVectors(s, d)))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as

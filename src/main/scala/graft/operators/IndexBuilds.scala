@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The complete set of [[graft.sources.IndexCatalog]] artifacts the
+  * registered queries consume, as named build triggers.
+  *
+  * Why this exists (round-3 advice): Bench's min-of-two timing interacts
+  * with per-application artifact memoization — the second attempt of an
+  * LSH/IVF query only reads the persisted artifact, so the min would
+  * systematically exclude pair-generation/training cost and bench totals
+  * would drop for measurement reasons, not capability. Bench therefore
+  * pre-builds every artifact ONCE through this registry, times each
+  * build as its own `idx_*` entry, and the per-query numbers then
+  * honestly measure serving cost — which is also what they mean in
+  * production, where an index is built once and queried many times. */
+object IndexBuilds {
+
+  /** (artifact name, trigger). Each trigger materializes its artifact
+    * eagerly (parquet write / bucketed table inside the builder) and
+    * releases any builder caches before returning. */
+  val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "idx_lsh_pairs"     -> ((s, d) => { DedupQueries.lshPairs(s, d); () }),
+    "idx_lsh_keep"      -> ((s, d) => { DedupQueries.lshKeepList(s, d); () }),
+    "idx_simhash_pairs" -> ((s, d) => { DedupQueries.simhashPairsArtifact(s, d); () }),
+    "idx_emb_pairs"     -> ((s, d) => { DedupQueries.embPairs(s, d); () }),
+    "idx_emb_keep"      -> ((s, d) => { DedupQueries.embKeepList(s, d); () }),
+    "idx_ivf"           -> ((s, d) => {
+      IvfIndex.assignments(s, d, SimilarityQueries.ivfK, SimilarityQueries.ivfIters); ()
+    }))
+}

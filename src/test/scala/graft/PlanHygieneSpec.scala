@@ -4,8 +4,19 @@ package graft
   * CartesianProduct or BroadcastNestedLoopJoin — the two shapes that
   * silently turn into n² at 100 TB — except the documented, hard-bounded
   * recall baselines. Planning-only (no execution), so the sweep stays
-  * cheap and new queries are guarded automatically on registration. */
+  * cheap and new queries are guarded automatically on registration.
+  *
+  * Artifact-backed queries (LSH pairs, keep-lists, embedding pairs) are
+  * special-cased: their registered plan is just a parquet scan of the
+  * [[graft.sources.IndexCatalog]] artifact, and merely CONSTRUCTING it
+  * would materialize the artifact mid-sweep. The sweep instead
+  * plan-checks [[graft.operators.DedupQueries.builderPlans]] — the exact
+  * unexecuted plans the builders run — so the real pair-generation
+  * shapes stay guarded without executing anything. */
 class PlanHygieneSpec extends SparkSpec {
+
+  private def badShapes(plan: String): Boolean =
+    plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
 
   /** Documented bounded O(n²) recall oracles (each caps its input to
     * <500 ids), plus the brute-force ANN baseline whose
@@ -15,11 +26,13 @@ class PlanHygieneSpec extends SparkSpec {
   private val boundedBaselines = Set(
     "q_dedup_jaccard_pairs", "q_dedup_embedding_exact", "q_ann_bruteforce")
 
-  /** Queries whose CONSTRUCTION already runs Spark jobs (iterative
-    * training/resolution, eager sketches) — too heavy for a sweep that
-    * should stay planning-only; their plan shapes are pinned by their
-    * own specs and oracles. */
+  /** Queries whose CONSTRUCTION already runs Spark jobs — iterative
+    * training/resolution (IVF k-means, connected components), eager
+    * sketches, or an IndexCatalog artifact build — too heavy for a sweep
+    * that should stay planning-only. Their builder-side join shapes are
+    * covered by the builder-plan sweep below and their own specs. */
   private val constructionEager = Set(
+    "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_embedding",
     "q_dedup_resolve", "q_dedup_embedding_resolve", "q_corpus_curation",
     "q_ann_ivf", "q_ann_ivf_probe2", "q_freq_items")
 
@@ -28,11 +41,38 @@ class PlanHygieneSpec extends SparkSpec {
       case (name, _) if boundedBaselines(name) || constructionEager(name) => None
       case (name, fn) =>
         val plan = fn(spark, sf0001).queryExecution.sparkPlan.toString
-        if (plan.contains("CartesianProduct") ||
-            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+        if (badShapes(plan)) Some(name) else None
     }
     spark.catalog.clearCache() // some queries cache their inputs
     assert(offenders.isEmpty,
       s"unbounded join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("no index-builder plan contains a cartesian or nested-loop join") {
+    val offenders = operators.DedupQueries.builderPlans(spark, sf0001).flatMap {
+      case (name, df) =>
+        val plan = df.queryExecution.sparkPlan.toString
+        if (badShapes(plan)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes in builders: ${offenders.mkString(", ")}")
+  }
+
+  test("no builder plan broadcasts a corpus-sized base-table side") {
+    // The round-2 scale-killer class: a STATIC broadcast hint whose build
+    // side scans an unbounded base table. AQE may still broadcast at
+    // runtime when a side measures small — that's the point — but no
+    // builder may pin it at plan time.
+    val offenders = operators.DedupQueries.builderPlans(spark, sf0001).flatMap {
+      case (name, df) =>
+        val hinted = df.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+              if h.hints.strategy.exists(
+                _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+        }
+        if (hinted.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"static broadcast hints in builders: ${offenders.mkString(", ")}")
   }
 }
