@@ -53,6 +53,7 @@ object SparkEntry {
     EventQueries.intervalJoin,
     EventQueries.intervalJoinOuter,
     EventQueries.approxDistinct,
+    SketchQueries.hllDistinct,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,
     DedupQueries.exactKeepFirst,

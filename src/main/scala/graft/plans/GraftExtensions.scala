@@ -46,5 +46,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBands(children(0),
           intLit(children(1), "hyperplane_bands planes"),
           intLit(children(2), "hyperplane_bands bandBits"))))
+    e.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketchAgg(children(0), intLit(children(1), "hll_sketch p"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "hll_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllEstimate(children(0))))
   }
 }
