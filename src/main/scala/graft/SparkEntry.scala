@@ -101,6 +101,7 @@ object SparkEntry {
     ExtraQueries.asofJoin,
     ExtraQueries.asofForward,
     ExtraQueries.asofNearest,
+    ExtraQueries.asofTolerance,
     ExtraQueries.slidingWindow,
   )
 

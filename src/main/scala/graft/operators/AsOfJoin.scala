@@ -98,29 +98,67 @@ object AsOfJoin {
       .select(tg.leftCols.map(col) ++
               payload.map(p => col(tg.pay + "m").getField(p).as(p)): _*)
 
-  /** @param payload right-side columns to attach (null when no match). */
+  /** Null a carried match whose time distance from the left row exceeds
+    * `maxGap` — the attribution-window semantics (a click 3 weeks before
+    * a purchase is not its cause). The carried match is always the
+    * NEAREST one in its direction, so nulling it is exact: any other
+    * candidate is farther. `maxGap` is in the integer time domain of
+    * [[timeVal]] — microseconds for timestamps, days for dates, the raw
+    * value otherwise — and the bound is inclusive. The window pass is
+    * unchanged: the gate is a map-only projection, so the tolerance dial
+    * costs nothing at any scale. */
+  private def gate(tg: Tagged, matched: Column, right: DataFrame,
+                   rightTime: String, fwd: Boolean,
+                   maxGap: Option[Long]): Column =
+    maxGap match {
+      case None => matched
+      case Some(g) =>
+        def t(c: Column) = timeVal(c, right, rightTime)
+        val lt = t(col(tg.t))
+        val mt = t(matched.getField(tg.mt))
+        val gap = if (fwd) mt - lt else lt - mt
+        // matched null → condition null → otherwise-less when → null
+        when(gap <= g, matched)
+    }
+
+  /** @param payload right-side columns to attach (null when no match)
+    * @param maxGap  inclusive attribution window in [[timeVal]] units
+    *                (µs for timestamps); matches farther away become
+    *                null, as if no right row qualified. */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String],
+               maxGap: Option[Long] = None): DataFrame = {
     val tg = tagged(left, right, key, leftTime, rightTime, payload)
-    emit(tg, carry(tg, key, forward = false), payload)
+    val m = gate(tg, carry(tg, key, forward = false), right, rightTime,
+                 fwd = false, maxGap)
+    emit(tg, m, payload)
   }
 
   /** Earliest right row at or after the left time. */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              payload: Seq[String]): DataFrame = {
+              payload: Seq[String],
+              maxGap: Option[Long] = None): DataFrame = {
     val tg = tagged(left, right, key, leftTime, rightTime, payload)
-    emit(tg, carry(tg, key, forward = true), payload)
+    val m = gate(tg, carry(tg, key, forward = true), right, rightTime,
+                 fwd = true, maxGap)
+    emit(tg, m, payload)
   }
 
-  /** Closer of the backward/forward matches; ties → backward. */
+  /** Closer of the backward/forward matches; ties → backward. With
+    * `maxGap`, each direction is gated BEFORE choosing — the result is
+    * the nearest match WITHIN the window (a too-far backward match never
+    * shadows an in-window forward one). */
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTime: String, rightTime: String,
-              payload: Seq[String]): DataFrame = {
+              payload: Seq[String],
+              maxGap: Option[Long] = None): DataFrame = {
     val tg = tagged(left, right, key, leftTime, rightTime, payload)
-    val back = carry(tg, key, forward = false)
-    val fwd = carry(tg, key, forward = true)
+    val back = gate(tg, carry(tg, key, forward = false), right, rightTime,
+                    fwd = false, maxGap)
+    val fwd = gate(tg, carry(tg, key, forward = true), right, rightTime,
+                   fwd = true, maxGap)
     val bC = col(tg.pay + "b"); val fC = col(tg.pay + "f")
     def t(c: Column) = timeVal(c, right, rightTime)
     val lt = t(col(tg.t))

@@ -336,6 +336,34 @@ object ExtraQueries {
       .orderBy("event_id")
   }
 
+  /** Backward as-of join with a 24-hour attribution window (the
+    * `maxGap` dial): a click more than a day before the purchase no
+    * longer attributes — its match columns null out, exactly as if no
+    * click qualified. The carried match is always the nearest prior
+    * one, so the gate is a map-only projection on top of the same
+    * one-shuffle window pass. Oracle = DuckDB ASOF + the identical gap
+    * predicate. */
+  val asofTolerance = Q(
+    "q_asof_tolerance",
+    s"""WITH $asofCtes
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts) <= 86400000000
+      |       THEN c.click_id END AS click_id,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.click_ts) <= 86400000000
+      |       THEN epoch_ms(p.ts) - epoch_ms(c.click_ts) END AS gap_ms
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val (purchases, clicks) = asofInputs(s, d)
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts", "click_ts",
+                      Seq("click_id", "click_ts"),
+                      maxGap = Some(86400000000L)) // 24 h in µs
+      .select(
+        col("event_id"), col("user_id"), col("click_id"),
+        (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
   /** Sliding 2-hour windows advancing hourly — each event lands in two
     * windows (Spark's native window(); oracle unnests both candidate
     * window starts). */

@@ -73,6 +73,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("onlyFwd") == "b")  // no backward match: earliest later row (t=50) wins
   }
 
+  test("maxGap nulls matches beyond the window; inclusive at the bound") {
+    val left = Seq(("u", 100L, "exact"), ("u", 130L, "near"), ("u", 500L, "far"))
+      .toDF("k", "t", "pid")
+    val right = Seq(("u", 50L, "c")).toDF("k", "rt", "cid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", Seq("cid"),
+                                maxGap = Some(50L))
+      .select("pid", "cid").as[(String, Option[String])].collect().toMap
+    assert(out("exact").contains("c")) // gap 50 == maxGap: inclusive
+    assert(out("near").isEmpty)        // gap 80 > 50
+    assert(out("far").isEmpty)
+  }
+
+  test("nearest with maxGap: a too-far backward match never shadows an in-window forward one") {
+    val left = Seq(("u", 100L, "p")).toDF("k", "t", "pid")
+    val right = Seq(("u", 10L, "back"), ("u", 120L, "fwd")).toDF("k", "rt", "cid")
+    // ungated nearest picks "back"? no — 90 back vs 20 fwd → fwd; make
+    // backward the closer one so the gate is what flips the choice
+    val right2 = Seq(("u", 95L, "back"), ("u", 140L, "fwd")).toDF("k", "rt", "cid")
+    val ungated = AsOfJoin.nearest(left, right2, "k", "t", "rt", Seq("cid"))
+      .select("cid").as[String].collect().head
+    assert(ungated == "back") // 5 back vs 40 forward
+    val gated = AsOfJoin.nearest(left, right2, "k", "t", "rt", Seq("cid"),
+                                 maxGap = Some(3L))
+      .select("cid").as[Option[String]].collect().head
+    assert(gated.isEmpty) // both outside a 3-tick window
+    val gated2 = AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("cid"),
+                                  maxGap = Some(30L))
+      .select("cid").as[String].collect().head
+    assert(gated2 == "fwd") // back is 90 away (out), fwd 20 away (in)
+  }
+
   test("internal names never collide with user columns") {
     // left already uses the operator's first-choice internal names
     val left = Seq(("u", 100L, "x", "y")).toDF("k", "t", "_asof0_t", "_asof0_side")

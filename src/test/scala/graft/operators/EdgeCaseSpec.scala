@@ -57,7 +57,9 @@ class EdgeCaseSpec extends SparkSpec {
     val right = Seq(("a", 3L, 9L)).toDF("k", "rt", "rid")
     Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame](
-      AsOfJoin.backward, AsOfJoin.forward, AsOfJoin.nearest).foreach { join =>
+      AsOfJoin.backward(_, _, _, _, _, _),
+      AsOfJoin.forward(_, _, _, _, _, _),
+      AsOfJoin.nearest(_, _, _, _, _, _)).foreach { join =>
       assert(join(noLeft, right, "k", "t", "rt", Seq("rid")).count() == 0)
       val vsEmpty = join(left, noRight, "k", "t", "rt", Seq("rid"))
       assert(vsEmpty.count() == 1)

@@ -120,6 +120,34 @@ class PropertySpec extends SparkSpec {
       check(AsOfJoin.backward(left, right, "k", "t", "rt", Seq("rid")), backRef, "backward")
       check(AsOfJoin.forward(left, right, "k", "t", "rt", Seq("rid")), fwdRef, "forward")
       check(AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("rid")), nearRef, "nearest")
+
+      // maxGap variants: the brute-force reference restricts candidates
+      // to the window FIRST, then picks — the nearest-within-window
+      // semantics the gate must reproduce (inclusive bound)
+      val g = (rng.nextInt(300) + 1).toLong
+      def backRefG(k: String, t: Long): Option[Long] =
+        rightRows.filter(r => r._1 == k && r._2 <= t && t - r._2 <= g)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      def fwdRefG(k: String, t: Long): Option[Long] =
+        rightRows.filter(r => r._1 == k && r._2 >= t && r._2 - t <= g)
+          .sortBy(r => (-r._2, -r._3)).lastOption.map(_._3)
+      def nearRefG(k: String, t: Long): Option[Long] = {
+        val b = rightRows.filter(r => r._1 == k && r._2 <= t && t - r._2 <= g)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val f = rightRows.filter(r => r._1 == k && r._2 >= t && r._2 - t <= g)
+          .sortBy(r => (-r._2, -r._3)).lastOption
+        (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            Some(if (t - bb._2 <= ff._2 - t) bb._3 else ff._3)
+          case (b2, f2) => b2.orElse(f2).map(_._3)
+        }
+      }
+      check(AsOfJoin.backward(left, right, "k", "t", "rt", Seq("rid"), Some(g)),
+            backRefG, s"backward-gap$g")
+      check(AsOfJoin.forward(left, right, "k", "t", "rt", Seq("rid"), Some(g)),
+            fwdRefG, s"forward-gap$g")
+      check(AsOfJoin.nearest(left, right, "k", "t", "rt", Seq("rid"), Some(g)),
+            nearRefG, s"nearest-gap$g")
     }
   }
 }
