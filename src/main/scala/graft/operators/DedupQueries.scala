@@ -31,6 +31,25 @@ object DedupQueries {
   /** DuckDB fragment: whitespace tokens of `text`. */
   private val W = """string_split_regex(trim(text), '\s+')"""
 
+  /** Band-bucket size cap: a degenerate corpus (one dominant shingle,
+    * boilerplate pages) can put a huge fraction of documents into ONE
+    * (band, key) bucket, whose candidate join is then quadratic in the
+    * bucket — the one way LSH pair generation degenerates at scale.
+    * Buckets above the cap are excluded from candidate generation
+    * (bounding per-bucket work at cap²/2) and recall degrades
+    * gracefully: members of a dropped bucket still pair through their 7
+    * other bands, and the ≥2-collision threshold already expects
+    * redundant band hits. Healthy corpora sit far below the cap (max
+    * observed bucket at sf0.1: 19 docs); the cap is replayed verbatim in
+    * the DuckDB oracle, so the guard stays oracle-exact even when it
+    * fires. Dropped buckets are inspectable via [[lshOversizedBuckets]]
+    * — telemetry a corpus pass should alert on, since an oversized
+    * bucket usually means boilerplate worth cleaning upstream.
+    *
+    * NOTE: declared before [[lshCtes]], which interpolates it at object
+    * initialization (a forward reference would interpolate 0). */
+  private[graft] final val LshMaxBucket = 500
+
   /** Exact dedup via normalized-content hash, aggregated per source —
     * the summary a 100 TB corpus pass reports (docs vs unique docs). */
   val exactSummary = Q(
@@ -129,9 +148,14 @@ object DedupQueries {
        |  SELECT doc_id, band,
        |    list_aggregate(list_transform(ss, x -> md5(band || '|' || x)), 'min') AS key
        |  FROM sh, (SELECT unnest(range(0, 8)) AS band)
+       |), okb AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $LshMaxBucket
+       |), b2 AS (
+       |  SELECT b.doc_id, b.band, b.key FROM bands b JOIN okb USING (band, key)
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nbands
-       |  FROM bands a JOIN bands b
+       |  FROM b2 a JOIN b2 b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2
        |), vpairs AS (
@@ -170,14 +194,27 @@ object DedupQueries {
     * broadcasts the candidate side when it measures small). Pure plan
     * construction — nothing executes, so PlanHygieneSpec can inspect the
     * exact shape the builder runs without materializing the artifact. */
-  private[graft] def lshPairsFrom(sh: DataFrame): DataFrame = {
-    // fused map-only signatures (no explode/shuffle), one row per band
-    val bandRows = sh
-      .select(col("doc_id"),
+  private[graft] def lshPairsFrom(sh: DataFrame): DataFrame =
+    lshPairsFrom(sh, LshMaxBucket)
+
+  private[graft] def lshBandRows(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
               posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
                 .as(Seq("band", "key")))
-    val a = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val b = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("key"))
+
+  private[graft] def lshPairsFrom(sh: DataFrame, maxBucket: Int): DataFrame = {
+    // fused map-only signatures (no explode/shuffle), one row per band
+    val bandRows = lshBandRows(sh)
+    // bucket-size guard: partial-agg count on the SAME (band, key) the
+    // candidate join shuffles on — co-partitioned, no extra exchange of
+    // the band rows, and the oversized buckets never reach the join
+    val okBuckets = bandRows.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "key")
+    val bounded = bandRows.join(okBuckets, Seq("band", "key"))
+    val a = bounded.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val b = bounded.select(col("doc_id").as("doc_b"), col("band"), col("key"))
     val pairs = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
@@ -193,6 +230,14 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "nbands", "jaccard")
   }
+
+  /** Telemetry twin of the bucket guard: the (band, key) buckets the
+    * cap excluded, with their sizes — what a corpus pass alerts on. */
+  private[graft] def lshOversizedBuckets(sh: DataFrame,
+                                         maxBucket: Int = LshMaxBucket): DataFrame =
+    lshBandRows(sh).groupBy("band", "key")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}") { dir =>
