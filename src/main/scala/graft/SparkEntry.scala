@@ -80,6 +80,7 @@ object SparkEntry {
     SampleQueries.stratifiedSample,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
+    MultimodalQueries.imageIoRoundTrip,
     // surface completion: full pipeline composition, salting, SQL layer,
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import graft.multimodal.Multimodal.{Decoder, MediaMeta}
+
+/** REAL image codec over the JDK's built-in `javax.imageio` (PNG, JPEG,
+  * GIF, BMP — no external libraries, headless-safe), closing the
+  * round-2 "documented stub" gap for the image modality: decode and
+  * resize are genuine pixel operations, running partition-local through
+  * the same [[Multimodal.decodeAll]] lifecycle as the stub.
+  *
+  * Totality contract: a corrupt or non-image payload yields sentinel
+  * dimensions (-1) instead of throwing — at 100 TB some payloads WILL be
+  * garbage, and one bad blob must not kill a 10-hour stage. (Audio/video
+  * modalities remain stubbed: the JDK ships no codec for them.)
+  *
+  * Determinism note for the oracle gate: PNG BYTES are encoder-dependent
+  * (compression level, chunk layout), so registered queries never output
+  * byte lengths or payload digests of encoded images — only decoded
+  * facts (dimensions, pixel values), which are exact by the PNG
+  * contract: lossless round-trip makes decoded pixels closed-form
+  * computable in DuckDB. */
+object ImageCodec {
+
+  /** Deterministic single-color synthetic PNG for a document id:
+    * width = 16 + id % 32, height = 16 + id % 24, fill color =
+    * (id * 2654435761) % 2^24 (Knuth multiplicative hash — replayable
+    * as integer arithmetic in any engine). The ENCODED bytes vary by
+    * encoder; the DECODED facts don't. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + (id % 24).toInt
+    val rgb = ((id * 2654435761L) % 16777216L).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One decoded image row: real dimensions, the (0,0) pixel's channels,
+    * and the dimensions of a genuinely resized thumbnail. */
+  final case class ImgRow(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      r: Int,
+      g: Int,
+      b: Int,
+      thumb_w: Int,
+      thumb_h: Int)
+
+  private val Bad = (-1, -1, -1, -1, -1, -1, -1)
+
+  /** Decode + resize, total: corrupt payloads produce the -1 sentinel
+    * row. Thumbnail target dims use pure integer math (floor division,
+    * min 1) so an oracle can replay them; the thumbnail itself is a real
+    * `Graphics2D#drawImage` scale whose actual dims are what's
+    * reported. */
+  def decodeRow(id: Long, payload: Array[Byte], maxDim: Int): ImgRow = {
+    val decoded =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    val (w, h, r, g, b, tw, th) = decoded match {
+      case None => Bad
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0) & 0xffffff
+        val m = math.max(w, h)
+        val tw0 = math.max(1, w * maxDim / m)
+        val th0 = math.max(1, h * maxDim / m)
+        val thumb = new BufferedImage(tw0, th0, BufferedImage.TYPE_INT_RGB)
+        val g2 = thumb.createGraphics()
+        try g2.drawImage(img, 0, 0, tw0, th0, null)
+        finally g2.dispose()
+        (w, h, rgb >> 16, (rgb >> 8) & 0xff, rgb & 0xff,
+         thumb.getWidth, thumb.getHeight)
+    }
+    ImgRow(id, w, h, r, g, b, tw, th)
+  }
+}
+
+/** [[Multimodal.Decoder]] implementation backed by `javax.imageio` —
+  * drop-in for [[Multimodal.FakeDecoder]] behind the same
+  * partition-local lifecycle. Dimensions are real; corrupt payloads
+  * yield (-1, -1) instead of throwing. */
+object ImageIoDecoder extends Decoder {
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    img match {
+      case Some(i) => MediaMeta(docId, payload.length, i.getWidth, i.getHeight, hex)
+      case None => MediaMeta(docId, payload.length, -1, -1, hex)
+    }
+  }
+}

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is the real thing — explicit schema,
   * partition-preserving `mapPartitions` with per-batch state (the shape a
   * JNI/FFmpeg/PIL decoder needs: init once per partition, stream rows
-  * through), codegen-friendly metadata columns. The decode itself is a
-  * deterministic stand-in (this container ships no image/audio codecs):
-  * it derives "dimensions" and a content digest from the bytes. Swap
-  * [[FakeDecoder]] for a real codec without touching the plumbing.
+  * through), codegen-friendly metadata columns. Two decoders plug in:
+  * [[graft.multimodal.ImageIoDecoder]] — a REAL image codec over the
+  * JDK's `javax.imageio` (PNG/JPEG/GIF/BMP; see [[ImageCodec]] and the
+  * oracle-checked q_mm_imageio round trip) — and [[FakeDecoder]], the
+  * deterministic stand-in still used where payloads aren't images
+  * (q_mm_decode runs it over text bytes) and for the audio/video
+  * modalities the JDK ships no codec for.
   */
 object Multimodal {
 

@@ -14,6 +14,44 @@ object MultimodalQueries {
   /** hex-digit value of md5-char `i` (1-based) in DuckDB SQL. */
   private def hex(i: Int) = s"(strpos('0123456789abcdef', h[$i]) - 1)"
 
+  /** REAL image decode + resize through `javax.imageio` (JDK built-in —
+    * no external codec libraries): each doc_id < 500 becomes a
+    * deterministic synthetic PNG (single fill color, id-derived dims) in
+    * one map stage, and a partition-local ImageIO pass decodes it back
+    * and resizes to an 8-px-bounded thumbnail. Because PNG is lossless
+    * and the synthetic image is closed-form, EVERY output column —
+    * decoded dims, (0,0) pixel channels, actual thumbnail dims — is
+    * exactly computable by the DuckDB oracle as integer arithmetic,
+    * making the real codec path hash-verifiable. Encoded byte lengths /
+    * digests are deliberately NOT output (PNG bytes are
+    * encoder-version-dependent). */
+  val imageIoRoundTrip = Q(
+    "q_mm_imageio",
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |  CAST(16 + doc_id % 24 AS INTEGER) AS height,
+      |  CAST(((doc_id * 2654435761) % 16777216) // 65536 AS INTEGER) AS r,
+      |  CAST((((doc_id * 2654435761) % 16777216) // 256) % 256 AS INTEGER) AS g,
+      |  CAST(((doc_id * 2654435761) % 16777216) % 256 AS INTEGER) AS b,
+      |  CAST(greatest(1, (16 + doc_id % 32) * 8 // greatest(16 + doc_id % 32, 16 + doc_id % 24)) AS INTEGER) AS thumb_w,
+      |  CAST(greatest(1, (16 + doc_id % 24) * 8 // greatest(16 + doc_id % 32, 16 + doc_id % 24)) AS INTEGER) AS thumb_h
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // encode AND decode inside the partition: the codec initializes
+        // once per partition; no pixel data ever visits the driver
+        ids.map { id =>
+          graft.multimodal.ImageCodec.decodeRow(
+            id, graft.multimodal.ImageCodec.syntheticPng(id), maxDim = 8)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val decodeMeta = Q(
     "q_mm_decode",
     s"""WITH m AS (SELECT doc_id, md5(text) AS h,

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import javax.imageio.ImageIO
+import java.io.ByteArrayInputStream
+
+/** Real-codec coverage: `javax.imageio` round trips, totality on
+  * garbage, and the Decoder swap behind the partition-local lifecycle. */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic PNG decodes back to its closed-form dims and color") {
+    for (id <- Seq(0L, 1L, 31L, 123L, 499L)) {
+      val png = ImageCodec.syntheticPng(id)
+      // really a PNG: JDK decoder accepts it and magic bytes match
+      assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      assert(img.getWidth == 16 + (id % 32).toInt)
+      assert(img.getHeight == 16 + (id % 24).toInt)
+      val expectRgb = ((id * 2654435761L) % 16777216L).toInt
+      assert((img.getRGB(3, 3) & 0xffffff) == expectRgb) // lossless fill
+      val row = ImageCodec.decodeRow(id, png, maxDim = 8)
+      assert(row.r == (expectRgb >> 16) && row.g == ((expectRgb >> 8) & 0xff)
+             && row.b == (expectRgb & 0xff))
+      // thumbnail was genuinely materialized at the integer-math dims
+      val m = math.max(row.width, row.height)
+      assert(row.thumb_w == math.max(1, row.width * 8 / m))
+      assert(row.thumb_h == math.max(1, row.height * 8 / m))
+    }
+  }
+
+  test("corrupt and non-image payloads yield sentinel rows, never throw") {
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val truncated = ImageCodec.syntheticPng(7L).take(20)
+    for (bad <- Seq(junk, truncated, Array.emptyByteArray)) {
+      val row = ImageCodec.decodeRow(9L, bad, maxDim = 8)
+      assert(row.width == -1 && row.height == -1 && row.thumb_w == -1)
+      val meta = ImageIoDecoder.decode(9L, bad)
+      assert(meta.width == -1 && meta.height == -1)
+      assert(meta.byte_len == bad.length && meta.digest.length == 32)
+    }
+  }
+
+  test("ImageIoDecoder drops into decodeAll's partition-local lifecycle") {
+    val payloads = spark.range(40)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, ImageCodec.syntheticPng(id))))
+      .toDF("doc_id", "payload")
+      .repartition(7)
+    val out = Multimodal.decodeAll(spark, payloads, ImageIoDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 40)
+    out.foreach { m =>
+      assert(m.width == 16 + (m.doc_id % 32).toInt)
+      assert(m.height == 16 + (m.doc_id % 24).toInt)
+    }
+  }
+}
