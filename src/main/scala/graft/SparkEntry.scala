@@ -78,6 +78,7 @@ object SparkEntry {
     TextQueries.fingerprintQ,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
+    SampleQueries.weightedSample,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.TextFunctions.tokens
 
 /** Deterministic corpus sampling — the reproducible-subset primitives a
   * training-data pipeline needs (Spark's `df.sample` is seed-stable only
@@ -20,6 +21,17 @@ import graft.{Q, Tables}
   * engines.
   */
 object SampleQueries {
+
+  /** DuckDB fragment: whitespace tokens of `text`. Declared before the
+    * query vals that interpolate it (object init order). */
+  private val W = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB fragment: first 8 hex chars of md5 expression `m` as an
+    * integer, by digit arithmetic (no hex-cast builtin needed). */
+  private def hexU8(m: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
 
   /** ~10% deterministic sample of `documents`, summarized per source. */
   val hashSample = Q(
@@ -55,5 +67,46 @@ object SampleQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy("source")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row gets the key u^(1/w) for a deterministic uniform u and
+    * weight w, and the global top-k by key IS a weighted sample without
+    * replacement — the mixture-sampling primitive that favors (here)
+    * longer documents without ever materializing per-row randomness
+    * state. One map pass + one top-k; repartition/rerun-stable.
+    *
+    * Engine-exact determinism:
+    *  - u = (first-8-hex-chars-of-md5 + 0.5) / 2^32 — integer-exact in
+    *    both engines (hex digits → integer by arithmetic, division by a
+    *    power of two is exact in binary floating point);
+    *  - keys compare in the ln domain (ln(u)/w, monotone in u^(1/w) —
+    *    avoids pow's rational exponent); both engines evaluate ln on
+    *    BIT-IDENTICAL inputs, and with 500 md5-spread candidates the
+    *    top-k boundary is never within an ulp of a tie, so the SELECTED
+    *    SET agrees even if the last ulp of ln differs. The float key is
+    *    deliberately NOT an output column — only integer facts are. */
+  val weightedSample = Q(
+    "q_sample_weighted",
+    s"""WITH c AS (
+      |  SELECT doc_id, source, len($W) AS w,
+      |    ln((${hexU8("md5('ws|' || CAST(doc_id AS VARCHAR))")} + 0.5)
+      |        / 4294967296.0) / len($W) AS k
+      |  FROM documents WHERE len($W) >= 1
+      |)
+      |SELECT doc_id, source, CAST(w AS BIGINT) AS w
+      |FROM (SELECT * FROM c ORDER BY k DESC, doc_id LIMIT 20)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = size(tokens(col("text")))
+    val u = (conv(substring(md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 8),
+                  16, 10).cast("double") + 0.5) / 4294967296.0
+    Tables.documents(s, d)
+      .filter(size(tokens(col("text"))) >= 1)
+      .select(col("doc_id"), col("source"), w.cast("long").as("w"),
+              (log(u) / w).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "source", "w")
+      .orderBy("doc_id")
   }
 }
