@@ -54,6 +54,7 @@ object SparkEntry {
     EventQueries.intervalJoinOuter,
     EventQueries.approxDistinct,
     SketchQueries.hllDistinct,
+    SketchQueries.bloomPrefilter,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,
     DedupQueries.exactKeepFirst,

@@ -140,7 +140,7 @@ object DedupQueries {
   /** Shared DuckDB CTE chain for the LSH near-dup pipeline: shingles →
     * bands → candidate pairs (≥2 band collisions) → verified pairs
     * (`vpairs`). Reused verbatim by the resolve oracle below. */
-  private val lshCtes =
+  private[operators] val lshCtes =
     s"""sh AS (
        |  SELECT doc_id, $SS AS ss
        |  FROM (SELECT doc_id, $W AS w FROM documents)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.plans.Bloom.{bloomAgg, bloomContains}
 import graft.plans.Hll.{hllEstimate, hllMerge, hllSketch}
 
 /** Mergeable-sketch queries (SURVEY §7.3 sketch tier): cardinality via
@@ -24,6 +25,54 @@ object SketchQueries {
     * design, so there is no DuckDB oracle; HllSketchSpec pins the
     * algebra (merge-of-shards ≡ whole corpus, repartition invariance)
     * and the estimate's accuracy against exact distinct counts. */
+  /** Bloom pre-filtered near-dup removal, EXACT by construction — the
+    * 100 TB join-avoidance pattern:
+    *
+    *   drop-list (persisted LSH keep-list artifact) → one tiny Bloom
+    *   filter (8 KiB for ~a thousand ids at <1% fp) → broadcast to the
+    *   corpus scan → rows the filter rejects are DEFINITE non-members
+    *   and skip the anti-join entirely → only the maybe-present sliver
+    *   takes the exact anti-join, which removes false positives.
+    *
+    * The final answer therefore equals a plain anti-join — the DuckDB
+    * oracle IS the plain anti-join — while at scale the shuffle-join
+    * input shrinks from the whole corpus to ~(true members + fp·corpus)
+    * rows. The 1-row sketch cross join is a broadcast of one row — the
+    * bounded shape, not an n² one. */
+  val bloomPrefilter = Q(
+    "q_bloom_prefilter",
+    s"""WITH RECURSIVE ${DedupQueries.lshCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), drops AS (
+       |  SELECT id FROM walk GROUP BY id HAVING id <> min(reach)
+       |)
+       |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drops)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val dropIds = DedupQueries.lshKeepList(s, d)
+      .filter(!col("keep")).select(col("doc_id"))
+    val sketch = dropIds
+      .agg(bloomAgg(col("doc_id").cast("string"), 1 << 16, 5).as("sk"))
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    val tagged = docs.crossJoin(broadcast(sketch))
+      .withColumn("maybe", bloomContains(col("sk"), col("doc_id").cast("string")))
+    val clean = tagged.filter(!col("maybe")).select("doc_id", "source")
+    val suspect = tagged.filter(col("maybe")).select("doc_id", "source")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+    clean.unionByName(suspect)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
   val hllDistinct = Q.rowsOnly("q_hll_distinct") { (s, d) =>
     Tables.documents(s, d)
       .groupBy("source")

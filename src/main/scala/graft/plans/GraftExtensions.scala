@@ -62,5 +62,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllEstimate(children(0))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomAgg(children(0),
+          intLit(children(1), "bloom_agg bits"),
+          intLit(children(2), "bloom_agg hashes")).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_merge"),
+      new ExpressionInfo(classOf[BloomMergeAgg].getName, "bloom_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomContains(children(0), children(1))))
   }
 }
