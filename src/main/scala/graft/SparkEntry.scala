@@ -32,6 +32,8 @@ object SparkEntry {
     CoreQueries.semiJoin,
     CoreQueries.antiJoin,
     CoreQueries.leftOuterJoin,
+    CoreQueries.fullOuterJoin,
+    CoreQueries.unpivotMetrics,
     CoreQueries.u1UnionAll,
     CoreQueries.setIntersect,
     CoreQueries.setExcept,
@@ -72,6 +74,7 @@ object SparkEntry {
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.ivfTopK,
     SimilarityQueries.ivfTopKProbe2,
+    SimilarityQueries.ivfRecall,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,

@@ -307,6 +307,67 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** Full-outer join with genuinely unmatched rows on BOTH sides:
+    * per-customer open-order counts vs finished-order counts — a
+    * customer with only open or only finished orders appears on exactly
+    * one side. The coalesced key + zero-filled counts are the canonical
+    * full-outer reconciliation shape. */
+  val fullOuterJoin = Q(
+    "q_full_outer_join",
+    """SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+      |  CAST(COALESCE(n_open, 0) AS BIGINT) AS n_open,
+      |  CAST(COALESCE(n_fin, 0) AS BIGINT) AS n_fin
+      |FROM (SELECT o_custkey, count(*) AS n_open FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+      |FULL JOIN (SELECT o_custkey, count(*) AS n_fin FROM orders
+      |           WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+      |  ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ck_a"))
+      .agg(count(lit(1)).as("n_open"))
+    val fin = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("ck_b"))
+      .agg(count(lit(1)).as("n_fin"))
+    open.join(fin, col("ck_a") === col("ck_b"), "full")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_fin"), lit(0L)).as("n_fin"))
+      .orderBy("custkey")
+  }
+
+  /** Unpivot (melt): wide per-flag aggregates back to long
+    * (metric, value) form — the inverse of the pivot operator, via
+    * Spark's native `Dataset.unpivot` (oracle = UNION ALL re-longing).
+    * Values go through exact decimal sums before one final DOUBLE
+    * cast, per the engine's hash-stability rule. */
+  val unpivotMetrics = Q(
+    "q_unpivot",
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM t
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM t
+      |) ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   // -------------------------------------------------------------- set ops
 
   /** U1/U2: union-all of two homogeneous slices (by name, like the

@@ -114,6 +114,53 @@ object SimilarityQueries {
     * Consumes the SAME [[IvfIndex]] artifact as `q_ann_ivf`: assignments
     * from the stored bucketed table, probe lists derived from the stored
     * centroids (map-only) — zero retraining in this query's plan. */
+  /** Self-measuring index evaluation: recall@5 of the trained
+    * single-probe IVF index against the exact brute-force baseline, per
+    * query — the quality gauge a real ANN deployment tracks when tuning
+    * k/nprobe. Both sides are deterministic, so even the recall numbers
+    * are oracle-exact; the IVF side reads the persisted [[IvfIndex]]
+    * artifact (no retraining). hits counts brute-force top-5 neighbors
+    * the IVF search also returned. */
+  val ivfRecall = Q(
+    "q_ann_recall",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |    JOIN v c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |          WHERE v.vec_id < 10) q
+       |    JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
+       |      ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(ivf.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN ivf
+       |  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val bf = bruteForceTopK.run(s, d).select("query_id", "neighbor_id")
+    val iv = ivfTopK.run(s, d)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+    bf.join(iv,
+        bf("query_id") === iv("query_id") &&
+          bf("neighbor_id") === iv("ivf_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("ivf_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
+
   val ivfProbe = 2
   val ivfTopKProbe2 = Q(
     "q_ann_ivf_probe2",
