@@ -53,6 +53,13 @@ final case class BucketedTableSink(
       if (sortCols.isEmpty) bucketed
       else bucketed.sortBy(sortCols.head, sortCols.tail: _*)
     sorted.saveAsTable(table)
+    // Catalyst table + column statistics: the stored artifact is read by
+    // MANY later plans, so one ANALYZE here buys accurate sizeInBytes /
+    // rowCount / NDV for every join-strategy and reorder decision that
+    // touches it (a size-unknown table defeats broadcast planning).
+    df.sparkSession.sql(
+      s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        (bucketCols ++ sortCols).distinct.mkString(", "))
   }
 }
 

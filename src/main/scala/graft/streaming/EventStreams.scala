@@ -45,6 +45,29 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
 
+  /** Tumbling-window approximate distinct users per event type via the
+    * engine's mergeable HLL aggregate ([[graft.plans.HllSketchAgg]]) —
+    * sketch state IN the streaming state store: each window's partial
+    * buffer is the 4 KiB register array, merged across micro-batches by
+    * the same register-wise max that merges across shards, so streaming
+    * and batch produce the IDENTICAL estimate (deterministic hashing, no
+    * RNG — pinned by the parity test). The scalable cardinality shape:
+    * per-(window, type) state is constant-size regardless of user
+    * cardinality, where exact countDistinct state grows with it. */
+  def windowedDistinctUsers(events: DataFrame,
+                            watermark: String = "1 hour"): DataFrame = {
+    import graft.plans.Hll.{hllEstimate, hllSketch}
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        hllEstimate(hllSketch(col("user_id").cast("string"), 12)).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("approx_users"), col("n"))
+  }
+
   /** Watermarked stream-stream INNER join: purchases attributed to every
     * click by the same user in the preceding hour — the streaming twin
     * of EventQueries.intervalJoin (its parity test's oracle).

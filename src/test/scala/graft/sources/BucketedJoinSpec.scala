@@ -35,6 +35,15 @@ class BucketedJoinSpec extends SparkSpec {
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       assert(joined.exceptAll(expected).count() == 0)
       assert(expected.exceptAll(joined).count() == 0)
+
+      // the sink ANALYZEd the table: Catalyst sees real row counts and
+      // key NDV, so size-based planning over the artifact is informed
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("li_bucketed"))
+      val stats = meta.stats.getOrElse(fail("no table statistics recorded"))
+      assert(stats.rowCount.exists(_.toLong > 0L))
+      assert(stats.colStats.get("l_orderkey")
+               .exists(_.distinctCount.exists(_.toLong > 0L)))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sql("DROP TABLE IF EXISTS li_bucketed")

@@ -29,6 +29,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed windowed HLL sketch equals the batch estimate exactly") {
+    import graft.plans.Hll.{hllEstimate, hllSketch}
+    val stream = EventStreams.readEventStream(spark, sf0001)
+    val q = EventStreams.windowedDistinctUsers(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hll_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+        .select("window_start", "event_type", "approx_users", "n")
+      // batch twin over the same rows: deterministic sketches make the
+      // streaming estimates EQUAL, not merely close
+      val batch = graft.Tables.events(spark, sf0001)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          hllEstimate(hllSketch(col("user_id").cast("string"), 12)).as("approx_users"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("approx_users"), col("n"))
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val clicks = EventStreams.readEventStream(spark, sf0001)
       .filter($"event_type" === "click")
