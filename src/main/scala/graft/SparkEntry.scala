@@ -86,6 +86,7 @@ object SparkEntry {
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,
+    MultimodalQueries.wavRoundTrip,
     // surface completion: full pipeline composition, salting, SQL layer,
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+  * (WAV/PCM — no external libraries), the audio twin of [[ImageCodec]]:
+  * genuine header+stream decode, partition-local, total on garbage.
+  * PCM WAV is lossless, so every decoded fact (sample rate, channels,
+  * frame count, duration, first sample value) is closed-form computable
+  * by an oracle — the q_mm_wav round trip is hash-verified end to end.
+  * (Video remains stubbed: the JDK ships no video codec.) */
+object AudioCodec {
+
+  /** One decoded audio row: the metadata a training pipeline
+    * filters/samples on (-1 sentinels for undecodable payloads). */
+  final case class AudioRow(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      first_sample: Int)
+
+  /** Deterministic synthetic 16-bit PCM WAV for a document id:
+    * rate = 8000 + (id%8)·1000, channels = 1 + id%2,
+    * frames = 400 + (id%100)·4, sample i = ((id·31 + i·7) % 65536) −
+    * 32768 interleaved across channels. Every parameter is integer
+    * arithmetic an oracle replays; the WAV container is lossless. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 8).toInt * 1000
+    val channels = 1 + (id % 2).toInt
+    val frames = 400 + (id % 100).toInt * 4
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      val s = (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toShort
+      data(2 * i) = (s & 0xff).toByte            // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload's header + first frame, total: corrupt or
+    * non-audio payloads yield the -1 sentinel row instead of throwing
+    * (one bad blob must not kill a 100 TB stage). duration_ms uses
+    * integer floor division — replayable as `frames * 1000 // rate`. */
+  def decodeRow(id: Long, payload: Array[Byte]): AudioRow = {
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val rate = math.round(fmt.getSampleRate)
+        val first = if (frames > 0 && fmt.getSampleSizeInBits == 16) {
+          // reads must cover whole frames (frameSize = channels × 2);
+          // the first sample is the frame's first 16-bit word
+          val b = new Array[Byte](fmt.getFrameSize)
+          if (ais.read(b) == b.length) {
+            val s = if (fmt.isBigEndian) ((b(0) << 8) | (b(1) & 0xff)).toShort
+                    else ((b(1) << 8) | (b(0) & 0xff)).toShort
+            s.toInt
+          } else -1
+        } else -1
+        AudioRow(id, rate, fmt.getChannels, frames,
+                 frames * 1000L / rate, first)
+      } finally ais.close()
+    } catch {
+      case _: Exception => AudioRow(id, -1, -1, -1L, -1L, -1)
+    }
+  }
+}

@@ -52,6 +52,35 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode through `javax.sound.sampled` (JDK built-in WAV
+    * codec): doc_id < 500 → deterministic synthetic 16-bit PCM WAV →
+    * partition-local header+stream decode. Lossless PCM makes every
+    * output column — rate, channels, frames, floor-division duration,
+    * the actual first decoded sample — closed-form for the oracle. */
+  val wavRoundTrip = Q(
+    "q_mm_wav",
+    """SELECT doc_id,
+      |  CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(400 + (doc_id % 100) * 4 AS BIGINT) AS n_frames,
+      |  CAST((400 + (doc_id % 100) * 4) * 1000
+      |       // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+      |  CAST((doc_id * 31) % 65536 - 32768 AS INTEGER) AS first_sample
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.AudioCodec.decodeRow(
+            id, graft.multimodal.AudioCodec.syntheticWav(id))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val decodeMeta = Q(
     "q_mm_decode",
     s"""WITH m AS (SELECT doc_id, md5(text) AS h,
