@@ -75,6 +75,7 @@ object SparkEntry {
     SimilarityQueries.ivfTopK,
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,
+    SimilarityQueries.ivfCellStats,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,

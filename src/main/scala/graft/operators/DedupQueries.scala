@@ -342,7 +342,16 @@ object DedupQueries {
     * pigeonhole two-half blocking → (half, bits) candidate equi-join →
     * exact bit-diff verify via plain equi-joins on doc id (the signature
     * frame is corpus-sized, so no static broadcast hint — AQE sizes it).
-    * Pure plan construction for the builder AND the hygiene sweep. */
+    * Pure plan construction for the builder AND the hygiene sweep.
+    *
+    * Deliberately NO bucket cap here (unlike [[lshPairsFrom]]): the
+    * pigeonhole construction's guaranteed recall is the operator's
+    * contract, and dropping a bucket would break it. The skew exposure
+    * differs too — a hot half-bucket means many documents share 8
+    * signature bits, which for SimHash means near-identical content; a
+    * corpus pass bounds that upstream by running exact dedup FIRST
+    * (identical docs collapse before near-dup detection), the order
+    * q_corpus_curation documents. */
   private[graft] def simhashPairsFrom(sig: DataFrame): DataFrame = {
     val halves = sig.select(col("doc_id"), lit(0).as("h"),
                             substring(col("simhash"), 1, 8).as("bits"))

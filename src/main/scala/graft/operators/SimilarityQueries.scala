@@ -161,6 +161,22 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Index introspection: per-cell population of the persisted IVF
+    * assignment table — the balance gauge an ANN operator watches when
+    * tuning k (one overfull cell means single-probe queries there scan
+    * a corpus-sized bucket). Reads ONLY the stored artifact; the oracle
+    * replays training. */
+  val ivfCellStats = Q(
+    "q_ann_cells",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT cell, count(*) AS n_vectors, min(vec_id) AS first_vec
+       |FROM asn GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    IvfIndex.assignments(s, d, ivfK, ivfIters)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
+      .orderBy("cell")
+  }
+
   val ivfProbe = 2
   val ivfTopKProbe2 = Q(
     "q_ann_ivf_probe2",

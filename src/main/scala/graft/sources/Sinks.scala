@@ -63,6 +63,49 @@ final case class BucketedTableSink(
   }
 }
 
+/** Keyed upsert (merge) into a bucketed managed table — the daily-load
+  * pattern a Customer360 warehouse runs without a transactional table
+  * format: each batch's rows REPLACE existing rows with the same key,
+  * latest `versionCol` wins (ties broken by the remaining columns
+  * descending, so the merge is deterministic under duplicate versions).
+  *
+  * Scale shape: merge = one co-bucketed union + one window pass on the
+  * bucket key (no driver state), written to a STAGING table and swapped
+  * in via metastore rename — never an in-place overwrite of a table the
+  * plan is still reading, and never a driver-memory materialization.
+  * The swap keeps the bucket spec (downstream zero-Exchange joins
+  * survive) and the freshly-ANALYZEd statistics. UpsertSinkSpec pins
+  * upsert(day1) ∘ upsert(day2) ≡ keep-latest over day1 ∪ day2. */
+final case class UpsertBucketedSink(
+    buckets: Int,
+    keyCols: Seq[String],
+    versionCol: String) extends Sink {
+  require(keyCols.nonEmpty, "upsert sink needs at least one key column")
+
+  def write(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val inner = BucketedTableSink(buckets, keyCols)
+    if (!s.catalog.tableExists(table)) inner.write(df, table)
+    else {
+      val all = s.table(table).unionByName(df)
+      val others = all.columns
+        .filterNot(c => keyCols.contains(c) || c == versionCol).toSeq
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy((col(versionCol) +: others.map(col)).map(_.desc): _*)
+      val merged = all
+        .withColumn("_upsert_rn", row_number().over(w))
+        .filter(col("_upsert_rn") === 1)
+        .drop("_upsert_rn")
+      val staging = table + "_upsert_staging"
+      inner.write(merged, staging)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      s.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
+  }
+}
+
 /** Debug sink (`result.show()` at ETL_customer_behavior.py:202). */
 final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def write(df: DataFrame, table: String): Unit = df.show(numRows, truncate = false)
