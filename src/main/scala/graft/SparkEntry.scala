@@ -88,6 +88,7 @@ object SparkEntry {
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,
     MultimodalQueries.wavRoundTrip,
+    MultimodalQueries.aviProbe,
     // surface completion: full pipeline composition, salting, SQL layer,
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,

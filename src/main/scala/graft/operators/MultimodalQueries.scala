@@ -81,6 +81,34 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Video container metadata via a real RIFF/AVI header parser (frame
+    * decode stays stubbed — the JDK ships no video codec; resolution /
+    * frame count / fps / duration are what a corpus pass filters on).
+    * Every output column is closed-form for the oracle. */
+  val aviProbe = Q(
+    "q_mm_avi",
+    """SELECT doc_id,
+      |  CAST(160 + (doc_id % 16) * 16 AS INTEGER) AS width,
+      |  CAST(120 + (doc_id % 9) * 8 AS INTEGER) AS height,
+      |  CAST(100 + (doc_id % 50) * 10 AS BIGINT) AS n_frames,
+      |  CAST(1000000 // (33333 + (doc_id % 5) * 1000) AS BIGINT) AS fps,
+      |  CAST((100 + (doc_id % 50) * 10) * (33333 + (doc_id % 5) * 1000)
+      |       // 1000 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.VideoProbe.probeRow(
+            id, graft.multimodal.VideoProbe.syntheticAvi(id))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val decodeMeta = Q(
     "q_mm_decode",
     s"""WITH m AS (SELECT doc_id, md5(text) AS h,

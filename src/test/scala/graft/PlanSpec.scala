@@ -47,6 +47,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"semi join not preserved:\n$p")
   }
 
+  test("top-1-per-group plans as bounded WindowGroupLimit, not full-group sorts") {
+    // Catalyst's InferWindowGroupLimit rewrites rank()<=k into a
+    // per-group bounded pass on BOTH sides of the shuffle (partial +
+    // final) — each partition keeps k rows per key instead of sorting
+    // whole groups. At 100 TB this is the difference between a bounded
+    // scan and a full per-group materialization; pin it so a refactor
+    // of the filter shape can't silently lose the rewrite.
+    val p = planString(CoreQueries.w1TopkPerGroup.run(spark, sf0001))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank<=1 filter lost the WindowGroupLimit rewrite:\n$p")
+  }
+
   test("embedding near-dup is LSH-bucketed: no cross join on the unbounded table") {
     val df = graft.operators.DedupQueries.embeddingPairs.run(spark, sf0001)
     val p = planString(df)
