@@ -84,6 +84,14 @@ object SparkEntry {
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,
+    // corpus construction (contamination / repetition / split / packing / PII)
+    CorpusQueries.contamination,
+    CorpusQueries.repetition,
+    CorpusQueries.splitAssign,
+    CorpusQueries.packShards,
+    CorpusQueries.piiScrub,
+    // warehouse maintenance
+    WarehouseQueries.scd2,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Corpus-construction operators beyond dedup: the bookkeeping passes a
+  * large-scale training-data build runs between "raw crawl" and "training
+  * shards" — benchmark-contamination detection, intra-document repetition
+  * signals, deterministic split assignment, token-budget shard packing,
+  * and PII redaction.
+  *
+  * Scale design notes (100 TB):
+  *  - contamination is a shuffle equi-join on the n-gram value; the
+  *    benchmark side is small by construction (eval sets are thousands of
+  *    docs, not billions), so AQE broadcasts it at runtime — no static
+  *    hint, per the PlanHygieneSpec rule.
+  *  - repetition/scrub/split are pure per-row map + hash-agg work (no
+  *    joins), linear in corpus size.
+  *  - shard packing windows are PARTITIONED by source — the global-sort
+  *    single-reducer shape is deliberately avoided; each source packs in
+  *    parallel and shard ids are (source, seq) pairs.
+  */
+object CorpusQueries {
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+
+  /** Benchmark-contamination check: which training documents share word
+    * 5-grams with the held-out eval slice (`doc_id % 97 = 0` stands in
+    * for "the benchmark suite")? The canonical decontamination pass of an
+    * LLM corpus build (n-gram collision, not similarity — one shared
+    * 5-gram flags the doc for review).
+    *
+    * Plan: explode distinct 5-grams, equi-join train-side grams against
+    * the distinct benchmark gram set, count collisions per doc. The
+    * benchmark side stays small, so AQE picks a broadcast at runtime. */
+  val contamination = Q(
+    "q_text_contamination",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+4], ' ')
+       |                   for i in range(1, len(w) - 3)]) AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0),
+       |shared AS (
+       |  SELECT e.doc_id, count(*) AS n_shared
+       |  FROM ex e JOIN bench b USING (g)
+       |  WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id
+       |), tot AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+       |  FROM s WHERE doc_id % 97 <> 0
+       |)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(coalesce(sh.n_shared, 0) > 0 AS INTEGER) AS contaminated
+       |FROM tot t LEFT JOIN shared sh USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(tokens(col("text")), 5)).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val bench = ex.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val shared = ex.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Intra-document repetition signals (the Gopher/C4 quality-rule tier):
+    * per doc, total vs distinct word 2-grams, the most-repeated 2-gram's
+    * count, and the derived duplicate-fraction / top-share ratios.
+    *
+    * Deliberately explode + two hash-aggs, NOT a per-row higher-order
+    * lambda: `transform`/`filter` lambdas run interpreted (~20×), while
+    * explode + groupBy stays inside whole-stage codegen and map-side
+    * partial aggregation — the shape that survives a 100× corpus. */
+  val repetition = Q(
+    "q_text_repetition",
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+       |                         for i in range(1, len(w))]) AS g
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), pc AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY doc_id, g),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_rep
+       |  FROM pc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_grams, n_distinct, max_rep,
+       |  (n_grams - n_distinct) * 1.0 / n_grams AS dup_fraction,
+       |  max_rep * 1.0 / n_grams AS top_share
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max("c").as("max_rep"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_fraction"),
+        (col("max_rep").cast("double") / col("n_grams")).as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment: an md5 hash-gate over
+    * doc_id (same family as [[SampleQueries]] — rerun-stable, partition-
+    * independent, no RNG) splits ~80/10/10 on the first two hex chars
+    * (train < 'cd' = 205/256, val < 'e6' = 29/256, else test), with
+    * per-split document / token / source accounting. Pure map + one
+    * hash-agg — the split of a 100 TB corpus is one linear pass. */
+  val splitAssign = Q(
+    "q_split_assign",
+    s"""SELECT split, count(*) AS n_docs,
+       |  CAST(sum(len($W)) AS BIGINT) AS ws_tokens,
+       |  count(DISTINCT source) AS n_sources
+       |FROM (
+       |  SELECT text, source,
+       |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |         THEN 'train'
+       |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val' ELSE 'test' END AS split
+       |  FROM documents
+       |) GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val gate = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+    Tables.documents(s, d)
+      .select(col("text"), col("source"),
+        when(gate < "cd", "train").when(gate < "e6", "val").otherwise("test")
+          .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("ws_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("split")
+  }
+
+  /** Token-budget shard packing: within each source, documents (in
+    * doc_id order) are packed into contiguous shards of ~2000 whitespace
+    * tokens — the "write N-token training files" step. A document lands
+    * in the shard of its cumulative-token prefix (exclusive), so shard
+    * boundaries are deterministic and single-pass.
+    *
+    * The window is PARTITIONED BY source: each source packs
+    * independently in parallel. The unpartitioned variant (one global
+    * ORDER BY) is the classic 100 TB anti-shape — a single-reducer sort
+    * — and is deliberately not offered. */
+  val packShards = Q(
+    "q_pack_shards",
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, toks,
+       |    coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT source, CAST(cum_before // 2000 AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY source, shard
+       |ORDER BY source, shard""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .groupBy(col("source"), expr("cum_before div 2000").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard")
+  }
+
+  /** PII redaction: regex scrub of emails, phone numbers, and IPv4
+    * addresses with per-row redaction counts — the compliance pass of a
+    * corpus release. The contact text is synthesized deterministically
+    * from `customer` (the tables carry no real PII), the SCRUBBER is the
+    * operator under test. Patterns are restricted to the syntax subset
+    * Java regex and RE2 agree on (no backrefs, no lookaround). Pure
+    * per-row map — linear at any scale. */
+  val piiScrub = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val phone = "\\d{3}-\\d{4}"
+    Q(
+      "q_pii_scrub",
+      s"""WITH raw AS (
+         |  SELECT c_custkey,
+         |    c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+         |    '@example.com> phone 555-01' ||
+         |    lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || ' ip 10.0.' ||
+         |    CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+         |    CAST((c_custkey * 7) % 256 AS VARCHAR) AS txt
+         |  FROM customer
+         |)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$ip')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+         |                   '$ip', '<IP>', 'g'), '$phone')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM raw ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val txt = concat(
+        col("c_name"), lit(" <"), lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com> phone 555-01"),
+        lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit(" ip 10.0."),
+        (col("c_custkey") % 256).cast("string"), lit("."),
+        ((col("c_custkey") * 7) % 256).cast("string"))
+      val noEmail = regexp_replace(col("txt"), email, "<EMAIL>")
+      val noIp = regexp_replace(noEmail, ip, "<IP>")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), txt.as("txt"))
+        .select(
+          col("c_custkey"),
+          regexp_count(col("txt"), lit(email)).cast("int").as("n_emails"),
+          regexp_count(col("txt"), lit(ip)).cast("int").as("n_ips"),
+          regexp_count(noIp, lit(phone)).cast("int").as("n_phones"),
+          md5(regexp_replace(noIp, phone, "<PHONE>")).as("scrubbed_md5"))
+        .orderBy("c_custkey")
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Warehouse-maintenance operators: the dimension-table lifecycle work a
+  * Customer-360 ETL runs around its analytics queries (the reference's
+  * pipelines rebuild dimensions from scratch each day; these are the
+  * incremental-warehouse equivalents).
+  *
+  * Scale design: everything here is a PARTITIONED window (by entity key)
+  * — change detection and interval stitching shuffle once on the key and
+  * then stream each entity's history in order; no global sorts, no
+  * self-joins over history length.
+  */
+object WarehouseQueries {
+
+  /** Slowly-changing-dimension (type 2) build: compress each customer's
+    * order-priority history into validity intervals
+    * `[valid_from, valid_to)` with an is_current flag — the classic
+    * "snapshot stream → SCD2 dimension" ETL. Change detection is
+    * lag-based (one window), interval stitching is lead-based (second
+    * window over the change rows only); ties on a date are broken by
+    * order key so the result is engine-exact. */
+  val scd2 = Q(
+    "q_scd2",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders
+      |), chg AS (
+      |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate AS valid_from
+      |  FROM o WHERE prev IS NULL OR prev <> o_orderpriority
+      |), scd AS (
+      |  SELECT o_custkey AS custkey, o_orderpriority AS priority, valid_from,
+      |    lead(valid_from) OVER
+      |      (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to
+      |  FROM chg
+      |)
+      |SELECT custkey, priority, valid_from, valid_to,
+      |  CAST(valid_to IS NULL AS INTEGER) AS is_current
+      |FROM scd ORDER BY custkey, valid_from""".stripMargin) { (s, d) =>
+    val byOrder = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val byChange = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(byOrder))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byChange))
+      .select(
+        col("o_custkey").as("custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("custkey", "valid_from")
+  }
+}
