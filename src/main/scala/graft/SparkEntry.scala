@@ -62,6 +62,7 @@ object SparkEntry {
     DedupQueries.exactKeepFirst,
     DedupQueries.minhashSignature,
     DedupQueries.minhashLshPairs,
+    DedupQueries.incrementalPairs,
     DedupQueries.resolveClusters,
     DedupQueries.simhashBuckets,
     DedupQueries.simhashPairs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
@@ -219,6 +219,14 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("nbands"))
       .filter(col("nbands") >= 2)
+    verifyJaccard(pairs, sh)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs at 0.5: re-attach
+    * both shingle sets via plain equi-joins on doc id (the shingle frame
+    * is corpus-sized — NO static broadcast hint; AQE broadcasts the
+    * candidate side when it measures small). */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -268,6 +276,50 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     lshPairs(s, d)
       .select("doc_a", "doc_b", "nbands", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The incremental pair-generation plan: near-dup pairs TOUCHING a
+    * delta slice, without re-pairing the base corpus against itself —
+    * the daily-crawl shape. Delta band rows equi-join the FULL band
+    * index on (band, key), so cost is |delta| × bucket width, not
+    * |corpus|²; at 100 TB the full band index is the persisted signature
+    * artifact and only the delta's signatures are computed fresh.
+    * `countDistinct(band)` (not `count(*)`) keeps nbands exact for
+    * delta–delta pairs, which the symmetric join sees from both sides.
+    * The bucket-size guard is computed over the FULL index, matching the
+    * base generator bucket-for-bucket. */
+  private[graft] def lshIncrementalFrom(sh: DataFrame, isDelta: Column): DataFrame = {
+    val bands = lshBandRows(sh)
+    val okBuckets = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= LshMaxBucket)
+      .select("band", "key")
+    val bounded = bands.join(okBuckets, Seq("band", "key"))
+    val delta = bounded.filter(isDelta)
+      .select(col("doc_id").as("d_id"), col("band"), col("key"))
+    val all = bounded.select(col("doc_id").as("o_id"), col("band"), col("key"))
+    val pairs = delta.join(all, Seq("band", "key"))
+      .filter(col("d_id") =!= col("o_id"))
+      .select(least(col("d_id"), col("o_id")).as("doc_a"),
+              greatest(col("d_id"), col("o_id")).as("doc_b"), col("band"))
+      .groupBy("doc_a", "doc_b").agg(countDistinct(col("band")).as("nbands"))
+      .filter(col("nbands") >= 2)
+    verifyJaccard(pairs, sh)
+  }
+
+  /** Incremental dedup against the existing corpus: verified pairs with
+    * at least one side in the delta slice (`doc_id % 10 = 7` stands in
+    * for "today's documents"). Result ≡ the full pair set filtered to
+    * delta-touching pairs — the oracle states exactly that — but the
+    * PLAN never joins base against base. */
+  val incrementalPairs = Q(
+    "q_dedup_incremental",
+    s"""WITH $lshCtes
+       |SELECT doc_a, doc_b, nbands, jaccard FROM vpairs
+       |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    lshIncrementalFrom(lshShingles(s, d), col("doc_id") % 10 === 7)
       .orderBy("doc_a", "doc_b")
   }
 
