@@ -91,8 +91,9 @@ object SparkEntry {
     CorpusQueries.splitAssign,
     CorpusQueries.packShards,
     CorpusQueries.piiScrub,
-    // warehouse maintenance
+    // warehouse maintenance + data layout
     WarehouseQueries.scd2,
+    WarehouseQueries.zorderKey,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,

@@ -56,4 +56,30 @@ object WarehouseQueries {
         col("valid_to").isNull.cast("int").as("is_current"))
       .orderBy("custkey", "valid_from")
   }
+
+  /** Z-order clustering key: the Morton interleave of (part, supplier)
+    * that [[graft.plans.ZOrder.writeLayout]] range-partitions by — the
+    * multi-dimensional layout key of a 100 TB fact table. The query
+    * surfaces the key itself (closed-form bit arithmetic, so the oracle
+    * recomputes it exactly); ZOrderLayoutSpec proves the layout property
+    * it buys (tight per-file bounding boxes → file skipping). */
+  val zorderKey = {
+    import graft.plans.ZOrder
+    Q(
+      "q_zorder_key",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(l_partkey % 256 AS BIGINT) AS x,
+         |  CAST(l_suppkey % 256 AS BIGINT) AS y,
+         |  CAST(${ZOrder.zSql("(l_partkey % 256)", "(l_suppkey % 256)", 8)}
+         |       AS BIGINT) AS z
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"),
+          ZOrder.zValue(col("l_partkey") % 256, col("l_suppkey") % 256, 8).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  }
 }
