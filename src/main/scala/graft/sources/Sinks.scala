@@ -102,6 +102,19 @@ final case class UpsertBucketedSink(
       inner.write(merged, staging)
       s.sql(s"DROP TABLE IF EXISTS $table")
       s.sql(s"ALTER TABLE $staging RENAME TO $table")
+      // each SESSION's catalog caches the resolved relation (file
+      // listing included) under the table name; after the swap those
+      // caches still point at the dropped generation's files, so the
+      // next read in that session would hit ghosts. Refresh the writing
+      // session AND the default session (streaming foreachBatch runs in
+      // a clone — the main session is usually the reader). Readers in
+      // further sessions must refresh themselves, as with any
+      // non-transactional Hive-style swap.
+      s.catalog.refreshTable(table)
+      org.apache.spark.sql.SparkSession.getDefaultSession
+        .filter(_ ne s)
+        .filter(_.catalog.tableExists(table))
+        .foreach(_.catalog.refreshTable(table))
     }
   }
 }

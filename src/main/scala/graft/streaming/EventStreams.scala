@@ -231,4 +231,23 @@ object EventStreams {
         .as[UserEvent],
       gapMs)
   }
+
+  /** Continuous keyed merge: every micro-batch upserts into a bucketed
+    * warehouse table through [[graft.sources.UpsertBucketedSink]] — the
+    * streaming CDC-apply pattern without a transactional table format.
+    * `foreachBatch` reuses the batch sink verbatim, so the stream and
+    * the daily batch load share one merge implementation (and one
+    * correctness spec). Exactly-once per key does not depend on
+    * micro-batch replay: the merge is idempotent — keep-latest by
+    * (version, tie-break columns) yields the same table whether a batch
+    * applies once or twice — which is precisely the property a restart
+    * recovery needs. */
+  def upsertStream(df: DataFrame, sink: graft.sources.UpsertBucketedSink,
+                   table: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) sink.write(batch, table)
+      }
 }
