@@ -82,6 +82,7 @@ object SparkEntry {
     TextQueries.quality,
     TextQueries.tokenCounts,
     TextQueries.fingerprintQ,
+    TextQueries.tfidfTerms,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,
@@ -91,6 +92,7 @@ object SparkEntry {
     CorpusQueries.splitAssign,
     CorpusQueries.packShards,
     CorpusQueries.piiScrub,
+    CorpusQueries.curationFunnel,
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,

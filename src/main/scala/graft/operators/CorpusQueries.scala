@@ -183,6 +183,96 @@ object CorpusQueries {
       .orderBy("source", "shard")
   }
 
+  /** The full curation funnel with per-stage accounting: raw →
+    * quality-gated → benchmark-decontaminated → near-dup-deduplicated,
+    * reporting surviving docs and tokens AT EACH STAGE — the loss
+    * report every corpus release ships. One pass: each document gets a
+    * survival level (how many gates it clears, gates ordered as a
+    * funnel), one hash-agg computes all four stage totals as
+    * conditional sums, `stack` pivots them to rows. The quality gate is
+    * integer cross-multiplied (`n_distinct·10 ≥ n_words·3` for ratio ≥
+    * 0.3) — no float thresholds to drift. Dedup consumes the PERSISTED
+    * keep-list artifact ([[DedupQueries.lshKeepList]]); contamination
+    * grams shuffle-join as in [[contamination]]. */
+  val curationFunnel = Q(
+    "q_curation_funnel",
+    s"""WITH RECURSIVE ${DedupQueries.lshCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), drops AS (
+       |  SELECT id FROM walk GROUP BY id HAVING id <> min(reach)
+       |), g5 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+       |                          for i in range(1, len(w) - 3)])) AS g
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+       |shared AS (
+       |  SELECT g5.doc_id, count(*) AS n_shared
+       |  FROM g5 JOIN bench USING (g) GROUP BY g5.doc_id
+       |), lvl AS (
+       |  SELECT d.doc_id, len(w) AS toks,
+       |    CASE
+       |      WHEN NOT (len(w) >= 20 AND len(list_distinct(w)) * 10 >= len(w) * 3)
+       |        THEN 0
+       |      WHEN d.doc_id % 97 = 0 OR coalesce(s.n_shared, 0) > 0 THEN 1
+       |      WHEN d.doc_id IN (SELECT id FROM drops) THEN 2
+       |      ELSE 3 END AS level
+       |  FROM (SELECT doc_id, $W AS w FROM documents) d
+       |  LEFT JOIN shared s USING (doc_id)
+       |)
+       |SELECT stage, n_docs, ws_tokens FROM (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |    CAST(sum(toks) AS BIGINT) AS ws_tokens FROM lvl
+       |  UNION ALL SELECT '1_quality', count(*), CAST(sum(toks) AS BIGINT)
+       |    FROM lvl WHERE level >= 1
+       |  UNION ALL SELECT '2_decontaminated', count(*), CAST(sum(toks) AS BIGINT)
+       |    FROM lvl WHERE level >= 2
+       |  UNION ALL SELECT '3_deduplicated', count(*), CAST(sum(toks) AS BIGINT)
+       |    FROM lvl WHERE level >= 3
+       |) ORDER BY stage""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("dtoks"),
+        array_distinct(wordShingles(tokens(col("text")), 5)).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val bench = ex.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val shared = ex.join(bench, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val dropped = DedupQueries.lshKeepList(s, d)
+      .filter(!col("keep"))
+      .select(col("doc_id"), lit(true).as("is_dropped"))
+    val lvl = docs
+      .join(shared, Seq("doc_id"), "left")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("toks"),
+        when(!(col("toks") >= 20 && col("dtoks") * 10 >= col("toks") * 3), 0)
+          .when(col("doc_id") % 97 === 0 || coalesce(col("n_shared"), lit(0L)) > 0, 1)
+          .when(coalesce(col("is_dropped"), lit(false)), 2)
+          .otherwise(3).as("level"))
+    def stage(k: Int) = Seq(
+      sum(when(col("level") >= k, 1L).otherwise(0L)),
+      sum(when(col("level") >= k, col("toks")).otherwise(0L)))
+    val totals = lvl.agg(
+      stage(0)(0).as("n0"), stage(0)(1).as("t0"),
+      stage(1)(0).as("n1"), stage(1)(1).as("t1"),
+      stage(2)(0).as("n2"), stage(2)(1).as("t2"),
+      stage(3)(0).as("n3"), stage(3)(1).as("t3"))
+    totals.select(expr(
+      """stack(4,
+        |  '0_raw', n0, t0,
+        |  '1_quality', n1, t1,
+        |  '2_decontaminated', n2, t2,
+        |  '3_deduplicated', n3, t3) AS (stage, n_docs, ws_tokens)""".stripMargin))
+      .orderBy("stage")
+  }
+
   /** PII redaction: regex scrub of emails, phone numbers, and IPv4
     * addresses with per-row redaction counts — the compliance pass of a
     * corpus release. The contact text is synthesized deterministically

@@ -91,6 +91,47 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by tf·idf —
+    * the salient-term tagging pass of a corpus index. Everything stays
+    * in INTEGER space: for a fixed corpus, tf·N/df orders identically to
+    * tf/df, so the rank key is the integer quotient `tf·10⁶ div df` —
+    * no float accumulation, no cross-engine last-ulp drift, ties broken
+    * by term. Plan shape: one hash-agg for tf (doc, term), one for df
+    * (term), an equi-join on term (dim-sized right side — AQE
+    * broadcasts), one doc-partitioned window for the top-k. All
+    * shuffle-on-key; survives any corpus size. */
+  val tfidfTerms = Q(
+    "q_tfidf_terms",
+    s"""WITH tf AS (
+       |  SELECT doc_id, g AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($W) AS g FROM documents)
+       |  GROUP BY doc_id, g
+       |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, term, tf.tf, df.df,
+       |    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+       |  FROM tf JOIN df USING (term)
+       |), ranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tf, df, score, rk FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Content fingerprinting: md5 over the sorted distinct token set;
     * bucket sizes reveal bag-of-words duplicates that exact-hash dedup
     * misses. */
