@@ -54,6 +54,8 @@ object SparkEntry {
     EventQueries.sessionize,
     EventQueries.intervalJoin,
     EventQueries.intervalJoinOuter,
+    EventQueries.eventFunnel,
+    EventQueries.retentionCohorts,
     EventQueries.approxDistinct,
     SketchQueries.hllDistinct,
     SketchQueries.bloomPrefilter,

@@ -13,6 +13,81 @@ object EventQueries {
 
   private val dec = "decimal(18,2)"
 
+  /** Ordered conversion funnel view → click → purchase: a user converts
+    * at stage k only by events in SEQUENCE (first click strictly after
+    * the first view, first purchase strictly after that click) — the
+    * product-analytics semantics a bare per-type count gets wrong.
+    * Timestamps are exact microseconds on both engines, so the strict
+    * inequalities are engine-exact. Plan: three shuffle-on-user_id
+    * hash-aggs/joins — user cardinality work, no event-pair blowup. */
+  val eventFunnel = Q(
+    "q_event_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+      |)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+      |) ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def firstAfter(types: String, prev: org.apache.spark.sql.DataFrame) =
+      ev.filter(col("event_type") === types)
+        .join(prev.select(col("user_id"), col("t").as("t0")), "user_id")
+        .filter(col("ts") > col("t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val c = firstAfter("click", v)
+    val p = firstAfter("purchase", c)
+    // three single-row aggregates unioned (a global agg emits exactly
+    // one row even over an empty input, matching the oracle's count(*)
+    // subqueries; no join shapes anywhere near the hygiene sweep)
+    def staged(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    staged("1_view", v)
+      .unionByName(staged("2_click_after_view", c))
+      .unionByName(staged("3_purchase_after_click", p))
+      .orderBy("stage")
+  }
+
+  /** Retention cohorts: users grouped by first-seen date, distinct
+    * active users per (cohort, day offset ≤ 7) — the activation grid a
+    * Customer360 dashboard plots. Shuffle on user_id for the cohort
+    * assignment, then one hash-agg on (cohort, offset); both keys are
+    * bounded-cardinality dimensions at any corpus size. */
+  val retentionCohorts = Q(
+    "q_retention",
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events
+      |  GROUP BY user_id
+      |)
+      |SELECT CAST(cohort AS VARCHAR) AS cohort,
+      |  date_diff('day', cohort, CAST(e.ts AS DATE)) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      |WHERE date_diff('day', cohort, CAST(e.ts AS DATE)) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort"))
+    ev.join(firstSeen, "user_id")
+      .withColumn("day_offset", datediff(to_date(col("ts")), col("cohort")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort").cast("string").as("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Tumbling 1-hour windows per event type (the batch twin of a
     * Structured Streaming `window($"ts", "1 hour")` aggregation). */
   val tumblingWindow = Q(
