@@ -96,10 +96,10 @@ object TextQueries {
     * in INTEGER space: for a fixed corpus, tf·N/df orders identically to
     * tf/df, so the rank key is the integer quotient `tf·10⁶ div df` —
     * no float accumulation, no cross-engine last-ulp drift, ties broken
-    * by term. Plan shape: one hash-agg for tf (doc, term), one for df
-    * (term), an equi-join on term (dim-sized right side — AQE
-    * broadcasts), one doc-partitioned window for the top-k. All
-    * shuffle-on-key; survives any corpus size. */
+    * by term. Plan shape: one hash-agg for tf (doc, term), then df as a
+    * COUNT OVER (PARTITION BY term) on the same frame — one exchange to
+    * term, one back to doc for the top-k window; no separate df agg
+    * branch, no join. All shuffle-on-key; survives any corpus size. */
   val tfidfTerms = Q(
     "q_tfidf_terms",
     s"""WITH tf AS (
@@ -122,9 +122,8 @@ object TextQueries {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

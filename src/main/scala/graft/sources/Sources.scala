@@ -59,4 +59,19 @@ object Sources {
     * for verifying the declared schema against live data. */
   def interactionLogsInferred(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.json(paths: _*)
+
+  /** Schema-evolved warehouse read: generations of a day-partitioned
+    * parquet table whose schema GREW over time (columns added, never
+    * removed/retyped) read as one frame — old generations null-fill the
+    * new columns. The footer-merge pass (`mergeSchema`) costs one extra
+    * footer read per file at PLANNING time only; at 100 TB prefer
+    * declaring the superset schema explicitly (pass `declared`) so
+    * planning stays O(1) — both paths produce the same frame, and
+    * SchemaEvolutionSpec proves it. */
+  def readEvolved(spark: SparkSession, baseDir: String,
+                  declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    declared match {
+      case Some(schema) => spark.read.schema(schema).parquet(baseDir)
+      case None => spark.read.option("mergeSchema", "true").parquet(baseDir)
+    }
 }
