@@ -23,8 +23,19 @@ object TextFunctions {
 
   /** Word k-shingles as strings ("w1 w2 ... wk"); empty array when the
     * document is shorter than k. DuckDB equivalent (list comprehension):
-    * `[array_to_string(w[i:i+k-1],' ') for i in range(1, len(w)-k+2)]`. */
+    * `[array_to_string(w[i:i+k-1],' ') for i in range(1, len(w)-k+2)]`.
+    *
+    * Backed by the fused native [[graft.plans.WordShingles]] expression —
+    * the composed `transform(sequence, i -> concat_ws(slice))` form runs
+    * its lambda interpreted (~20× slower), and shingling feeds every hot
+    * text path; WordShinglesSpec pins value equality with the composed
+    * form. */
   def wordShingles(words: Column, k: Int): Column =
+    graft.plans.WordShingles.wordShingles(words, k)
+
+  /** The pre-native composed form of [[wordShingles]], kept as the
+    * equality oracle for WordShinglesSpec. */
+  private[graft] def wordShinglesComposed(words: Column, k: Int): Column =
     when(size(words) >= k,
       transform(sequence(lit(1), size(words) - (k - 1)),
         i => concat_ws(" ", slice(words, i, lit(k)))))

@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashes(children(0), intLit(children(1), "minhashes k"))))
     e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(children(0), intLit(children(1), "word_shingles k"))))
+    e.injectFunction((
       FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
