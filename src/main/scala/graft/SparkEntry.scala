@@ -75,6 +75,7 @@ object SparkEntry {
     DedupQueries.embeddingPairsExact,
     // similarity search
     SimilarityQueries.bruteForceTopK,
+    SimilarityQueries.int8TopK,
     SimilarityQueries.ivfTopK,
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,

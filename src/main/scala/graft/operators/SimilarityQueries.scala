@@ -63,6 +63,65 @@ object SimilarityQueries {
       k = 5)
   }
 
+  /** Scalar-quantized (int8-grid) brute-force top-k: vectors compressed
+    * to the 0..255 grid by per-dimension min/max scaling, then ranked by
+    * cosine over the QUANTIZED values — the 4×-smaller storage tier a
+    * 100 TB embedding corpus actually scans (full-precision vectors stay
+    * cold; recall loss is the price of bandwidth).
+    *
+    * Exactness: the quantized grid values are small integers, their
+    * products and ≤64-term sums are exact in double, and sqrt/divide are
+    * IEEE correctly-rounded — so the quantized cosine is bit-identical
+    * across engines and the ranking is oracle-checkable, tie-broken by
+    * vec_id. The per-dim stats frame is ONE row (arrays of 64 mins/maxs)
+    * broadcast onto the corpus scan; the quantize step is a map.
+    * Training (min/max) is one posexplode + hash-agg over the corpus. */
+  val int8TopK = Q(
+    "q_ann_int8",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |d AS (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v),
+       |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM d GROUP BY pos),
+       |qd AS (
+       |  SELECT vec_id, pos,
+       |    CASE WHEN hi > lo THEN floor(((x - lo) * 255.0) / (hi - lo))
+       |         ELSE 0.0 END AS qx
+       |  FROM d JOIN stats USING (pos)
+       |), qv AS (SELECT vec_id, list(qx ORDER BY pos) AS e FROM qd GROUP BY vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |  FROM (SELECT * FROM qv WHERE vec_id < 10) q
+       |  JOIN qv c ON c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = v
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    // one row: (mins, maxs) as pos-ordered arrays — broadcast, not collect
+    val statsRow = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").as("his"))
+    val quantize = // evaluation order mirrors the oracle: ((x-lo)*255)/(hi-lo)
+      """transform(e, (x, i) ->
+        |  CASE WHEN element_at(his, i + 1) > element_at(los, i + 1)
+        |       THEN floor(((x - element_at(los, i + 1)) * 255.0D)
+        |                  / (element_at(his, i + 1) - element_at(los, i + 1)))
+        |       ELSE 0.0D END)""".stripMargin
+    // grid values are small exact integers — the float cast is lossless
+    // and lets the ranking reuse the native float cosine expression
+    val qv = v.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), expr(quantize).cast("array<float>").as("e"))
+    topK(
+      qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("eq")),
+      qv.select(col("vec_id").as("neighbor_id"), col("e").as("ec")),
+      col("neighbor_id") =!= col("query_id"),
+      k = 5)
+  }
+
   /** IVF-bucketed variant with a TRAINED coarse quantizer (round 1
     * searched the pre-labeled `label` column — a real corpus has no
     * labels): [[IvfQuantizer]] runs seeded integer-space k-means
