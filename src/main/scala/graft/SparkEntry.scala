@@ -58,6 +58,7 @@ object SparkEntry {
     EventQueries.retentionCohorts,
     EventQueries.approxDistinct,
     SketchQueries.hllDistinct,
+    SketchQueries.kmvDistinct,
     SketchQueries.bloomPrefilter,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,

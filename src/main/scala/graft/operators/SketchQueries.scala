@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.plans.Bloom.{bloomAgg, bloomContains}
 import graft.plans.Hll.{hllEstimate, hllMerge, hllSketch}
+import graft.plans.Kmv.{kmvEstimate, kmvMerge, kmvSketch}
 
 /** Mergeable-sketch queries (SURVEY §7.3 sketch tier): cardinality via
   * [[graft.plans.HllSketchAgg]] — sketches as first-class values that
@@ -25,6 +26,61 @@ object SketchQueries {
     * design, so there is no DuckDB oracle; HllSketchSpec pins the
     * algebra (merge-of-shards ≡ whole corpus, repartition invariance)
     * and the estimate's accuracy against exact distinct counts. */
+  /** KMV distinct estimation per event type, ORACLE-CHECKED — the
+    * sketch-tier member whose estimate DuckDB can recompute exactly
+    * (k smallest md5 order statistics + one floor'd IEEE division; see
+    * [[graft.plans.Kmv]]). The plan exercises the full algebra the way
+    * a sharded corpus does: per-(type, user-shard) sketches first
+    * (map-side combinable partials), then `kmv_merge` folds each type's
+    * shard sketches — so the estimate column goes through BOTH
+    * aggregates, and equals the whole-group sketch byte-for-byte
+    * (KmvSketchSpec pins that identity). Exact distinct count alongside
+    * for the error to be visible and oracle-pinned. */
+  val kmvDistinct = {
+    val k = 64
+    // first 8 hex chars of hex-string expression `m` as an integer, by
+    // digit arithmetic (DuckDB needs no hex-cast builtin)
+    def hexU8(m: String): String =
+      (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString("(", " + ", ")")
+    Q(
+      "q_kmv_distinct",
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    md5(CAST(user_id AS VARCHAR) || '|' || props) AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM h
+         |), kth AS (
+         |  SELECT event_type, max(n) AS n,
+         |    max(CASE WHEN rn = $k THEN h END) AS kth
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type, n AS n_exact,
+         |  ${graft.plans.Kmv.estimateSql(k, hexU8)} AS kmv_est
+         |FROM kth ORDER BY event_type""".stripMargin) { (s, d) =>
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          concat(col("user_id").cast("string"), lit("|"), col("props")).as("key"))
+      // shard stage: one sketch per (type, user-shard) — the per-shard
+      // ingest job; rollup stage: merge the shard sketches per type
+      val shards = keyed
+        .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+        .agg(kmvSketch(col("key"), k).as("sk"))
+      shards.groupBy("event_type")
+        .agg(kmvMerge(col("sk")).as("sk"))
+        .select(col("event_type"), kmvEstimate(col("sk")).as("kmv_est"))
+        .join(keyed.groupBy("event_type")
+          .agg(countDistinct(col("key")).as("n_exact")), "event_type")
+        .select("event_type", "n_exact", "kmv_est")
+        .orderBy("event_type")
+    }
+  }
+
   /** Bloom pre-filtered near-dup removal, EXACT by construction — the
     * 100 TB join-avoidance pattern:
     *

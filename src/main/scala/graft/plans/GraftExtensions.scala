@@ -68,6 +68,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllEstimate(children(0))))
     e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvSketchAgg(children(0), intLit(children(1), "kmv_sketch k"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvEstimate(children(0))))
+    e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.plans.Kmv.{kmvEstimate, kmvMerge, kmvSketch}
+
+/** The KMV sketch algebra: merge-of-shards must equal the whole-corpus
+  * sketch BYTE-FOR-BYTE (not just in estimate), estimates must be exact
+  * below capacity and accurate above it, and everything must be
+  * repartition-invariant. */
+class KmvSketchSpec extends SparkSpec {
+
+  private def keyed = Tables.events(spark, sf0001)
+    .select(col("event_type"),
+      col("user_id"),
+      concat(col("user_id").cast("string"), lit("|"), col("props")).as("key"))
+
+  test("merge of shard sketches equals the whole-group sketch byte-for-byte") {
+    val whole = keyed.groupBy("event_type")
+      .agg(kmvSketch(col("key"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val merged = keyed
+      .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+      .agg(kmvSketch(col("key"), 64).as("sk"))
+      .groupBy("event_type").agg(kmvMerge(col("sk")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(whole.keySet == merged.keySet)
+    for ((t, sk) <- whole)
+      assert(java.util.Arrays.equals(sk, merged(t)),
+        s"$t: merged shard sketch differs from whole-group sketch")
+  }
+
+  test("below capacity the sketch IS the exact distinct set") {
+    val got = keyed.filter(col("user_id") < 3)
+      .groupBy("event_type")
+      .agg(kmvSketch(col("key"), 10000).as("sk"),
+        countDistinct(col("key")).as("exact"))
+      .select(col("event_type"), kmvEstimate(col("sk")).as("est"), col("exact"))
+      .collect()
+    assert(got.nonEmpty)
+    for (r <- got)
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: sub-capacity estimate not exact")
+  }
+
+  test("above capacity the estimate lands within the expected error band") {
+    val got = keyed.groupBy("event_type")
+      .agg(kmvSketch(col("key"), 64).as("sk"),
+        countDistinct(col("key")).as("exact"))
+      .select(kmvEstimate(col("sk")).as("est"), col("exact"))
+      .collect()
+    for (r <- got) {
+      val (est, exact) = (r.getLong(0), r.getLong(1))
+      assert(exact > 64, "test premise: groups must exceed capacity")
+      // rse ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+      assert(math.abs(est - exact).toDouble / exact < 0.51,
+        s"estimate $est vs exact $exact out of band")
+    }
+  }
+
+  test("sketches are repartition-invariant") {
+    val a = keyed.repartition(1).groupBy("event_type")
+      .agg(kmvSketch(col("key"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val b = keyed.repartition(13).groupBy("event_type")
+      .agg(kmvSketch(col("key"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((t, sk) <- a) assert(java.util.Arrays.equals(sk, b(t)))
+  }
+
+  test("duplicate values do not inflate the sketch") {
+    val once = keyed.groupBy("event_type").agg(kmvSketch(col("key"), 64).as("sk"))
+    val doubled = keyed.union(keyed).groupBy("event_type")
+      .agg(kmvSketch(col("key"), 64).as("sk"))
+    val x = once.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val y = doubled.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((t, sk) <- x) assert(java.util.Arrays.equals(sk, y(t)))
+  }
+}
