@@ -59,6 +59,7 @@ object SparkEntry {
     EventQueries.approxDistinct,
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
+    SketchQueries.kmvOverlap,
     SketchQueries.bloomPrefilter,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.plans.Bloom.{bloomAgg, bloomContains}
 import graft.plans.Hll.{hllEstimate, hllMerge, hllSketch}
-import graft.plans.Kmv.{kmvEstimate, kmvMerge, kmvSketch}
+import graft.plans.Kmv.{kmvEstimate, kmvIntersect, kmvJaccard, kmvMerge, kmvSketch}
 
 /** Mergeable-sketch queries (SURVEY §7.3 sketch tier): cardinality via
   * [[graft.plans.HllSketchAgg]] — sketches as first-class values that
@@ -78,6 +78,75 @@ object SketchQueries {
           .agg(countDistinct(col("key")).as("n_exact")), "event_type")
         .select("event_type", "n_exact", "kmv_est")
         .orderBy("event_type")
+    }
+  }
+
+  /** KMV audience overlap, ORACLE-CHECKED: how many (user, props) keys
+    * appear in BOTH the click and the purchase streams — estimated from
+    * two sketches alone (X = k smallest of the sketch union, m = |X ∩ A
+    * ∩ B|, Jaccard ≈ m/|X|, intersection ≈ floor(jac · est(A∪B))) with
+    * the exact overlap alongside. At 100 TB the two audiences live in
+    * different jobs' outputs; their stored sketches answer the overlap
+    * without any join over raw data. Plan: one hash-agg to per-key
+    * membership flags, one global agg building both sketches
+    * CONDITIONALLY (no 1-row cross joins), scalar overlap expressions on
+    * the sketch pair. */
+  val kmvOverlap = {
+    val k = 64
+    def hexU8(m: String): String =
+      (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString("(", " + ", ")")
+    Q(
+      "q_kmv_overlap",
+      s"""WITH keys AS (
+         |  SELECT md5(CAST(user_id AS VARCHAR) || '|' || props) AS h,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1
+         |), xa AS (SELECT h FROM keys WHERE in_a = 1 ORDER BY h LIMIT $k),
+         |xb AS (SELECT h FROM keys WHERE in_b = 1 ORDER BY h LIMIT $k),
+         |u AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM (SELECT h FROM xa UNION ALL SELECT h FROM xb))
+         |), x AS (SELECT h FROM u WHERE rn <= $k),
+         |s AS (
+         |  SELECT
+         |    (SELECT count(*) FROM x) AS x_size,
+         |    (SELECT count(*) FROM x
+         |     WHERE h IN (SELECT h FROM xa) AND h IN (SELECT h FROM xb)) AS m_common,
+         |    (SELECT max(h) FROM x) AS kth,
+         |    (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) FROM keys) AS exact_overlap
+         |)
+         |SELECT m_common, x_size,
+         |  m_common * 1.0 / x_size AS jaccard,
+         |  CAST(floor((m_common * 1.0 / x_size) *
+         |    (CASE WHEN x_size < $k THEN x_size
+         |          ELSE CAST(floor(${k - 1} /
+         |            ((${hexU8("kth")} + 0.5) / 4294967296.0)) AS BIGINT) END))
+         |    AS BIGINT) AS est_intersect,
+         |  exact_overlap
+         |FROM s""".stripMargin) { (s, d) =>
+      val perKey = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(concat(col("user_id").cast("string"), lit("|"), col("props"))
+          .as("key"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("in_b"))
+      perKey.agg(
+          kmvSketch(when(col("in_a") === 1, col("key")), k).as("ska"),
+          kmvSketch(when(col("in_b") === 1, col("key")), k).as("skb"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("exact_overlap"))
+        .select(
+          graft.plans.Kmv.kmvOverlapM(col("ska"), col("skb")).as("m_common"),
+          graft.plans.Kmv.kmvOverlapX(col("ska"), col("skb")).as("x_size"),
+          kmvJaccard(col("ska"), col("skb")).as("jaccard"),
+          kmvIntersect(col("ska"), col("skb")).as("est_intersect"),
+          col("exact_overlap"))
     }
   }
 

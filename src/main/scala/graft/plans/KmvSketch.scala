@@ -130,6 +130,35 @@ object Kmv {
        |     ELSE CAST(floor((${k - 1}) / ((${hexU8("kth")} + 0.5) / 4294967296.0))
        |               AS BIGINT) END""".stripMargin
 
+  /** KMV set algebra on two same-k sketches: X = the k smallest hashes
+    * of the UNION (a uniform sample of A ∪ B), m = members of X present
+    * in BOTH sketches. Jaccard ≈ m/|X| (an exact integer quotient —
+    * deterministic), intersection ≈ floor((m/|X|) · est(A∪B)). The
+    * audience-overlap estimate without an exact join — and, like the
+    * cardinality estimate, exactly reproducible in SQL. */
+  def overlap(a: Array[Byte], b: Array[Byte]): (Long, Long, Double, Long) = {
+    val ba = deserialize(a)
+    val bb = deserialize(b)
+    require(ba.k == bb.k, s"kmv overlap needs equal k (${ba.k} vs ${bb.k})")
+    val union = merge(deserialize(a), deserialize(b)) // fresh buffers
+    var m = 0L
+    val it = union.set.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (ba.set.contains(h) && bb.set.contains(h)) m += 1
+    }
+    val x = union.set.size().toLong
+    val jac = if (x == 0) 0.0 else m.toDouble / x
+    val estI = math.floor(jac * estimate(serialize(union))).toLong
+    (m, x, jac, estI)
+  }
+
+  // monomorphic entry points for codegen (no tuple boxing in generated code)
+  def overlapJaccard(a: Array[Byte], b: Array[Byte]): Double = overlap(a, b)._3
+  def overlapIntersect(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._4
+  def overlapM(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._1
+  def overlapX(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._2
+
   /** Column API. */
   def kmvSketch(c: Column, k: Int): Column =
     GraftBridge.column(
@@ -139,6 +168,18 @@ object Kmv {
       KmvMergeAgg(GraftBridge.expression(c)).toAggregateExpression())
   def kmvEstimate(c: Column): Column =
     GraftBridge.column(KmvEstimate(GraftBridge.expression(c)))
+  def kmvJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 0))
+  def kmvIntersect(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 1))
+  def kmvOverlapM(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 2))
+  def kmvOverlapX(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 3))
 }
 
 /** string values → KMV sketch. The partial-aggregation path (map-side
@@ -232,6 +273,49 @@ case class KmvMergeAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): KmvMergeAgg =
     copy(child = c)
+}
+
+/** (sketchA, sketchB) → overlap statistic (scalar, on stored sketches):
+  * mode 0 = Jaccard estimate (DOUBLE, the exact quotient m/|X|),
+  * mode 1 = intersection-cardinality estimate (BIGINT),
+  * mode 2 = m (|X ∩ A ∩ B|, BIGINT), mode 3 = |X| (BIGINT). */
+case class KmvOverlap(left: Expression, right: Expression, mode: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(mode >= 0 && mode <= 3, s"mode must be 0..3, got $mode")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv overlap expects two binary sketches, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = if (mode == 0) DoubleType else LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    Seq("kmv_jaccard", "kmv_intersect", "kmv_overlap_m", "kmv_overlap_x")(mode)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (m, x, jac, estI) =
+      Kmv.overlap(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    mode match { case 0 => jac; case 1 => estI; case 2 => m; case 3 => x }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val fn = Seq("overlapJaccard", "overlapIntersect",
+      "overlapM", "overlapX")(mode)
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kmv.$fn($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** sketch → BIGINT distinct estimate (scalar — works on stored sketch

@@ -68,6 +68,21 @@ class KmvSketchSpec extends SparkSpec {
     for ((t, sk) <- a) assert(java.util.Arrays.equals(sk, b(t)))
   }
 
+  test("overlap algebra: self-overlap is identity, disjoint sets are zero") {
+    val sk = keyed.groupBy("event_type").agg(Kmv.kmvSketch(col("key"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val a = sk("click")
+    assert(Kmv.overlapJaccard(a, a) == 1.0)
+    assert(Kmv.overlapIntersect(a, a) == Kmv.estimate(a))
+    // keys are type-disjoint only if the same (user, props) never fires
+    // both types — instead test true disjointness with salted copies
+    val s1 = keyed.groupBy().agg(
+      Kmv.kmvSketch(concat(lit("L|"), col("key")), 64).as("x"),
+      Kmv.kmvSketch(concat(lit("R|"), col("key")), 64).as("y")).collect()(0)
+    assert(Kmv.overlapJaccard(
+      s1.getAs[Array[Byte]](0), s1.getAs[Array[Byte]](1)) == 0.0)
+  }
+
   test("duplicate values do not inflate the sketch") {
     val once = keyed.groupBy("event_type").agg(kmvSketch(col("key"), 64).as("sk"))
     val doubled = keyed.union(keyed).groupBy("event_type")
