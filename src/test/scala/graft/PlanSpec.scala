@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
       s"rank<=1 filter lost the WindowGroupLimit rewrite:\n$p")
   }
 
+  test("contamination join puts the benchmark side on the build side") {
+    // the eval set is the bounded side by construction; the corpus side
+    // must stream. A broadcast whose build side scans the full corpus
+    // grams would be the round-2 OOM shape in new clothing.
+    val df = graft.operators.CorpusQueries.contamination.run(spark, sf0001)
+    val p = planString(df)
+    // every BroadcastExchange in the plan must sit under an aggregation
+    // that reduced to either the distinct benchmark grams or per-doc
+    // counts — i.e. no broadcast directly over a raw corpus-wide scan
+    val rawBroadcast = "BroadcastExchange[^\\n]*\\n[^\\n]*Scan parquet".r
+    assert(rawBroadcast.findFirstIn(p).isEmpty,
+      s"broadcast directly over a base-table scan:\n$p")
+  }
+
   test("embedding near-dup is LSH-bucketed: no cross join on the unbounded table") {
     val df = graft.operators.DedupQueries.embeddingPairs.run(spark, sf0001)
     val p = planString(df)
