@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.DedupQueries
+
+/** The training-corpus build, end to end — what a USER of this library
+  * runs nightly: raw documents → quality gate → benchmark
+  * decontamination → near-dup dedup (persisted LSH keep-list artifact)
+  * → deterministic split assignment → per-source token-budget shard
+  * packing → a split-partitioned MANIFEST table plus the loss-funnel
+  * accounting. Composes the operators the q_* registry verifies
+  * individually; CorpusPipelineSpec pins the cross-consistency (manifest
+  * counts ≡ funnel stage totals, splits partition the survivors).
+  *
+  * Scale shape: two shuffle-on-key joins (contamination grams, keep-list
+  * anti-join), one partitioned window (packing), everything else pure
+  * map + hash-agg. The manifest is written partitioned by split so
+  * downstream training jobs prune at the directory level.
+  */
+object CorpusPipeline {
+
+  /** Per-document manifest of the SURVIVING corpus:
+    * (doc_id, source, split, shard, toks) — the table a trainer reads. */
+  def manifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("dtoks"),
+        array_distinct(wordShingles(tokens(col("text")), 5)).as("sh"))
+
+    // gate 1: integer cross-multiplied quality ratio (≥20 words, ≥0.3 distinct)
+    val quality = docs.filter(col("toks") >= 20 && col("dtoks") * 10 >= col("toks") * 3)
+
+    // gate 2: benchmark decontamination (any shared 5-gram disqualifies)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val bench = ex.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val contaminated = ex.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, "g").select("doc_id").distinct()
+    val clean = quality
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // gate 3: near-dup dedup via the persisted keep-list artifact
+    val dropped = DedupQueries.lshKeepList(spark, sfDir)
+      .filter(!col("keep")).select("doc_id")
+    val survivors = clean.join(dropped, Seq("doc_id"), "left_anti")
+
+    // split assignment (md5 gate, ~80/10/10) + per-(source, split) packing
+    val gate = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+    val split = survivors.withColumn("split",
+      when(gate < "cd", "train").when(gate < "e6", "val").otherwise("test"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "split").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    split
+      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("split"),
+        expr("cum_before div 2000").as("shard"), col("toks"))
+  }
+
+  /** Write the manifest partitioned by split (directory-prunable) and
+    * return what was written. */
+  def writeManifest(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val m = manifest(spark, sfDir)
+    m.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_corpus_out")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("corpus-build")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"=== corpus build: $sfDir -> $outDir")
+    graft.operators.CorpusQueries.curationFunnel.run(spark, sfDir).show(truncate = false)
+    val m = writeManifest(spark, sfDir, outDir)
+    m.groupBy("split").agg(count(lit(1)).as("n_docs"),
+      sum("toks").as("tokens"), countDistinct(col("source"), col("shard")).as("n_shards"))
+      .orderBy("split").show(truncate = false)
+    spark.stop()
+  }
+}

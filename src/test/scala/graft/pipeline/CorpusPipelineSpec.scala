@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Cross-consistency of the end-to-end corpus build with the
+  * individually-verified operators: the manifest must hold EXACTLY the
+  * funnel's final-stage survivors, split must partition them, and the
+  * written layout must prune by split directory. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("manifest row count and token total equal the funnel's final stage") {
+    val funnel = graft.operators.CorpusQueries.curationFunnel
+      .run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = CorpusPipeline.manifest(spark, sf0001)
+      .agg(count(lit(1)), sum("toks")).collect()(0)
+    assert((m.getLong(0), m.getLong(1)) == funnel("3_deduplicated"),
+      s"manifest ${(m.getLong(0), m.getLong(1))} != funnel ${funnel("3_deduplicated")}")
+  }
+
+  test("splits partition the survivors and shards pack per (source, split)") {
+    val m = CorpusPipeline.manifest(spark, sf0001).cache()
+    try {
+      assert(m.select("doc_id").distinct().count() == m.count())
+      assert(m.select("split").distinct().collect().map(_.getString(0)).toSet
+        .subsetOf(Set("train", "val", "test")))
+      // shard ids contiguous from 0 within each (source, split)
+      val bad = m.groupBy("source", "split")
+        .agg(max("shard").as("mx"), countDistinct("shard").as("n"))
+        .filter(col("n") =!= col("mx") + 1)
+        .count()
+      assert(bad == 0, "non-contiguous shard ids")
+    } finally m.unpersist()
+  }
+
+  test("the written manifest prunes by split directory") {
+    val out = "/tmp/graft_corpus_spec"
+    val written = CorpusPipeline.writeManifest(spark, sf0001, out)
+    assert(written.count() == CorpusPipeline.manifest(spark, sf0001).count())
+    val scan = written.filter(col("split") === "val")
+      .queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(!scan.contains("split=train"), s"split pruning failed:\n$scan")
+  }
+}
