@@ -121,8 +121,10 @@ object SketchQueries {
          |            AS BIGINT) FROM keys) AS exact_overlap
          |)
          |SELECT m_common, x_size,
-         |  m_common * 1.0 / x_size AS jaccard,
-         |  CAST(floor((m_common * 1.0 / x_size) *
+         |  CASE WHEN x_size = 0 THEN 0.0
+         |       ELSE m_common * 1.0 / x_size END AS jaccard,
+         |  CAST(floor((CASE WHEN x_size = 0 THEN 0.0
+         |              ELSE m_common * 1.0 / x_size END) *
          |    (CASE WHEN x_size < $k THEN x_size
          |          ELSE CAST(floor(${k - 1} /
          |            ((${hexU8("kth")} + 0.5) / 4294967296.0)) AS BIGINT) END))

@@ -75,6 +75,9 @@ object Bloom {
   /** Membership probe on the serialized form (static — called from
     * generated code). False = definitely absent. */
   def containsUtf8(sketch: Array[Byte], s: UTF8String): Boolean = {
+    // bloom_merge over a group with zero non-null inputs evals to an
+    // empty byte array — an empty filter, so every probe is "absent".
+    if (sketch.length < 8) return false
     val bb = java.nio.ByteBuffer.wrap(sketch)
     val bits = bb.getInt; val k = bb.getInt
     val h1 = hash(s, Seed1)

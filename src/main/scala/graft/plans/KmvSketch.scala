@@ -113,7 +113,9 @@ object Kmv {
   def estimate(bytes: Array[Byte]): Long = {
     val b = deserialize(bytes)
     val n = b.set.size()
-    if (n < b.k) return n.toLong
+    // k == 0 is the degenerate sketch kmv_merge produces over a group
+    // with zero non-null inputs — an empty set, so the exact count (0).
+    if (b.k == 0 || n < b.k) return n.toLong
     val kth = b.set.last()
     val u32 = ((kth(0) & 0xffL) << 24) | ((kth(1) & 0xffL) << 16) |
       ((kth(2) & 0xffL) << 8) | (kth(3) & 0xffL)
@@ -139,7 +141,10 @@ object Kmv {
   def overlap(a: Array[Byte], b: Array[Byte]): (Long, Long, Double, Long) = {
     val ba = deserialize(a)
     val bb = deserialize(b)
-    require(ba.k == bb.k, s"kmv overlap needs equal k (${ba.k} vs ${bb.k})")
+    // A k == 0 sketch (merge over zero inputs) is an empty set and is
+    // compatible with any k — same rule as [[merge]].
+    require(ba.k == 0 || bb.k == 0 || ba.k == bb.k,
+      s"kmv overlap needs equal k (${ba.k} vs ${bb.k})")
     val union = merge(deserialize(a), deserialize(b)) // fresh buffers
     var m = 0L
     val it = union.set.iterator()

@@ -25,12 +25,19 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(m.select("doc_id").distinct().count() == m.count())
       assert(m.select("split").distinct().collect().map(_.getString(0)).toSet
         .subsetOf(Set("train", "val", "test")))
-      // shard ids contiguous from 0 within each (source, split)
-      val bad = m.groupBy("source", "split")
-        .agg(max("shard").as("mx"), countDistinct("shard").as("n"))
-        .filter(col("n") =!= col("mx") + 1)
+      // Shard ids start at 0 and never decrease along the packing order.
+      // (NOT strict contiguity: a single document larger than the token
+      // budget legitimately skips shard ids — floor(cum/budget) jumps.)
+      val firstShard = m.groupBy("source", "split").agg(min("shard").as("mn"))
+        .filter(col("mn") =!= 0).count()
+      assert(firstShard == 0, "a (source, split) group does not start at shard 0")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "split").orderBy("doc_id")
+      val nonMonotone = m
+        .withColumn("prev", lag("shard", 1).over(w))
+        .filter(col("prev").isNotNull && col("shard") < col("prev"))
         .count()
-      assert(bad == 0, "non-contiguous shard ids")
+      assert(nonMonotone == 0, "shard ids decrease along the packing order")
     } finally m.unpersist()
   }
 

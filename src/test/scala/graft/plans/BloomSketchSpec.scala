@@ -57,6 +57,16 @@ class BloomSketchSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("probing an empty merged filter returns definitely-absent, not a crash") {
+    // bloom_merge over a group with zero non-null sketches evals to an
+    // empty byte array; bloom_contains must degrade to false.
+    val sk = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(bloomMerge($"sk").as("sk"))
+    val hits = keys(0, 10).crossJoin(sk)
+      .filter(bloomContains($"sk", $"v")).count()
+    assert(hits === 0L)
+  }
+
   test("bloom functions are callable from SQL once registered") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", exprs => BloomAgg(exprs(0),

@@ -83,6 +83,26 @@ class KmvSketchSpec extends SparkSpec {
       s1.getAs[Array[Byte]](0), s1.getAs[Array[Byte]](1)) == 0.0)
   }
 
+  test("degenerate all-null merge yields an empty sketch, not a crash") {
+    // kmv_merge over a group whose sketch inputs are all null serializes
+    // a k=0 buffer; estimate must return 0 and overlap must treat it as
+    // an empty set instead of failing require/NoSuchElementException.
+    import spark.implicits._
+    val empty = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(kmvMerge(col("sk")).as("sk"))
+      .select(kmvEstimate(col("sk")))
+      .collect()(0).getLong(0)
+    assert(empty == 0L)
+    val emptyBytes = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(kmvMerge(col("sk")).as("sk"))
+      .collect()(0).getAs[Array[Byte]](1)
+    val real = keyed.groupBy().agg(kmvSketch(col("key"), 64).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(Kmv.overlapJaccard(emptyBytes, real) == 0.0)
+    assert(Kmv.overlapIntersect(real, emptyBytes) == 0L)
+    assert(Kmv.estimate(emptyBytes) == 0L)
+  }
+
   test("duplicate values do not inflate the sketch") {
     val once = keyed.groupBy("event_type").agg(kmvSketch(col("key"), 64).as("sk"))
     val doubled = keyed.union(keyed).groupBy("event_type")

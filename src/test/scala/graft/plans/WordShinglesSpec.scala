@@ -16,7 +16,9 @@ class WordShinglesSpec extends SparkSpec {
         .select(
           TextFunctions.wordShingles(TextFunctions.tokens(col("text")), k).as("a"),
           TextFunctions.wordShinglesComposed(TextFunctions.tokens(col("text")), k).as("b"))
-        .filter(not(col("a") === col("b")))
+        // null-safe inequality: a row where either side is NULL must COUNT
+        // as a difference, not evaluate to NULL and slip through the filter
+        .filter(not(col("a") <=> col("b")))
         .count()
       assert(diff == 0, s"k=$k: native and composed shingles differ")
     }
