@@ -145,24 +145,28 @@ object CorpusQueries {
       .orderBy("split")
   }
 
-  /** Token-budget shard packing: within each source, documents (in
-    * doc_id order) are packed into contiguous shards of ~2000 whitespace
-    * tokens — the "write N-token training files" step. A document lands
-    * in the shard of its cumulative-token prefix (exclusive), so shard
-    * boundaries are deterministic and single-pass.
+  /** Token-budget shard packing: within each source, documents are
+    * packed into contiguous shards of ~2000 whitespace tokens — the
+    * "write N-token training files" step. A document lands in the shard
+    * of its cumulative-token prefix (exclusive), so shard boundaries are
+    * deterministic and single-pass.
     *
-    * The window is PARTITIONED BY source: each source packs
-    * independently in parallel. The unpartitioned variant (one global
-    * ORDER BY) is the classic 100 TB anti-shape — a single-reducer sort
-    * — and is deliberately not offered. */
+    * TWO-LEVEL at scale ([[ShardPacking]]): documents sub-bucket by an
+    * md5 gate, cumulative sums run per (source, bucket) — bounded at
+    * ~1/16 of a source instead of a whole source on one reducer — and
+    * the tiny per-bucket totals prefix-sum + broadcast back. The packing
+    * order is (bucket, doc_id); the oracle pins the decomposition by
+    * computing the SAME permutation as one plain windowed sum. */
   val packShards = Q(
     "q_pack_shards",
     s"""WITH t AS (
-       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS toks
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS toks,
+       |    ${ShardPacking.bucketSql("doc_id")} AS pack_bucket
        |  FROM documents
        |), c AS (
        |  SELECT source, doc_id, toks,
-       |    coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |    coalesce(sum(toks) OVER (PARTITION BY source
+       |      ORDER BY pack_bucket, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM t
        |)
@@ -171,13 +175,11 @@ object CorpusQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY source, shard
        |ORDER BY source, shard""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val t = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("toks"))
-      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
-      .groupBy(col("source"), expr("cum_before div 2000").as("shard"))
+    ShardPacking.pack(t, Seq("source"), budget = 2000)
+      .groupBy(col("source"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("source", "shard")

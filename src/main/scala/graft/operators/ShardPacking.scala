@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level token-budget shard packing — the distributed prefix sum.
+  *
+  * The naive packing window (`PARTITION BY source ORDER BY doc_id`) puts
+  * each source's ENTIRE cumulative sum on one reducer. Fine when sources
+  * are balanced; a real pretraining mix is dominated by one source (web
+  * crawl ≈ 80%), so at 100 TB that partition is a single-threaded sort
+  * of most of the corpus. This helper replaces it with the classic
+  * two-level shape:
+  *
+  *   1. deterministically sub-bucket each source by an md5 hash-gate on
+  *      doc_id (16^bucketChars buckets — rerun-stable, no RNG, and
+  *      replayable in the SQL oracle, same family as the split gate);
+  *   2. local cumulative sum per (source, bucket) — each window
+  *      partition now holds ~1/B of the source, and B scales with the
+  *      cluster;
+  *   3. aggregate the per-bucket token totals (a TINY frame: sources × B
+  *      rows), prefix-sum them with a window over buckets within source,
+  *      and broadcast the offsets back;
+  *   4. cum_before = bucket_offset + local_before — EXACTLY the single
+  *      cumulative sum in (bucket, doc_id) order.
+  *
+  * The packing ORDER therefore becomes (bucket, doc_id) instead of
+  * doc_id — a different but fixed, deterministic permutation of each
+  * source. Intra-source packing order is arbitrary for training shards
+  * (light shuffling is even desirable); what matters is that it is
+  * rerun-stable and oracle-replayable, and the oracle computes the SAME
+  * permutation with a plain windowed sum:
+  *
+  *   sum(toks) OVER (PARTITION BY source ORDER BY pack_bucket, doc_id
+  *                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+  *
+  * so the two-level decomposition is pinned exactly (integer token
+  * counts — no float drift).
+  */
+object ShardPacking {
+
+  /** The deterministic sub-bucket gate: first `chars` hex chars of
+    * md5("pack|" + doc_id). A single hex char = 16 buckets (the test
+    * default); two = 256 (the 100 TB setting). Kept as the hex STRING —
+    * lexicographic order on fixed-width lowercase hex is the bucket
+    * order both engines agree on. */
+  def bucketOf(docId: Column, chars: Int = 1): Column =
+    substring(md5(concat(lit("pack|"), docId.cast("string"))), 1, chars)
+
+  /** The matching DuckDB fragment (kept textually beside [[bucketOf]] so
+    * the two can only drift visibly). */
+  def bucketSql(docIdCol: String, chars: Int = 1): String =
+    s"substr(md5('pack|' || CAST($docIdCol AS VARCHAR)), 1, $chars)"
+
+  /** Adds `pack_bucket`, `cum_before` and `shard` to `df`, packing into
+    * `budget`-token shards independently within each `groupCols` group.
+    * `df` must carry `doc_id` and a BIGINT `toks` column. */
+  def pack(
+      df: DataFrame,
+      groupCols: Seq[String],
+      budget: Int,
+      bucketChars: Int = 1): DataFrame = {
+    val bCols = groupCols :+ "pack_bucket"
+    val withB = df.withColumn("pack_bucket", bucketOf(col("doc_id"), bucketChars))
+
+    // level 1: local cumulative sum, bounded at ~1/B of a source
+    val wLocal = Window.partitionBy(bCols.map(col): _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn(
+      "local_before", coalesce(sum("toks").over(wLocal), lit(0L)))
+
+    // level 2: per-bucket totals (sources × 16^bucketChars rows), prefix-
+    // summed over buckets within each group. The window here IS a
+    // single reducer per group — over B rows, not the corpus.
+    val wOffset = Window.partitionBy(groupCols.map(col): _*).orderBy("pack_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB
+      .groupBy(bCols.map(col): _*)
+      .agg(sum("toks").as("bucket_toks"))
+      .withColumn("bucket_offset", coalesce(sum("bucket_toks").over(wOffset), lit(0L)))
+      .select(bCols.map(col) :+ col("bucket_offset"): _*)
+
+    // broadcast the tiny offsets frame back — a derived aggregate, not a
+    // base table (the PlanHygieneSpec rule), and genuinely small by
+    // construction.
+    local.join(broadcast(offsets), bCols)
+      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .drop("local_before", "bucket_offset")
+  }
+}

@@ -16,7 +16,9 @@ import graft.operators.DedupQueries
   * counts ≡ funnel stage totals, splits partition the survivors).
   *
   * Scale shape: two shuffle-on-key joins (contamination grams, keep-list
-  * anti-join), one partitioned window (packing), everything else pure
+  * anti-join), two-level shard packing (sub-bucketed local cumsum
+  * windows + broadcast prefix offsets — no whole-source single-reducer
+  * window; see [[graft.operators.ShardPacking]]), everything else pure
   * map + hash-agg. The manifest is written partitioned by split so
   * downstream training jobs prune at the directory level.
   */
@@ -48,17 +50,15 @@ object CorpusPipeline {
       .filter(!col("keep")).select("doc_id")
     val survivors = clean.join(dropped, Seq("doc_id"), "left_anti")
 
-    // split assignment (md5 gate, ~80/10/10) + per-(source, split) packing
+    // split assignment (md5 gate, ~80/10/10) + per-(source, split)
+    // TWO-LEVEL packing (ShardPacking: sub-bucketed local cumsums +
+    // broadcast prefix offsets — no whole-source single-reducer window)
     val gate = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
     val split = survivors.withColumn("split",
       when(gate < "cd", "train").when(gate < "e6", "val").otherwise("test"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "split").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    split
-      .withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+    graft.operators.ShardPacking.pack(split, Seq("source", "split"), budget = 2000)
       .select(col("doc_id"), col("source"), col("split"),
-        expr("cum_before div 2000").as("shard"), col("toks"))
+        col("shard"), col("toks"))
   }
 
   /** Write the manifest partitioned by split (directory-prunable) and

@@ -25,14 +25,16 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(m.select("doc_id").distinct().count() == m.count())
       assert(m.select("split").distinct().collect().map(_.getString(0)).toSet
         .subsetOf(Set("train", "val", "test")))
-      // Shard ids start at 0 and never decrease along the packing order.
+      // Shard ids start at 0 and never decrease along the packing order
+      // — which is (pack_bucket, doc_id) under two-level packing.
       // (NOT strict contiguity: a single document larger than the token
       // budget legitimately skips shard ids — floor(cum/budget) jumps.)
       val firstShard = m.groupBy("source", "split").agg(min("shard").as("mn"))
         .filter(col("mn") =!= 0).count()
       assert(firstShard == 0, "a (source, split) group does not start at shard 0")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source", "split").orderBy("doc_id")
+        .partitionBy("source", "split")
+        .orderBy(graft.operators.ShardPacking.bucketOf(col("doc_id")), col("doc_id"))
       val nonMonotone = m
         .withColumn("prev", lag("shard", 1).over(w))
         .filter(col("prev").isNotNull && col("shard") < col("prev"))
