@@ -50,6 +50,20 @@ object DedupQueries {
     * initialization (a forward reference would interpolate 0). */
   private[graft] final val LshMaxBucket = 500
 
+  /** SimHash half-bucket cap — same guard class as [[LshMaxBucket]]. An
+    * 8-bit half has only 256 values, so a boilerplate-heavy corpus can
+    * put an unbounded fraction of documents into one (half, bits) bucket
+    * and make the candidate join quadratic in it. Buckets above the cap
+    * are excluded and reported via [[simhashOversizedBuckets]]. The
+    * RECALL CONTRACT weakens accordingly, and only for dropped buckets:
+    * a Hamming-1 pair is found unless its one agreeing half sits in a
+    * dropped bucket; a Hamming-0 pair unless BOTH its halves do. Exact
+    * dedup first (the q_corpus_curation order) keeps Hamming-0 mass out
+    * of the buckets; the telemetry is the alert that the residue is
+    * boilerplate worth cleaning upstream. Replayed verbatim in the
+    * DuckDB oracle, so the guard stays oracle-exact even when it fires. */
+  private[graft] final val SimhashMaxBucket = 500
+
   /** Exact dedup via normalized-content hash, aggregated per source —
     * the summary a 100 TB corpus pass reports (docs vs unique docs). */
   val exactSummary = Q(
@@ -396,21 +410,24 @@ object DedupQueries {
     * frame is corpus-sized, so no static broadcast hint — AQE sizes it).
     * Pure plan construction for the builder AND the hygiene sweep.
     *
-    * Deliberately NO bucket cap here (unlike [[lshPairsFrom]]): the
-    * pigeonhole construction's guaranteed recall is the operator's
-    * contract, and dropping a bucket would break it. The skew exposure
-    * differs too — a hot half-bucket means many documents share 8
-    * signature bits, which for SimHash means near-identical content; a
-    * corpus pass bounds that upstream by running exact dedup FIRST
-    * (identical docs collapse before near-dup detection), the order
-    * q_corpus_curation documents. */
-  private[graft] def simhashPairsFrom(sig: DataFrame): DataFrame = {
-    val halves = sig.select(col("doc_id"), lit(0).as("h"),
-                            substring(col("simhash"), 1, 8).as("bits"))
-      .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
-                              substring(col("simhash"), 9, 8).as("bits")))
-    val a = halves.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
-    val b = halves.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
+    * Half-buckets above [[SimhashMaxBucket]] are excluded from candidate
+    * generation (bounding per-bucket work at cap²/2) — the guard the
+    * MinHash path has always had. The pigeonhole recall guarantee holds
+    * for every pair whose agreeing half survives the cap; the delta is
+    * documented at [[SimhashMaxBucket]] and dropped buckets surface via
+    * [[simhashOversizedBuckets]]. The count is a partial agg on the SAME
+    * (h, bits) key the candidate join shuffles on — co-partitioned, no
+    * extra exchange. */
+  private[graft] def simhashPairsFrom(
+      sig: DataFrame, maxBucket: Int = SimhashMaxBucket): DataFrame = {
+    val halves = simhashHalves(sig)
+    val okBuckets = halves.groupBy("h", "bits")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("h", "bits")
+    val bounded = halves.join(okBuckets, Seq("h", "bits"))
+    val a = bounded.select(col("doc_id").as("doc_a"), col("h"), col("bits"))
+    val b = bounded.select(col("doc_id").as("doc_b"), col("h"), col("bits"))
     val cand = a.join(b, Seq("h", "bits"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -427,6 +444,22 @@ object DedupQueries {
       .filter(col("hamming") <= 1)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** The two 8-bit pigeonhole halves of a signature frame. */
+  private def simhashHalves(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), lit(0).as("h"),
+               substring(col("simhash"), 1, 8).as("bits"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("h"),
+                              substring(col("simhash"), 9, 8).as("bits")))
+
+  /** Telemetry twin of the half-bucket guard ([[lshOversizedBuckets]]'s
+    * SimHash counterpart): the (h, bits) buckets the cap excluded, with
+    * sizes — the boilerplate alert a corpus pass should page on. */
+  private[graft] def simhashOversizedBuckets(
+      sig: DataFrame, maxBucket: Int = SimhashMaxBucket): DataFrame =
+    simhashHalves(sig).groupBy("h", "bits")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** Hamming ≤ 1 pair set, materialized once per (run, corpus dir)
     * through [[IndexCatalog]] — same lifecycle as [[lshPairs]]. */
@@ -447,7 +480,9 @@ object DedupQueries {
     * (pigeonhole), so the (half, bits) equi-join generates every
     * qualifying pair deterministically — no probabilistic misses, unlike
     * band-sampling LSH. Verification counts the exact bit diff. The same
-    * construction scales to Hamming ≤ d with d+1 blocks. */
+    * construction scales to Hamming ≤ d with d+1 blocks. Half-buckets
+    * above [[SimhashMaxBucket]] are excluded (cap replayed verbatim in
+    * the oracle; recall-contract delta documented at the constant). */
   val simhashPairs = Q(
     "q_dedup_simhash_pairs",
     s"""WITH $simhashCte,
@@ -455,9 +490,15 @@ object DedupQueries {
       |  SELECT doc_id, 0 AS h, substr(simhash, 1, 8) AS bits FROM sig
       |  UNION ALL
       |  SELECT doc_id, 1 AS h, substr(simhash, 9, 8) AS bits FROM sig
+      |), okh AS (
+      |  SELECT h, bits FROM halves GROUP BY h, bits
+      |  HAVING count(*) <= $SimhashMaxBucket
+      |), bh AS (
+      |  SELECT halves.doc_id, halves.h, halves.bits
+      |  FROM halves JOIN okh USING (h, bits)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM halves a JOIN halves b
+      |  FROM bh a JOIN bh b
       |    ON a.h = b.h AND a.bits = b.bits AND a.doc_id < b.doc_id
       |)
       |SELECT doc_a, doc_b, hamming FROM (
