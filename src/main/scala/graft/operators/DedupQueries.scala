@@ -749,7 +749,8 @@ object DedupQueries {
   private[graft] def builderPlans(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
     "lsh_pairs"     -> lshPairsFrom(lshShingles(s, d)),
     "simhash_pairs" -> simhashPairsFrom(simhashFrame(s, d)),
-    "emb_pairs"     -> embeddingPairsFrom(embeddingVectors(s, d)))
+    "emb_pairs"     -> embeddingPairsFrom(embeddingVectors(s, d)),
+    "bench_grams"   -> CorpusQueries.benchGramsPlan(s, d))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as

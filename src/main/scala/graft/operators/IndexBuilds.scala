@@ -23,6 +23,7 @@ object IndexBuilds {
     "idx_lsh_pairs"     -> ((s, d) => { DedupQueries.lshPairs(s, d); () }),
     "idx_lsh_keep"      -> ((s, d) => { DedupQueries.lshKeepList(s, d); () }),
     "idx_simhash_pairs" -> ((s, d) => { DedupQueries.simhashPairsArtifact(s, d); () }),
+    "idx_bench_grams"   -> ((s, d) => { CorpusQueries.benchGrams(s, d); () }),
     "idx_emb_pairs"     -> ((s, d) => { DedupQueries.embPairs(s, d); () }),
     "idx_emb_keep"      -> ((s, d) => { DedupQueries.embKeepList(s, d); () }),
     "idx_ivf"           -> ((s, d) => {

@@ -37,10 +37,11 @@ object CorpusPipeline {
     val quality = docs.filter(col("toks") >= 20 && col("dtoks") * 10 >= col("toks") * 3)
 
     // gate 2: benchmark decontamination (any shared 5-gram disqualifies)
+    // against the PERSISTED bench-gram artifact — built once per run
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val bench = ex.filter(col("doc_id") % 97 === 0).select("g").distinct()
     val contaminated = ex.filter(col("doc_id") % 97 =!= 0)
-      .join(bench, "g").select("doc_id").distinct()
+      .join(graft.operators.CorpusQueries.benchGrams(spark, sfDir), "g")
+      .select("doc_id").distinct()
     val clean = quality
       .filter(col("doc_id") % 97 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")

@@ -37,7 +37,9 @@ class PlanHygieneSpec extends SparkSpec {
   private val constructionEager = Set(
     "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_embedding",
     "q_dedup_resolve", "q_dedup_embedding_resolve", "q_corpus_curation",
-    "q_curation_funnel",
+    // contamination + funnel consume the persisted bench-gram artifact;
+    // the gram-build shape is swept via builderPlans("bench_grams")
+    "q_curation_funnel", "q_text_contamination",
     "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_recall", "q_ann_cells",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
