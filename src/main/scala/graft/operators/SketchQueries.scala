@@ -26,6 +26,43 @@ object SketchQueries {
     * design, so there is no DuckDB oracle; HllSketchSpec pins the
     * algebra (merge-of-shards ≡ whole corpus, repartition invariance)
     * and the estimate's accuracy against exact distinct counts. */
+  /** Heavy hitters over the corpus word stream via mergeable
+    * Misra-Gries sketches ([[graft.plans.Hh]]) — per-source sketches
+    * first (the per-shard jobs), then `hh_merge` folds them (the
+    * rollup), then the top 10 tokens inline to rows. ORACLE-CHECKED in
+    * the exact regime: this corpus's 31-word vocabulary sits below the
+    * k=64 counter capacity, so nothing is ever decremented and the
+    * sketch IS the exact count map — the same below-capacity-exactness
+    * property the KMV tier pins. The approximate regime's ε·n contract
+    * (order-dependent contents, guarantee-preserving merges) is pinned
+    * by HhSketchSpec instead, where adversarial shardings exist. */
+  val heavyHitters = {
+    val k = 64
+    Q(
+      "q_heavy_hitters",
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM w)
+        |SELECT word, cnt, n_stream FROM c, n
+        |ORDER BY cnt DESC, word LIMIT 10""".stripMargin) { (s, d) =>
+      import graft.plans.Hh
+      val sk = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("source").agg(Hh.hhSketch(col("word"), k).as("sk"))
+        .agg(Hh.hhMerge(col("sk")).as("sk"))
+      sk.select(explode(Hh.hhItems(col("sk"))).as("it"),
+          Hh.hhTotal(col("sk")).as("n_stream"))
+        .select(col("it.token").as("word"), col("it.cnt").as("cnt"),
+          col("n_stream"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(10)
+    }
+  }
+
   /** KMV distinct estimation per event type, ORACLE-CHECKED — the
     * sketch-tier member whose estimate DuckDB can recompute exactly
     * (k smallest md5 order statistics + one floor'd IEEE division; see

@@ -84,6 +84,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvEstimate(children(0))))
     e.injectFunction((
+      FunctionIdentifier("hh_sketch"),
+      new ExpressionInfo(classOf[HhSketchAgg].getName, "hh_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HhSketchAgg(children(0), intLit(children(1), "hh_sketch k"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hh_merge"),
+      new ExpressionInfo(classOf[HhMergeAgg].getName, "hh_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HhMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("hh_items"),
+      new ExpressionInfo(classOf[HhItems].getName, "hh_items"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HhItems(children(0))))
+    e.injectFunction((
+      FunctionIdentifier("hh_total"),
+      new ExpressionInfo(classOf[HhTotal].getName, "hh_total"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HhTotal(children(0))))
+    e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
