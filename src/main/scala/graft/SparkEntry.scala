@@ -60,6 +60,7 @@ object SparkEntry {
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
     SketchQueries.kmvOverlap,
+    SketchQueries.kmvDiff,
     SketchQueries.heavyHitters,
     SketchQueries.bloomPrefilter,
     // dedup family (training-data pipeline)

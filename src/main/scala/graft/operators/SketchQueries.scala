@@ -189,6 +189,86 @@ object SketchQueries {
     }
   }
 
+  /** Theta-style KMV set algebra: audience difference and union
+    * estimates from two stored sketches — "how many click-users never
+    * purchased" without an exact join, the remaining member of the
+    * sketch set-algebra family. Same uniform union sample X as
+    * [[kmvOverlap]]: |A \ B| ≈ (members of X in A only)/|X| · est(A∪B),
+    * est(A∪B) = the KMV estimator on the merged sketch. Every piece is
+    * order statistics over md5 values, so the oracle recomputes the
+    * whole decomposition exactly; exact counts alongside to keep the
+    * error visible and pinned. */
+  val kmvDiff = {
+    val k = 64
+    def hexU8(m: String): String =
+      (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString("(", " + ", ")")
+    Q(
+      "q_kmv_diff",
+      s"""WITH keys AS (
+         |  SELECT md5(CAST(user_id AS VARCHAR) || '|' || props) AS h,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1
+         |), xa AS (SELECT h FROM keys WHERE in_a = 1 ORDER BY h LIMIT $k),
+         |xb AS (SELECT h FROM keys WHERE in_b = 1 ORDER BY h LIMIT $k),
+         |u AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM (SELECT h FROM xa UNION ALL SELECT h FROM xb))
+         |), x AS (SELECT h FROM u WHERE rn <= $k),
+         |s AS (
+         |  SELECT
+         |    (SELECT count(*) FROM x) AS x_size,
+         |    (SELECT count(*) FROM x
+         |     WHERE h IN (SELECT h FROM xa) AND h NOT IN (SELECT h FROM xb)) AS m_a_only,
+         |    (SELECT count(*) FROM x
+         |     WHERE h IN (SELECT h FROM xb) AND h NOT IN (SELECT h FROM xa)) AS m_b_only,
+         |    (SELECT max(h) FROM x) AS kth,
+         |    (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) FROM keys) AS exact_a_not_b,
+         |    (SELECT CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) FROM keys) AS exact_b_not_a
+         |), e AS (
+         |  SELECT *,
+         |    CASE WHEN x_size < $k THEN x_size
+         |         ELSE CAST(floor(${k - 1} /
+         |           ((${hexU8("kth")} + 0.5) / 4294967296.0)) AS BIGINT) END AS est_union
+         |  FROM s
+         |)
+         |SELECT
+         |  CASE WHEN x_size = 0 THEN 0
+         |       ELSE CAST(floor(m_a_only * 1.0 / x_size * est_union) AS BIGINT)
+         |       END AS est_a_not_b,
+         |  CASE WHEN x_size = 0 THEN 0
+         |       ELSE CAST(floor(m_b_only * 1.0 / x_size * est_union) AS BIGINT)
+         |       END AS est_b_not_a,
+         |  CAST(est_union AS BIGINT) AS est_union,
+         |  exact_a_not_b, exact_b_not_a
+         |FROM e""".stripMargin) { (s, d) =>
+      val perKey = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(concat(col("user_id").cast("string"), lit("|"), col("props"))
+          .as("key"))
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("in_b"))
+      perKey.agg(
+          kmvSketch(when(col("in_a") === 1, col("key")), k).as("ska"),
+          kmvSketch(when(col("in_b") === 1, col("key")), k).as("skb"),
+          sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L))
+            .as("exact_a_not_b"),
+          sum(when(col("in_b") === 1 && col("in_a") === 0, 1L).otherwise(0L))
+            .as("exact_b_not_a"))
+        .select(
+          graft.plans.Kmv.kmvDiff(col("ska"), col("skb")).as("est_a_not_b"),
+          graft.plans.Kmv.kmvDiff(col("skb"), col("ska")).as("est_b_not_a"),
+          graft.plans.Kmv.kmvUnion(col("ska"), col("skb")).as("est_union"),
+          col("exact_a_not_b"), col("exact_b_not_a"))
+    }
+  }
+
   /** Bloom pre-filtered near-dup removal, EXACT by construction — the
     * 100 TB join-avoidance pattern:
     *

@@ -158,11 +158,38 @@ object Kmv {
     (m, x, jac, estI)
   }
 
+  /** Theta-style set-difference/union decomposition on the SAME uniform
+    * union sample X that [[overlap]] uses: m_only = members of X present
+    * in A but NOT in B, |A \ B| ≈ (m_only/|X|) · est(A∪B), and
+    * est(A∪B) is just [[estimate]] of the merged sketch. Exactly
+    * reproducible in SQL, like the rest of the algebra. */
+  def diff(a: Array[Byte], b: Array[Byte]): (Long, Long, Long, Long) = {
+    val ba = deserialize(a)
+    val bb = deserialize(b)
+    require(ba.k == 0 || bb.k == 0 || ba.k == bb.k,
+      s"kmv diff needs equal k (${ba.k} vs ${bb.k})")
+    val union = merge(deserialize(a), deserialize(b)) // fresh buffers
+    var mOnly = 0L
+    val it = union.set.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (ba.set.contains(h) && !bb.set.contains(h)) mOnly += 1
+    }
+    val x = union.set.size().toLong
+    val estU = estimate(serialize(union))
+    val estD =
+      if (x == 0) 0L
+      else math.floor(mOnly.toDouble / x * estU).toLong
+    (mOnly, x, estU, estD)
+  }
+
   // monomorphic entry points for codegen (no tuple boxing in generated code)
   def overlapJaccard(a: Array[Byte], b: Array[Byte]): Double = overlap(a, b)._3
   def overlapIntersect(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._4
   def overlapM(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._1
   def overlapX(a: Array[Byte], b: Array[Byte]): Long = overlap(a, b)._2
+  def overlapDiff(a: Array[Byte], b: Array[Byte]): Long = diff(a, b)._4
+  def overlapUnion(a: Array[Byte], b: Array[Byte]): Long = diff(a, b)._3
 
   /** Column API. */
   def kmvSketch(c: Column, k: Int): Column =
@@ -185,6 +212,12 @@ object Kmv {
   def kmvOverlapX(a: Column, b: Column): Column =
     GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
       GraftBridge.expression(b), 3))
+  def kmvDiff(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 4))
+  def kmvUnion(a: Column, b: Column): Column =
+    GraftBridge.column(KmvOverlap(GraftBridge.expression(a),
+      GraftBridge.expression(b), 5))
 }
 
 /** string values → KMV sketch. The partial-aggregation path (map-side
@@ -283,11 +316,13 @@ case class KmvMergeAgg(
 /** (sketchA, sketchB) → overlap statistic (scalar, on stored sketches):
   * mode 0 = Jaccard estimate (DOUBLE, the exact quotient m/|X|),
   * mode 1 = intersection-cardinality estimate (BIGINT),
-  * mode 2 = m (|X ∩ A ∩ B|, BIGINT), mode 3 = |X| (BIGINT). */
+  * mode 2 = m (|X ∩ A ∩ B|, BIGINT), mode 3 = |X| (BIGINT),
+  * mode 4 = set-difference |A \ B| estimate (BIGINT, theta-style),
+  * mode 5 = union-cardinality estimate (BIGINT). */
 case class KmvOverlap(left: Expression, right: Expression, mode: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
-  require(mode >= 0 && mode <= 3, s"mode must be 0..3, got $mode")
+  require(mode >= 0 && mode <= 5, s"mode must be 0..5, got $mode")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -301,12 +336,19 @@ case class KmvOverlap(left: Expression, right: Expression, mode: Int)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String =
-    Seq("kmv_jaccard", "kmv_intersect", "kmv_overlap_m", "kmv_overlap_x")(mode)
+    Seq("kmv_jaccard", "kmv_intersect", "kmv_overlap_m", "kmv_overlap_x",
+      "kmv_diff", "kmv_union")(mode)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val (m, x, jac, estI) =
-      Kmv.overlap(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
-    mode match { case 0 => jac; case 1 => estI; case 2 => m; case 3 => x }
+    val ab = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    if (mode >= 4) {
+      val (_, _, estU, estD) = Kmv.diff(ab, bb)
+      if (mode == 4) estD else estU
+    } else {
+      val (m, x, jac, estI) = Kmv.overlap(ab, bb)
+      mode match { case 0 => jac; case 1 => estI; case 2 => m; case 3 => x }
+    }
   }
 
   override protected def doGenCode(
@@ -314,7 +356,7 @@ case class KmvOverlap(left: Expression, right: Expression, mode: Int)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val fn = Seq("overlapJaccard", "overlapIntersect",
-      "overlapM", "overlapX")(mode)
+      "overlapM", "overlapX", "overlapDiff", "overlapUnion")(mode)
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kmv.$fn($a, $b)")
   }
 

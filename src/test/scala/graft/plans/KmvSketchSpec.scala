@@ -83,6 +83,29 @@ class KmvSketchSpec extends SparkSpec {
       s1.getAs[Array[Byte]](0), s1.getAs[Array[Byte]](1)) == 0.0)
   }
 
+  test("diff/union algebra: self, disjoint, and empty identities") {
+    val sk = keyed.groupBy("event_type").agg(Kmv.kmvSketch(col("key"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val a = sk("click")
+    assert(Kmv.overlapDiff(a, a) == 0L)
+    assert(Kmv.overlapUnion(a, a) == Kmv.estimate(a))
+    // truly disjoint salted copies: A \ B covers all of A's union share
+    val s1 = keyed.groupBy().agg(
+      Kmv.kmvSketch(concat(lit("L|"), col("key")), 64).as("x"),
+      Kmv.kmvSketch(concat(lit("R|"), col("key")), 64).as("y")).collect()(0)
+    val (l, r) = (s1.getAs[Array[Byte]](0), s1.getAs[Array[Byte]](1))
+    val u = Kmv.overlapUnion(l, r)
+    // disjoint: diff estimates partition the union estimate (up to the
+    // two floors)
+    val dSum = Kmv.overlapDiff(l, r) + Kmv.overlapDiff(r, l)
+    assert(math.abs(dSum - u) <= 2, s"disjoint diffs $dSum vs union $u")
+    // empty-sketch degenerates
+    val empty = Kmv.serialize(new Kmv.Buffer(0))
+    assert(Kmv.overlapDiff(empty, a) == 0L)
+    assert(Kmv.overlapDiff(a, empty) == Kmv.estimate(a))
+    assert(Kmv.overlapUnion(a, empty) == Kmv.estimate(a))
+  }
+
   test("degenerate all-null merge yields an empty sketch, not a crash") {
     // kmv_merge over a group whose sketch inputs are all null serializes
     // a k=0 buffer; estimate must return 0 and overlap must treat it as
