@@ -84,6 +84,8 @@ object SparkEntry {
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,
     SimilarityQueries.ivfCellStats,
+    SimilarityQueries.ivfPqTopK,
+    SimilarityQueries.ivfPqRecall,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,

@@ -28,5 +28,9 @@ object IndexBuilds {
     "idx_emb_keep"      -> ((s, d) => { DedupQueries.embKeepList(s, d); () }),
     "idx_ivf"           -> ((s, d) => {
       IvfIndex.assignments(s, d, SimilarityQueries.ivfK, SimilarityQueries.ivfIters); ()
+    }),
+    "idx_pq"            -> ((s, d) => {
+      import SimilarityQueries._
+      PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters); ()
     }))
 }

