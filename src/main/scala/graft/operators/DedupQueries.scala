@@ -195,11 +195,18 @@ object DedupQueries {
     * (the builder caches for its one materializing pass; the hygiene
     * sweep plans it cold). */
   private[graft] def lshShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select("doc_id", "text")
-      .repartition(s.sparkContext.defaultParallelism) // one input split
-      .select(col("doc_id"),
-              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    shinglesOf(
+      Tables.documents(s, d)
+        .select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)) // one input split
+
+  /** Shingle frame over an arbitrary (doc_id, text, …) frame: `text` is
+    * replaced by its distinct 3-gram shingle set; any other columns
+    * (e.g. a streaming delta flag) pass through untouched. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ss", array_distinct(wordShingles(tokens(col("text")), 3)))
+      .drop("text")
 
   /** The full pair-generation plan over a shingle frame: fused map-only
     * signatures → (band, key, doc_id)-only candidate join (≥2 of 8 band
@@ -211,10 +218,14 @@ object DedupQueries {
   private[graft] def lshPairsFrom(sh: DataFrame): DataFrame =
     lshPairsFrom(sh, LshMaxBucket)
 
-  private[graft] def lshBandRows(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
+  private[graft] def lshBandRows(sh: DataFrame): DataFrame = {
+    // non-(doc_id, ss) columns pass through — the streaming incremental
+    // path flags delta rows and needs the flag to survive band explosion
+    val extra = sh.columns.filterNot(Set("doc_id", "ss")).toSeq.map(col)
+    sh.select(col("doc_id") +: extra :+
               posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
-                .as(Seq("band", "key")))
+                .as(Seq("band", "key")): _*)
+  }
 
   private[graft] def lshPairsFrom(sh: DataFrame, maxBucket: Int): DataFrame = {
     // fused map-only signatures (no explode/shuffle), one row per band

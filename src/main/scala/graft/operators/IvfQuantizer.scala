@@ -66,11 +66,18 @@ object IvfQuantizer {
 
   /** Run `iters` Lloyd updates; returns the trained centroids. */
   def train(spark: SparkSession, dir: String, k: Int, iters: Int): Trained = {
+    import spark.implicits._
     val v = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       .repartition(spark.sparkContext.defaultParallelism)
     val q = vq(v).cache() // reused by every assign + recompute step
+    // cells 0..k-1 = the k smallest vec_ids in order. The frame is at
+    // most k rows (post-limit), so index it with a sorted zipWithIndex
+    // instead of an unpartitioned row_number window — same deterministic
+    // mapping, no single-partition WindowExec warning per training job.
     val seeds = v.select("vec_id").orderBy("vec_id").limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+      .as[Long].rdd.sortBy(identity).zipWithIndex()
+      .map { case (id, i) => (id, i.toInt) }
+      .toDF("vec_id", "cell")
     var cent = q.join(broadcast(seeds), Seq("vec_id"))
       .select(col("cell"), col("dim"), col("x").as("cval"))
     for (_ <- 0 until iters) {

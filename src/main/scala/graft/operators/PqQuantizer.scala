@@ -75,10 +75,15 @@ object PqQuantizer {
   private[operators] def train(
       s: SparkSession, d: String, k: Int, iters: Int,
       dsub: Int, codes: Int, pqIters: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
     val res = residuals(s, d, k, iters, dsub).cache()
+    // ≤ `codes` rows post-limit: sorted zipWithIndex, not an
+    // unpartitioned row_number window (same fix as IvfQuantizer.train)
     val seeds = Tables.embeddings(s, d).select("vec_id")
       .orderBy("vec_id").limit(codes)
-      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+      .as[Long].rdd.sortBy(identity).zipWithIndex()
+      .map { case (id, i) => (id, i.toInt) }
+      .toDF("vec_id", "code")
     var cb = res.join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("code"), col("dim_in"), col("r").as("cval"))
     for (_ <- 0 until pqIters) {

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.DedupQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream/batch parity for incremental dedup: documents arriving in
+  * micro-batches through [[DedupStreams.incrementalDedupStream]] must
+  * accumulate EXACTLY the delta-touching slice of the full batch pair
+  * set (the `q_dedup_incremental` contract), including pairs BETWEEN
+  * delta docs that arrived in different micro-batches — and replaying a
+  * micro-batch (restart recovery) must change neither table. */
+class StreamingIncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpusT = "sid_corpus"
+  private val pairT = "sid_pairs"
+
+  private def cleanup(): Unit = Seq(
+    corpusT, pairT, s"${corpusT}_upsert_staging", s"${pairT}_upsert_staging")
+    .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def pairKey(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+
+  test("micro-batched dedup accumulates the batch delta-touching pair set") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+
+    // the existing corpus: everything outside the delta slice
+    DedupStreams.seedCorpus(
+      spark, docs.filter(col("doc_id") % 10 =!= 7), corpusT, buckets = 4)
+
+    // expected: the full batch run filtered to delta-touching pairs —
+    // the same oracle IncrementalDedupSpec pins for the batch plan
+    val sh = DedupQueries.lshShingles(spark, sf0001).cache()
+    val expected =
+      try DedupQueries.lshIncrementalFrom(sh, col("doc_id") % 10 === 7)
+        .select("doc_a", "doc_b", "nbands", "jaccard")
+        .collect().map(pairKey).toSet
+      finally sh.unpersist()
+    assert(expected.nonEmpty, "sf0.001 should produce delta-touching pairs")
+
+    // stream the delta in two micro-batches split by doc_id % 20, so
+    // cross-batch delta-delta pairs exercise the corpus accumulation
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStreams.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text"), corpusT, pairT, buckets = 4).start()
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+      .as[(Long, String)].collect()
+    val (chunk1, chunk2) = delta.partition(_._1 % 20 == 7)
+    try {
+      mem.addData(chunk1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(chunk2.toIndexedSeq); q.processAllAvailable()
+
+      val got = spark.table(pairT).collect().map(pairKey).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      assert(spark.table(corpusT).count() == docs.count(),
+        "corpus table should hold base + every streamed doc exactly once")
+
+      // replay the second micro-batch (what a restarted stream
+      // re-applies): both keyed merges are idempotent — nothing moves
+      DedupStreams.processBatch(
+        chunk2.toIndexedSeq.toDF("doc_id", "text"), corpusT, pairT, buckets = 4)
+      assert(spark.table(pairT).collect().map(pairKey).toSet == expected,
+        "replayed micro-batch changed the pair table")
+      assert(spark.table(corpusT).count() == docs.count(),
+        "replayed micro-batch changed the corpus table")
+    } finally { q.stop(); cleanup() }
+  }
+
+  test("a first batch with no seeded corpus pairs only within itself") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("doc_id") < 40)
+    try {
+      DedupStreams.processBatch(docs, corpusT, pairT, buckets = 4)
+      val sh = DedupQueries.shinglesOf(docs)
+      val expected = DedupQueries.lshPairsFrom(sh)
+        .select("doc_a", "doc_b", "nbands", "jaccard")
+        .collect().map(pairKey).toSet
+      assert(spark.table(pairT).collect().map(pairKey).toSet == expected)
+      assert(spark.table(corpusT).count() == docs.count())
+    } finally cleanup()
+  }
+}
