@@ -77,6 +77,8 @@ object SparkEntry {
     DedupQueries.embeddingPairs,
     DedupQueries.embeddingResolve,
     DedupQueries.embeddingPairsExact,
+    DedupQueries.semanticPairs,
+    DedupQueries.semanticRecall,
     // similarity search
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.int8TopK,

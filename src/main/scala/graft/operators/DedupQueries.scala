@@ -761,7 +761,13 @@ object DedupQueries {
     "lsh_pairs"     -> lshPairsFrom(lshShingles(s, d)),
     "simhash_pairs" -> simhashPairsFrom(simhashFrame(s, d)),
     "emb_pairs"     -> embeddingPairsFrom(embeddingVectors(s, d)),
-    "bench_grams"   -> CorpusQueries.benchGramsPlan(s, d))
+    "bench_grams"   -> CorpusQueries.benchGramsPlan(s, d),
+    // sem_pairs consumes the persisted IVF assignment table, whose
+    // ensure() would materialize mid-sweep; a label-as-cell stand-in has
+    // the IDENTICAL join/guard shape downstream of the assignment scan
+    "sem_pairs"     -> semanticPairsFrom(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell")),
+      embeddingVectors(s, d)))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as
@@ -787,5 +793,139 @@ object DedupQueries {
       .filter(col("cosine") >= 0.45)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Cell-population cap for IVF-blocked semantic dedup — same guard
+    * class as [[LshMaxBucket]]: one overfull coarse cell makes the
+    * within-cell candidate join quadratic in that cell. Cells above the
+    * cap are excluded (reported via [[semanticOversizedCells]]); their
+    * members simply aren't semantic-dedup candidates this pass, and the
+    * telemetry says to retrain with larger k — the standard IVF rebalance
+    * response, since cell population is the SAME gauge `q_ann_cells`
+    * watches for search. Replayed verbatim in the DuckDB oracle. */
+  private[graft] final val SemanticMaxCell = 1500
+
+  /** Oversized-cell telemetry twin of the guard. */
+  private[graft] def semanticOversizedCells(asn: DataFrame,
+                                            maxCell: Int = SemanticMaxCell): DataFrame =
+    asn.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .filter(col("n_vectors") > maxCell)
+
+  /** The semantic pair-generation plan (SemDeDup-style): candidates are
+    * pairs sharing a trained coarse-quantizer cell, verified by exact
+    * codegen cosine at 0.45. Blocking quality is DATA-DEPENDENT — the
+    * k-means cells adapt to the corpus where the hyperplane LSH bands of
+    * [[embeddingPairsFrom]] are data-oblivious — and the cell structure
+    * is the SAME persisted [[IvfIndex]] the ANN tier already trained, so
+    * the dedup pass costs no new training. Candidate work is bounded by
+    * Σ min(cellᵢ, cap)²/2; the verify step re-attaches vectors via plain
+    * equi-joins on vec id (NO broadcast hints — corpus-sized frame). */
+  private[graft] def semanticPairsFrom(asn: DataFrame, v: DataFrame,
+                                       maxCell: Int = SemanticMaxCell): DataFrame = {
+    // partial-agg count on the same key the candidate join shuffles on
+    val okCells = asn.groupBy("cell")
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= maxCell)
+      .select("cell")
+    val bounded = asn.join(okCells, Seq("cell"))
+    val a = bounded.select(col("vec_id").as("vec_a"), col("cell"))
+    val b = bounded.select(col("vec_id").as("vec_b"), col("cell"))
+    // (cell, vec_id)-only candidate join — vectors never travel through it
+    val cand = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "cell")
+    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cell", "cosine")
+  }
+
+  /** Verified semantic near-dup pairs, materialized once per (run,
+    * corpus dir) — the builder reads the persisted IVF assignment table
+    * (already built by the ANN tier or by this call, whichever runs
+    * first) and never trains anything itself. */
+  private[graft] def semPairs(s: SparkSession, d: String): DataFrame = {
+    import SimilarityQueries.{ivfIters, ivfK}
+    val dir = IndexCatalog.ensure(s, s"sem_pairs_${IndexCatalog.tag(d)}") { dir =>
+      semanticPairsFrom(
+          IvfIndex.assignments(s, d, ivfK, ivfIters),
+          embeddingVectors(s, d))
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
+  /** Shared oracle CTE chain: IVF training replay → capped cells →
+    * within-cell verified pairs (`sempairs`). */
+  private def semCtes = {
+    import SimilarityQueries.{ivfIters, ivfK}
+    s"""${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |okc AS (
+       |  SELECT cell FROM asn GROUP BY cell HAVING count(*) <= $SemanticMaxCell
+       |), sb AS (
+       |  SELECT vec_id, cell FROM asn JOIN okc USING (cell)
+       |), sempairs AS (
+       |  SELECT vec_a, vec_b, cell, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+       |      list_dot_product(va.e, vb.e)
+       |        / (sqrt(list_dot_product(va.e, va.e))
+       |           * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+       |    FROM sb a JOIN sb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    JOIN v va ON va.vec_id = a.vec_id
+       |    JOIN v vb ON vb.vec_id = b.vec_id
+       |  ) WHERE cosine >= 0.45
+       |)""".stripMargin
+  }
+
+  /** Semantic (embedding-cluster) near-dup pairs via the trained IVF
+    * index — the SemDeDup-shaped dedup pass, served from the persisted
+    * pair artifact. */
+  val semanticPairs = Q(
+    "q_dedup_semantic",
+    s"""WITH $semCtes
+       |SELECT vec_a, vec_b, cell, cosine FROM sempairs
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    semPairs(s, d)
+      .select("vec_a", "vec_b", "cell", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Recall of IVF-cell blocking against the exact bounded baseline
+    * (vec_id < 500, the same bound as q_dedup_embedding_exact): the
+    * fraction of true ≥0.45 pairs whose two vectors landed in the same
+    * trained cell. Deterministic on both sides, so the recall number is
+    * oracle-exact — the blocking-quality gauge a corpus pass tracks when
+    * sizing k. */
+  val semanticRecall = Q(
+    "q_dedup_semantic_recall",
+    s"""WITH $semCtes,
+       |ex AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM (SELECT vec_id, e FROM v WHERE vec_id < 500) a
+       |  JOIN (SELECT vec_id, e FROM v WHERE vec_id < 500) b
+       |    ON a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.e, b.e)
+       |      / (sqrt(list_dot_product(a.e, a.e))
+       |         * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(sp.vec_a) AS BIGINT) AS n_found,
+       |  CASE WHEN count(*) = 0 THEN 0.0
+       |       ELSE CAST(count(sp.vec_a) AS DOUBLE) / count(*) END AS recall
+       |FROM ex LEFT JOIN sempairs sp
+       |  ON sp.vec_a = ex.vec_a AND sp.vec_b = ex.vec_b""".stripMargin) { (s, d) =>
+    val ex = embeddingPairsExact.run(s, d).select("vec_a", "vec_b")
+    val sp = semPairs(s, d)
+      .select(col("vec_a").as("s_a"), col("vec_b").as("s_b"))
+    ex.join(sp, col("s_a") === col("vec_a") && col("s_b") === col("vec_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("s_a")).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+              when(col("n_exact") === 0, 0.0)
+                .otherwise(col("n_found").cast("double") / col("n_exact"))
+                .as("recall"))
   }
 }

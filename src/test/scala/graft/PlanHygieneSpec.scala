@@ -42,6 +42,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_curation_funnel", "q_text_contamination",
     "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_recall", "q_ann_cells",
     "q_ann_ivfpq", "q_ann_ivfpq_recall",
+    // consume the sem_pairs artifact (built from the persisted IVF
+    // assignments); the pair-generation shape is swept via
+    // builderPlans("sem_pairs"), and the recall gauge additionally
+    // composes the documented bounded exact baseline
+    "q_dedup_semantic", "q_dedup_semantic_recall",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
