@@ -63,6 +63,7 @@ object SparkEntry {
     SketchQueries.kmvDiff,
     SketchQueries.heavyHitters,
     SketchQueries.bloomPrefilter,
+    SketchQueries.qtileSketch,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,
     DedupQueries.exactKeepFirst,

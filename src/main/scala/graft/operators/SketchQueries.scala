@@ -328,4 +328,59 @@ object SketchQueries {
            sum(col("n_docs")).cast("long").as("n_docs"))
       .orderBy("source")
   }
+
+  /** Mergeable quantile estimation per event type, ORACLE-CHECKED — the
+    * cross-shard p50/p90/p99 workflow without a global sort, via the
+    * deterministic bottom-k row sample ([[graft.plans.QSketch]]: the
+    * k smallest md5(event_id) rows ARE the sample, so DuckDB reproduces
+    * sample and selection exactly; the reported quantile is a stored
+    * input double, hash-identical). Same two-stage algebra as
+    * `q_kmv_distinct`: per-(type, user-shard) sketches first, then
+    * `qsketch_merge` folds each type's shards — the estimate goes
+    * through BOTH aggregates, and merge-of-shards ≡ whole-group
+    * byte-for-byte (QSketchSpec pins the identity). */
+  val qtileSketch = {
+    val k = 128
+    Q(
+      "q_qtile_sketch",
+      s"""WITH s AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+         |  FROM events WHERE value IS NOT NULL
+         |), samp AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS vi,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM s WHERE rn <= $k
+         |), n AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+         |)
+         |SELECT event_type,
+         |  max(CASE WHEN vi = CAST(floor(0.5 * (m - 1)) AS BIGINT) THEN value END) AS p50,
+         |  max(CASE WHEN vi = CAST(floor(0.9 * (m - 1)) AS BIGINT) THEN value END) AS p90,
+         |  max(CASE WHEN vi = CAST(floor(0.99 * (m - 1)) AS BIGINT) THEN value END) AS p99,
+         |  CAST(max(m) AS BIGINT) AS m_sample, max(n_rows) AS n_rows
+         |FROM samp JOIN n USING (event_type)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.plans.QSketch.{qSketch, qSketchM, qSketchMerge, qSketchN, qSketchQuantile}
+      val keyed = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          col("event_id").cast("string").as("key"), col("value"))
+      val shards = keyed
+        .groupBy(col("event_type"), (col("user_id") % 8).as("shard"))
+        .agg(qSketch(col("key"), col("value"), k).as("sk"))
+      shards.groupBy("event_type")
+        .agg(qSketchMerge(col("sk")).as("sk"))
+        .select(col("event_type"),
+          qSketchQuantile(col("sk"), lit(0.5)).as("p50"),
+          qSketchQuantile(col("sk"), lit(0.9)).as("p90"),
+          qSketchQuantile(col("sk"), lit(0.99)).as("p99"),
+          qSketchM(col("sk")).as("m_sample"),
+          qSketchN(col("sk")).as("n_rows"))
+        .orderBy("event_type")
+    }
+  }
 }

@@ -105,6 +105,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HhTotal(children(0))))
     e.injectFunction((
+      FunctionIdentifier("qsketch"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QSketchAgg(children(0), children(1), intLit(children(2), "qsketch k"))
+          .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_merge"),
+      new ExpressionInfo(classOf[QSketchMergeAgg].getName, "qsketch_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QSketchMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_quantile"),
+      new ExpressionInfo(classOf[QSketchQuantile].getName, "qsketch_quantile"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QSketchQuantile(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_n"),
+      new ExpressionInfo(classOf[QSketchN].getName, "qsketch_n"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QSketchN(children(0), total = true)))
+    e.injectFunction((
+      FunctionIdentifier("qsketch_m"),
+      new ExpressionInfo(classOf[QSketchN].getName, "qsketch_m"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QSketchN(children(0), total = false)))
+    e.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
