@@ -32,5 +32,6 @@ object IndexBuilds {
     "idx_pq"            -> ((s, d) => {
       import SimilarityQueries._
       PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters); ()
-    }))
+    }),
+    "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }))
 }

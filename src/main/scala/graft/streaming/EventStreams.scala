@@ -68,6 +68,34 @@ object EventStreams {
         col("event_type"), col("approx_users"), col("n"))
   }
 
+  /** Tumbling-window value quantiles per event type via the engine's
+    * mergeable quantile sketch ([[graft.plans.QSketchAgg]]) — sketch
+    * state IN the streaming state store: each window's partial buffer is
+    * the bottom-k (digest, value) sample, merged across micro-batches by
+    * the same truncated-union rule that merges across shards, so
+    * streaming and batch produce the IDENTICAL selection (deterministic
+    * md5 sampling, no RNG — pinned by the parity test). Constant-size
+    * state per (window, type) regardless of row count — the percentile
+    * telemetry shape (p50/p99 latency per window) a 100 TB event stream
+    * reports without ever sorting a window's full contents. */
+  def windowedQuantiles(events: DataFrame,
+                        watermark: String = "1 hour",
+                        k: Int = 128): DataFrame = {
+    import graft.plans.QSketch.{qSketch, qSketchQuantile}
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(qSketch(col("event_id").cast("string"), col("value"), k).as("sk"),
+           count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        qSketchQuantile(col("sk"), lit(0.5)).as("p50"),
+        qSketchQuantile(col("sk"), lit(0.99)).as("p99"),
+        col("n"))
+  }
+
   /** Watermarked stream-stream INNER join: purchases attributed to every
     * click by the same user in the preceding hour — the streaming twin
     * of EventQueries.intervalJoin (its parity test's oracle).

@@ -55,6 +55,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed windowed quantile sketch equals the batch selection exactly") {
+    import graft.plans.QSketch.{qSketch, qSketchQuantile}
+    val stream = EventStreams.readEventStream(spark, sf0001)
+    val q = EventStreams.windowedQuantiles(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("qtile_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qtile_out")
+        .select("window_start", "event_type", "p50", "p99", "n")
+      // batch twin over the same rows: deterministic bottom-k sampling
+      // makes the streamed selections EQUAL, not merely close
+      val batch = graft.Tables.events(spark, sf0001)
+        .filter(col("value").isNotNull)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(qSketch(col("event_id").cast("string"), col("value"), 128).as("sk"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          qSketchQuantile(col("sk"), lit(0.5)).as("p50"),
+          qSketchQuantile(col("sk"), lit(0.99)).as("p99"),
+          col("n"))
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val clicks = EventStreams.readEventStream(spark, sf0001)
       .filter($"event_type" === "click")
