@@ -62,6 +62,7 @@ object SparkEntry {
     SketchQueries.kmvOverlap,
     SketchQueries.kmvDiff,
     SketchQueries.heavyHitters,
+    SketchQueries.heavyHittersGrouped,
     SketchQueries.bloomPrefilter,
     SketchQueries.qtileSketch,
     // dedup family (training-data pipeline)
@@ -80,6 +81,7 @@ object SparkEntry {
     DedupQueries.embeddingPairsExact,
     DedupQueries.semanticPairs,
     DedupQueries.semanticRecall,
+    DedupQueries.semanticResolve,
     // similarity search
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.int8TopK,

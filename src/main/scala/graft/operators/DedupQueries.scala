@@ -881,6 +881,40 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  /** Keep-list over the semantic pair graph — connected components
+    * resolved once per (run, corpus dir) and persisted, mirroring
+    * [[embKeepList]]. */
+  private[graft] def semKeepList(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, s"sem_keep_${IndexCatalog.tag(d)}") { dir =>
+      DedupResolve.keepList(
+          semPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .write.mode("overwrite").parquet(s"$dir/keep")
+    }
+    s.read.parquet(s"$dir/keep")
+  }
+
+  /** End-to-end semantic dedup: IVF-cell pairs → connected components →
+    * keep-list (the semantic twin of q_dedup_embedding_resolve; same
+    * pointer-jumping label propagation, same recursive-CTE oracle). */
+  val semanticResolve = Q(
+    "q_dedup_semantic_resolve",
+    s"""WITH RECURSIVE $semCtes,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM sempairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM sempairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |)
+       |SELECT id AS doc_id, min(reach) AS cluster, id = min(reach) AS keep
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    semKeepList(s, d)
+      .select("doc_id", "cluster", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Semantic (embedding-cluster) near-dup pairs via the trained IVF
     * index — the SemDeDup-shaped dedup pass, served from the persisted
     * pair artifact. */

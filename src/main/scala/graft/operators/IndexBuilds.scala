@@ -33,5 +33,6 @@ object IndexBuilds {
       import SimilarityQueries._
       PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters); ()
     }),
-    "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }))
+    "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }),
+    "idx_sem_keep"      -> ((s, d) => { DedupQueries.semKeepList(s, d); () }))
 }

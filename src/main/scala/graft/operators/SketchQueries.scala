@@ -63,6 +63,49 @@ object SketchQueries {
     }
   }
 
+  /** Grouped heavy hitters: top-5 tokens PER SOURCE from per-shard
+    * Misra-Gries sketches merged per group — the per-domain frequent-
+    * tokens breakdown a corpus mixture report shows. Same exact-regime
+    * oracle contract as [[heavyHitters]] (vocabulary below counter
+    * capacity → the sketch is the exact count map); the rank is computed
+    * from the merged sketch's items with the (cnt desc, word) tie-break
+    * the oracle replays. */
+  val heavyHittersGrouped = {
+    val k = 64
+    Q(
+      "q_heavy_hitters_grouped",
+      """WITH w AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM w GROUP BY source, word
+        |), r AS (
+        |  SELECT source, word, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY cnt DESC, word) AS rnk
+        |  FROM c
+        |)
+        |SELECT source, word, cnt, rnk FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      import graft.plans.Hh
+      import org.apache.spark.sql.expressions.Window
+      val sk = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("source"), (col("doc_id") % 4).as("shard"))
+        .agg(Hh.hhSketch(col("word"), k).as("sk"))
+        .groupBy("source").agg(Hh.hhMerge(col("sk")).as("sk"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("word"))
+      sk.select(col("source"), explode(Hh.hhItems(col("sk"))).as("it"))
+        .select(col("source"), col("it.token").as("word"), col("it.cnt").as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    }
+  }
+
   /** KMV distinct estimation per event type, ORACLE-CHECKED — the
     * sketch-tier member whose estimate DuckDB can recompute exactly
     * (k smallest md5 order statistics + one floor'd IEEE division; see

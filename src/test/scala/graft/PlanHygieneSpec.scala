@@ -46,7 +46,7 @@ class PlanHygieneSpec extends SparkSpec {
     // assignments); the pair-generation shape is swept via
     // builderPlans("sem_pairs"), and the recall gauge additionally
     // composes the documented bounded exact baseline
-    "q_dedup_semantic", "q_dedup_semantic_recall",
+    "q_dedup_semantic", "q_dedup_semantic_recall", "q_dedup_semantic_resolve",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
