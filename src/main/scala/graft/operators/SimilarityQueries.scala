@@ -353,6 +353,35 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** Search an ARBITRARY query-vector frame (query_id, embedding)
+    * against the persisted IVF index — the serving entry point (the
+    * registered q_ann_ivf query is this search applied to the fixed
+    * vec_id < 10 batch). Each query quantizes and assigns to its
+    * nearest trained cell via the stored centroid frame (map +
+    * broadcast of k·dim rows), then ranks exact cosine inside that
+    * cell. Deterministic end to end, so a corpus vector passed as a
+    * query returns exactly what the registered query returns for it —
+    * the property the streaming serving spec pins. */
+  def ivfSearch(s: org.apache.spark.sql.SparkSession, d: String,
+                queries: DataFrame, k: Int = 5): DataFrame = {
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val cand = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .join(asn, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("cl"),
+        col("embedding").as("ec"))
+    val qv = queries.select(col("query_id").as("vec_id"), col("embedding"))
+    val qcells = IvfQuantizer
+      .nearestCells(IvfQuantizer.vq(qv), IvfIndex.centroids(s, d, ivfK, ivfIters), 1)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("cell", "ql")
+    topK(
+      queries.join(qcells, Seq("query_id"))
+        .select(col("query_id"), col("ql"), col("embedding").as("eq")),
+      cand,
+      col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
+      k)
+  }
+
   val ivfProbe = 2
   val ivfTopKProbe2 = Q(
     "q_ann_ivf_probe2",

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import graft.operators.SimilarityQueries
+import graft.sources.UpsertBucketedSink
+
+/** Streaming ANN serving — the online half of the train-once /
+  * query-many lifecycle: a stream of query vectors is searched per
+  * micro-batch against the PERSISTED IVF index
+  * ([[graft.operators.IvfIndex]]), and results land in a bucketed
+  * table keyed by (query_id, rank).
+  *
+  * Per-batch cost is |batch| × (one quantize pass + a broadcast of the
+  * k·dim centroid frame + a cell-pruned candidate join) — the index is
+  * never retrained and the corpus is never rescanned beyond the probed
+  * cells. The write is an idempotent keyed merge, so micro-batch replay
+  * after a restart converges to the same results table (same rule as
+  * every other streaming sink here).
+  *
+  * Search is deterministic (integer-space quantizer, exact codegen
+  * cosine, vec_id tie-break), so the streamed results for a query
+  * vector are IDENTICAL to the batch `q_ann_ivf` answer for it —
+  * StreamingAnnSpec pins that parity across batches and replays. */
+object AnnStreams {
+
+  /** One micro-batch application (exposed for replay tests): search the
+    * batch of (query_id, embedding) rows, merge results into
+    * `resultTable` (query_id, neighbor_id, rank, cosine). */
+  def processBatch(batch: DataFrame, dir: String, resultTable: String,
+                   k: Int = 5, buckets: Int = 8): Unit = {
+    val out = SimilarityQueries.ivfSearch(batch.sparkSession, dir, batch, k)
+    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "neighbor_id")
+      .write(out, resultTable)
+  }
+
+  /** Continuous wiring: a stream of (query_id, embedding) vectors
+    * searched micro-batch by micro-batch through [[processBatch]]. */
+  def searchStream(queries: DataFrame, dir: String, resultTable: String,
+                   k: Int = 5, buckets: Int = 8): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) processBatch(batch, dir, resultTable, k, buckets)
+      }
+}
