@@ -115,6 +115,7 @@ object SparkEntry {
     MultimodalQueries.imageIoRoundTrip,
     MultimodalQueries.wavRoundTrip,
     MultimodalQueries.aviProbe,
+    MultimodalQueries.mjpegFrames,
     // surface completion: full pipeline composition, salting, SQL layer,
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,

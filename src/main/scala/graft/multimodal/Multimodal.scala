@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is the real thing — explicit schema,
   * partition-preserving `mapPartitions` with per-batch state (the shape a
   * JNI/FFmpeg/PIL decoder needs: init once per partition, stream rows
-  * through), codegen-friendly metadata columns. Two decoders plug in:
-  * [[graft.multimodal.ImageIoDecoder]] — a REAL image codec over the
-  * JDK's `javax.imageio` (PNG/JPEG/GIF/BMP; see [[ImageCodec]] and the
-  * oracle-checked q_mm_imageio round trip) — and [[FakeDecoder]], the
-  * deterministic stand-in still used where payloads aren't images
-  * (q_mm_decode runs it over text bytes) and for the audio/video
-  * modalities the JDK ships no codec for.
+  * through), codegen-friendly metadata columns. Real codecs plug in for
+  * every modality the JDK can decode:
+  * [[graft.multimodal.ImageIoDecoder]] (PNG/JPEG/GIF/BMP via
+  * `javax.imageio`; oracle-checked q_mm_imageio round trip),
+  * [[AudioCodec]] (WAV via `javax.sound.sampled`; q_mm_wav), and
+  * [[MjpegCodec]] (MJPEG-AVI video FRAME decode + frame sampling — each
+  * movi chunk is a real JPEG; q_mm_mjpeg). [[FakeDecoder]] remains the
+  * deterministic stand-in where payloads aren't media (q_mm_decode runs
+  * it over text bytes) and for the codecs the JDK genuinely lacks
+  * (H.264/VP9/AV1 frame decode — container metadata for those is
+  * [[VideoProbe]]).
   */
 object Multimodal {
 

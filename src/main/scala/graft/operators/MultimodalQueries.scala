@@ -109,6 +109,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL video FRAME decode: MJPEG-AVI payloads (each `movi` chunk a
+    * genuine ImageIO-encoded JPEG) frame-SAMPLED at stride 2 and decoded
+    * through the JDK JPEG codec inside the partition — the every-k-th-
+    * frame featurize pass a corpus build runs. JPEG is lossy in pixels
+    * but lossless in geometry, so the per-frame outputs are closed-form
+    * for the oracle; pixel fidelity is pinned by MjpegCodecSpec with the
+    * tolerance a lossy codec demands. H.264/VP9 stay header-only
+    * ([[graft.multimodal.VideoProbe]]) — the JDK ships no codec for
+    * them. */
+  val mjpegFrames = Q(
+    "q_mm_mjpeg",
+    """SELECT doc_id, frame_idx,
+      |  CAST(16 + (doc_id % 8) * 4 AS INTEGER) AS width,
+      |  CAST(12 + (doc_id % 5) * 4 AS INTEGER) AS height,
+      |  true AS ok
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS frame_idx
+      |  FROM documents WHERE doc_id < 500
+      |) WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // encode AND decode inside the partition (codec lifecycle rule)
+        ids.flatMap { id =>
+          graft.multimodal.MjpegCodec.frameRows(
+            id, graft.multimodal.MjpegCodec.syntheticMjpegAvi(id), stride = 2)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val decodeMeta = Q(
     "q_mm_decode",
     s"""WITH m AS (SELECT doc_id, md5(text) AS h,
