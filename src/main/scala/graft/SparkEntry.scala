@@ -110,6 +110,7 @@ object SparkEntry {
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,
+    DataQualityQueries.dataQuality,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
     MultimodalQueries.imageIoRoundTrip,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Data-quality validation — the gate a 100 TB pipeline runs BEFORE the
+  * corpus build or warehouse load consumes a day's landing data: key
+  * uniqueness, referential integrity, completeness, and domain checks,
+  * each expressed as a count of violations so the report is one tiny
+  * frame regardless of input size.
+  *
+  * Scale shape: every check is a single-pass aggregate or an anti-join
+  * on a key (shuffle-on-key, AQE-broadcastable dimension side) — the
+  * checks compose into ONE plan via union of 1-row aggregates, so a
+  * scheduler runs the whole suite as one job and alerts on any
+  * `pass = false` row. */
+object DataQualityQueries {
+
+  private def check(name: String, violations: DataFrame): DataFrame =
+    violations.select(
+      lit(name).as("check_name"),
+      col("n_violations").cast("long").as("n_violations"),
+      (col("n_violations") === 0).as("pass"))
+
+  val dataQuality = Q(
+    "q_data_quality",
+    """SELECT * FROM (
+      |  SELECT 'customer_custkey_unique' AS check_name,
+      |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations,
+      |    count(*) = count(DISTINCT c_custkey) AS pass
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'documents_text_complete',
+      |    CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) = 0
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'events_event_id_unique',
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+      |    count(*) = count(DISTINCT event_id)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'events_value_nonnegative',
+      |    CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk',
+      |    CAST((SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    CAST((SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+      |    (SELECT count(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                       WHERE c.c_custkey = o.o_custkey)) = 0
+      |)
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    val uniqueCust = check("customer_custkey_unique",
+      Tables.customer(s, d)
+        .agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations")))
+    val docText = check("documents_text_complete",
+      Tables.documents(s, d)
+        .agg(sum(when(col("text").isNull || trim(col("text")) === "", 1)
+          .otherwise(0)).as("n_violations")))
+    val uniqueEvent = check("events_event_id_unique",
+      Tables.events(s, d)
+        .agg((count(lit(1)) - countDistinct(col("event_id"))).as("n_violations")))
+    val valueDomain = check("events_value_nonnegative",
+      Tables.events(s, d)
+        .agg(sum(when(col("value") < 0, 1).otherwise(0)).as("n_violations")))
+    val lineFk = check("lineitem_orderkey_fk",
+      Tables.lineitem(s, d).select("l_orderkey")
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val orderFk = check("orders_custkey_fk",
+      Tables.orders(s, d).select("o_custkey")
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    Seq(uniqueCust, docText, uniqueEvent, valueDomain, lineFk, orderFk)
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  /** Null-rate profile per column of a frame — the completeness summary
+    * a landing-zone monitor tracks day over day (one pass, one row). */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val total = count(lit(1))
+    df.agg(total.as("n_rows"),
+      df.columns.toSeq.map(c =>
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nulls_$c")): _*)
+  }
+}
