@@ -110,6 +110,7 @@ object SparkEntry {
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,
+    WarehouseQueries.zorder3,
     DataQualityQueries.dataQuality,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,

@@ -82,4 +82,24 @@ object WarehouseQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }
   }
+
+  /** 3-dimensional Morton key — the multi-column OPTIMIZE ZORDER shape
+    * (round-robin bit interleave generalizes the 2-D layout; each file
+    * in a layout range-partitioned by z3 covers a tight 3-D box). */
+  val zorder3 = {
+    import graft.plans.ZOrder
+    val dims = Seq("(l_partkey % 256)", "(l_suppkey % 256)", "(l_linenumber % 16)")
+    Q(
+      "q_zorder3",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${ZOrder.zSqlN(dims, 8)} AS BIGINT) AS z3
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          ZOrder.zValueN(Seq(col("l_partkey") % 256, col("l_suppkey") % 256,
+            col("l_linenumber") % 16), 8).as("z3"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  }
 }

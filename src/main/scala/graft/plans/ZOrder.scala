@@ -17,22 +17,33 @@ import org.apache.spark.sql.functions._
   * identical in Spark and ANSI SQL — so z-values are oracle-checkable. */
 object ZOrder {
 
-  /** Morton-interleave the low `bits` bits of two non-negative integer
-    * columns: x occupies even result bits, y odd. Codegen'd shift/and/or
-    * chain — no UDF. */
+  /** Morton-interleave the low `bits` bits of N non-negative integer
+    * columns, round-robin: bit `b` of column `i` lands at result
+    * position `b·n + i`. Codegen'd shift/and/or chain — no UDF. N·bits
+    * must fit a long (≤ 63). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2 && n * bits <= 63, s"need 2+ columns and n*bits <= 63")
+    (for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
+      yield shiftleft(shiftright(c, b).bitwiseAND(lit(1)), b * n + i))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Two-column form (x even bits, y odd) — delegates to [[zValueN]]. */
   def zValue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1))
-    }.reduce(_ bitwiseOR _)
+    zValueN(Seq(x, y), bits)
 
   /** The same interleave as a DuckDB/ANSI SQL fragment over column
-    * expressions `x` and `y` — kept textually parallel to [[zValue]] so
-    * the oracle computes bit-identical values. */
-  def zSql(x: String, y: String, bits: Int): String =
-    (0 until bits).map { b =>
-      s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})"
-    }.mkString("(", ") | (", ")")
+    * expressions — kept textually parallel to [[zValueN]] so the oracle
+    * computes bit-identical values. */
+  def zSqlN(xs: Seq[String], bits: Int): String = {
+    val n = xs.size
+    (for { b <- 0 until bits; (x, i) <- xs.zipWithIndex }
+      yield s"((($x >> $b) & 1) << ${b * n + i})")
+      .mkString("(", ") | (", ")")
+  }
+
+  def zSql(x: String, y: String, bits: Int): String = zSqlN(Seq(x, y), bits)
 
   /** Write `df` in z-order layout: range-partition by the interleaved
     * value into `nFiles` files and sort within each — every output file
@@ -40,7 +51,13 @@ object ZOrder {
     * for footer-stats pruning. The helper column never reaches disk. */
   def writeLayout(df: DataFrame, x: Column, y: Column, bits: Int,
                   nFiles: Int, path: String): Unit =
-    df.withColumn("__z", zValue(x, y, bits))
+    writeLayoutN(df, Seq(x, y), bits, nFiles, path)
+
+  /** N-dimensional layout: every output file covers a contiguous
+    * z-range, i.e. a tight bounding box in ALL interleaved dimensions. */
+  def writeLayoutN(df: DataFrame, cols: Seq[Column], bits: Int,
+                   nFiles: Int, path: String): Unit =
+    df.withColumn("__z", zValueN(cols, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
