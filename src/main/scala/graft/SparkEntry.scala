@@ -65,6 +65,7 @@ object SparkEntry {
     SketchQueries.heavyHittersGrouped,
     SketchQueries.bloomPrefilter,
     SketchQueries.qtileSketch,
+    SketchQueries.cmsCounts,
     // dedup family (training-data pipeline)
     DedupQueries.exactSummary,
     DedupQueries.exactKeepFirst,

@@ -372,6 +372,72 @@ object SketchQueries {
       .orderBy("source")
   }
 
+  /** Count-min point-frequency estimation, FULLY ORACLE-CHECKED
+    * (collisions included): the d×w counter grid is pure sums over
+    * md5-derived buckets, so DuckDB replays every cell exactly —
+    * bucket(r, v) = first 32 bits of md5(r || '|' || v) mod w,
+    * cell = Σ counts of colliding words, estimate = min over rows. The
+    * grid is stream-order independent, so per-source shard sketches
+    * merge to the whole-corpus sketch BYTE-FOR-BYTE (no below-capacity
+    * caveat, unlike Misra-Gries) — CmsSketchSpec pins the identity and
+    * the overestimate-only contract. w = 64 on a ~31-word vocabulary
+    * forces real collisions, so the oracle is exercising the estimator,
+    * not an exact-regime shortcut. */
+  val cmsCounts = {
+    val (d, w) = (4, 64)
+    val keys = Seq("scan", "join", "merge", "window", "shuffle")
+    def hexU8(m: String): String =
+      (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+        .mkString("(", " + ", ")")
+    def bucketSql(expr: String, r: String): String =
+      s"${hexU8(s"md5(CAST($r AS VARCHAR) || '|' || $expr)")} % $w"
+    Q(
+      "q_cms_counts",
+      s"""WITH words AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents
+         |), c AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word
+         |), rows_ AS (SELECT unnest(range(0, $d)) AS r),
+         |cells AS (
+         |  SELECT rows_.r, ${bucketSql("c.word", "rows_.r")} AS b,
+         |    SUM(c.cnt) AS cell
+         |  FROM c, rows_ GROUP BY 1, 2
+         |), qk AS (SELECT unnest([${keys.map("'" + _ + "'").mkString(", ")}]) AS key),
+         |est AS (
+         |  -- LEFT join: a key whose bucket is EMPTY in some row has a
+         |  -- zero cell there (the grid stores zeros; the CTE does not)
+         |  SELECT qk.key, CAST(min(coalesce(cells.cell, 0)) AS BIGINT) AS cms_est
+         |  FROM qk CROSS JOIN rows_
+         |  LEFT JOIN cells ON cells.r = rows_.r
+         |    AND cells.b = ${bucketSql("qk.key", "rows_.r")}
+         |  GROUP BY qk.key
+         |)
+         |SELECT est.key, coalesce(c.cnt, 0) AS n_exact, est.cms_est
+         |FROM est LEFT JOIN c ON c.word = est.key
+         |ORDER BY est.key""".stripMargin) { (s, d2) =>
+      import graft.plans.Cms.{cmsMerge, cmsQuery, cmsSketch}
+      val wordsDf = Tables.documents(s, d2)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      // per-source shard sketches → one global merge (byte-identical to
+      // sketching the whole stream at once)
+      val sk = wordsDf
+        .groupBy("source").agg(cmsSketch(col("word"), d, w).as("sk"))
+        .agg(cmsMerge(col("sk")).as("sk"))
+      val exact = wordsDf.filter(col("word").isin(keys: _*))
+        .groupBy(col("word").as("key"))
+        .agg(count(lit(1)).as("n_exact"))
+      sk.select(explode(lit(keys.toArray)).as("key"), col("sk"))
+        .select(col("key"), cmsQuery(col("sk"), col("key")).as("cms_est"))
+        .join(exact, Seq("key"), "left")
+        .select(col("key"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          col("cms_est"))
+        .orderBy("key")
+    }
+  }
+
   /** Mergeable quantile estimation per event type, ORACLE-CHECKED — the
     * cross-shard p50/p90/p99 workflow without a global sort, via the
     * deterministic bottom-k row sample ([[graft.plans.QSketch]]: the

@@ -105,6 +105,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HhTotal(children(0))))
     e.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsSketchAgg(children(0), intLit(children(1), "cms_sketch d"),
+          intLit(children(2), "cms_sketch w")).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsMergeAgg(children(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsQuery(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("cms_total"),
+      new ExpressionInfo(classOf[CmsTotal].getName, "cms_total"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CmsTotal(children(0))))
+    e.injectFunction((
       FunctionIdentifier("qsketch"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
