@@ -98,6 +98,7 @@ object SparkEntry {
     TextQueries.tokenCounts,
     TextQueries.fingerprintQ,
     TextQueries.tfidfTerms,
+    TextQueries.textSearch,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

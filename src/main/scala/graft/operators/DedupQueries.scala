@@ -767,7 +767,8 @@ object DedupQueries {
     // the IDENTICAL join/guard shape downstream of the assignment scan
     "sem_pairs"     -> semanticPairsFrom(
       Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell")),
-      embeddingVectors(s, d)))
+      embeddingVectors(s, d)),
+    "inv_index"     -> TextQueries.invertedIndexPlan(s, d))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as

@@ -34,5 +34,6 @@ object IndexBuilds {
       PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters); ()
     }),
     "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }),
-    "idx_sem_keep"      -> ((s, d) => { DedupQueries.semKeepList(s, d); () }))
+    "idx_sem_keep"      -> ((s, d) => { DedupQueries.semKeepList(s, d); () }),
+    "idx_inverted"      -> ((s, d) => { TextQueries.invertedIndex(s, d); () }))
 }

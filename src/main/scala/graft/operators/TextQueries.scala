@@ -131,6 +131,48 @@ object TextQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** Inverted index (term → doc postings) as a persisted
+    * [[graft.sources.IndexCatalog]] artifact, stored BUCKETED on term —
+    * the text-retrieval counterpart of the ANN tier's IvfIndex: built
+    * once per (run, corpus), and every term lookup reads its bucket
+    * with zero Exchange on the index side. At 100 TB the postings table
+    * is the search-serving layout; the build is one explode + one
+    * bucketed write. */
+  private[graft] def invertedIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.{BucketedTableSink, IndexCatalog}
+    val key = s"inv_${IndexCatalog.tag(d)}"
+    val table = IndexCatalog.tableName(s, key)
+    IndexCatalog.ensure(s, key) { _ =>
+      BucketedTableSink(8, Seq("term"))
+        .write(invertedIndexPlan(s, d), table)
+    }
+    s.table(table)
+  }
+
+  /** The unexecuted postings plan (exposed for the hygiene sweep). */
+  private[graft] def invertedIndexPlan(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+
+  /** Term → documents retrieval from the persisted inverted index: the
+    * keyword-search workload (exact postings, no scoring — ranked
+    * retrieval composes q_tfidf_terms on top). */
+  val textSearch = Q(
+    "q_text_search",
+    s"""SELECT term, doc_id FROM (
+       |  SELECT doc_id, unnest(list_distinct($W)) AS term FROM documents
+       |)
+       |WHERE term IN ('scan', 'join', 'quantile')
+       |ORDER BY term, doc_id""".stripMargin) { (s, d) =>
+    invertedIndex(s, d)
+      .filter(col("term").isin("scan", "join", "quantile"))
+      .select("term", "doc_id")
+      .orderBy("term", "doc_id")
+  }
+
   /** Content fingerprinting: md5 over the sorted distinct token set;
     * bucket sizes reveal bag-of-words duplicates that exact-hash dedup
     * misses. */

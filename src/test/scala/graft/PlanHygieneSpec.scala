@@ -47,6 +47,9 @@ class PlanHygieneSpec extends SparkSpec {
     // builderPlans("sem_pairs"), and the recall gauge additionally
     // composes the documented bounded exact baseline
     "q_dedup_semantic", "q_dedup_semantic_recall", "q_dedup_semantic_resolve",
+    // serves from the bucketed inverted-index artifact; the postings
+    // build shape is swept via builderPlans("inv_index")
+    "q_text_search",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
