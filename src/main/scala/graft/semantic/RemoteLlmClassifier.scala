@@ -111,7 +111,7 @@ object RemoteLlmClassifier {
       val wanted = keywords.toSet
       val vocab = KeywordClassifier.Vocabulary.toSet
       val out = Map.newBuilder[String, String]
-      obj.fields().forEachRemaining { e =>
+      obj.properties().forEach { e =>
         if (wanted.contains(e.getKey)) {
           val cat = e.getValue.asText("")
           out += e.getKey -> (if (vocab.contains(cat)) cat

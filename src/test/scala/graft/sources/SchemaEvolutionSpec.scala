@@ -39,7 +39,7 @@ class SchemaEvolutionSpec extends SparkSpec {
       Some(merged.drop("day").schema)) // partition col comes back from the path
     assert(declared.columns.toSet == merged.columns.toSet)
     val a = merged.orderBy("day", "o_orderkey").collect()
-    val b = declared.select(merged.columns.map(col): _*)
+    val b = declared.select(merged.columns.toIndexedSeq.map(col): _*)
       .orderBy("day", "o_orderkey").collect()
     assert(a.sameElements(b), "merge-schema and declared-schema reads differ")
   }
