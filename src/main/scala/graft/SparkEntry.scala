@@ -81,6 +81,7 @@ object SparkEntry {
     DedupQueries.embeddingResolve,
     DedupQueries.embeddingPairsExact,
     DedupQueries.semanticPairs,
+    DedupQueries.semanticPairs2,
     DedupQueries.semanticRecall,
     DedupQueries.semanticResolve,
     // similarity search

@@ -768,6 +768,13 @@ object DedupQueries {
     "sem_pairs"     -> semanticPairsFrom(
       Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell")),
       embeddingVectors(s, d)),
+    // same stand-in rule for the probed variant: two label-derived
+    // probe rows per vector give the identical downstream join shape
+    "sem2_pairs"    -> semanticPairsProbed(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell"))
+        .unionByName(Tables.embeddings(s, d)
+          .select(col("vec_id"), (col("label") + 1).as("cell"))),
+      embeddingVectors(s, d)),
     "inv_index"     -> TextQueries.invertedIndexPlan(s, d))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
@@ -843,6 +850,36 @@ object DedupQueries {
       .withColumn("cosine", cosineSim(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.45)
       .select("vec_a", "vec_b", "cell", "cosine")
+  }
+
+  /** Multi-probe variant of [[semanticPairsFrom]]: each vector blocks
+    * into its `nprobe` nearest cells, so a pair is a candidate when the
+    * two vectors share ANY probed cell — the recall dial of the
+    * semantic tier (the same dial `q_ann_ivf_probe2` turns for search:
+    * candidates ×~nprobe, recall strictly ⊇ single-probe). A pair
+    * sharing several probed cells would duplicate through the join, so
+    * candidates dedup before the verify. */
+  private[graft] def semanticPairsProbed(probes: DataFrame, v: DataFrame,
+                                         maxCell: Int = SemanticMaxCell): DataFrame = {
+    val okCells = probes.groupBy("cell")
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= maxCell)
+      .select("cell")
+    val bounded = probes.join(okCells, Seq("cell"))
+    val a = bounded.select(col("vec_id").as("vec_a"), col("cell"))
+    val b = bounded.select(col("vec_id").as("vec_b"), col("cell"))
+    val cand = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /** Verified semantic near-dup pairs, materialized once per (run,
@@ -926,6 +963,56 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     semPairs(s, d)
       .select("vec_a", "vec_b", "cell", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Multi-probe semantic pairs artifact (nprobe = 2), derived from the
+    * SAME persisted centroids — probe lists are a map-only quantize
+    * pass, no retraining. */
+  private[graft] def semPairs2(s: SparkSession, d: String): DataFrame = {
+    import SimilarityQueries.{ivfIters, ivfK}
+    val dir = IndexCatalog.ensure(s, s"sem2_pairs_${IndexCatalog.tag(d)}") { dir =>
+      semanticPairsProbed(
+          IvfIndex.cells(s, d, ivfK, ivfIters, nprobe = 2),
+          embeddingVectors(s, d))
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
+  /** Multi-probe semantic near-dup pairs — strictly ⊇ the single-probe
+    * set (SemanticDedupSpec pins the superset), trading ~2× candidate
+    * work for blocking recall, exactly as multi-probe search does. */
+  val semanticPairs2 = Q(
+    "q_dedup_semantic2",
+    s"""WITH $semCtes,
+       |probe AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d${SimilarityQueries.ivfIters}) WHERE rn <= 2
+       |), okc2 AS (
+       |  SELECT cell FROM probe GROUP BY cell HAVING count(*) <= $SemanticMaxCell
+       |), pb AS (
+       |  SELECT vec_id, cell FROM probe JOIN okc2 USING (cell)
+       |), cand2 AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM pb a JOIN pb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |), sem2 AS (
+       |  SELECT vec_a, vec_b, cosine FROM (
+       |    SELECT vec_a, vec_b,
+       |      list_dot_product(va.e, vb.e)
+       |        / (sqrt(list_dot_product(va.e, va.e))
+       |           * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+       |    FROM cand2
+       |    JOIN v va ON va.vec_id = vec_a
+       |    JOIN v vb ON vb.vec_id = vec_b
+       |  ) WHERE cosine >= 0.45
+       |)
+       |SELECT vec_a, vec_b, cosine FROM sem2
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    semPairs2(s, d)
+      .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 

@@ -46,7 +46,8 @@ class PlanHygieneSpec extends SparkSpec {
     // assignments); the pair-generation shape is swept via
     // builderPlans("sem_pairs"), and the recall gauge additionally
     // composes the documented bounded exact baseline
-    "q_dedup_semantic", "q_dedup_semantic_recall", "q_dedup_semantic_resolve",
+    "q_dedup_semantic", "q_dedup_semantic2", "q_dedup_semantic_recall",
+    "q_dedup_semantic_resolve",
     // serves from the bucketed inverted-index artifact; the postings
     // build shape is swept via builderPlans("inv_index")
     "q_text_search",

@@ -61,6 +61,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(uncapped == planted)
   }
 
+  test("multi-probe blocking is a strict recall dial: probed ⊇ single-probe") {
+    import SimilarityQueries.{ivfIters, ivfK}
+    val v = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val t = IvfQuantizer.train(spark, sf0001, ivfK, ivfIters)
+    try {
+      val single = DedupQueries.semanticPairsFrom(IvfQuantizer.cellsOf(t, 1), v)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val probed = DedupQueries.semanticPairsProbed(IvfQuantizer.cellsOf(t, 2), v)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(single.subsetOf(probed),
+        s"single-probe pairs missing from probed: ${(single -- probed).take(3)}")
+      assert(probed.size >= single.size)
+    } finally t.quantized.unpersist()
+  }
+
   test("on the shipped corpus, blocking never invents pairs; recall is real") {
     import SimilarityQueries.{ivfIters, ivfK}
     val v = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
