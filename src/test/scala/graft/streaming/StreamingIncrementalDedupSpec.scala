@@ -9,17 +9,23 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * micro-batches through [[DedupStreams.incrementalDedupStream]] must
   * accumulate EXACTLY the delta-touching slice of the full batch pair
   * set (the `q_dedup_incremental` contract), including pairs BETWEEN
-  * delta docs that arrived in different micro-batches — and replaying a
-  * micro-batch (restart recovery) must change neither table. */
+  * delta docs that arrived in different micro-batches — the stream
+  * pairs against the PERSISTED band index, never re-shingling the
+  * corpus — and replaying a micro-batch (restart recovery) must change
+  * no table. */
 class StreamingIncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
   private val corpusT = "sid_corpus"
   private val pairT = "sid_pairs"
+  private val bandD = "/tmp/graft_sid_bands"
 
-  private def cleanup(): Unit = Seq(
-    corpusT, pairT, s"${corpusT}_upsert_staging", s"${pairT}_upsert_staging")
-    .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  private def cleanup(): Unit = {
+    Seq(corpusT, pairT, s"${corpusT}_upsert_staging", s"${pairT}_upsert_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val p = new org.apache.hadoop.fs.Path(bandD)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   private def pairKey(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
@@ -30,7 +36,7 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
 
     // the existing corpus: everything outside the delta slice
     DedupStreams.seedCorpus(
-      spark, docs.filter(col("doc_id") % 10 =!= 7), corpusT, buckets = 4)
+      spark, docs.filter(col("doc_id") % 10 =!= 7), corpusT, bandD, buckets = 4)
 
     // expected: the full batch run filtered to delta-touching pairs —
     // the same oracle IncrementalDedupSpec pins for the batch plan
@@ -43,11 +49,12 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "sf0.001 should produce delta-touching pairs")
 
     // stream the delta in two micro-batches split by doc_id % 20, so
-    // cross-batch delta-delta pairs exercise the corpus accumulation
+    // cross-batch delta-delta pairs exercise the stored-index growth
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val q = DedupStreams.incrementalDedupStream(
-      mem.toDF().toDF("doc_id", "text"), corpusT, pairT, buckets = 4).start()
+      mem.toDF().toDF("doc_id", "text"), corpusT, pairT, bandD, buckets = 4)
+      .start()
     val delta = docs.filter(col("doc_id") % 10 === 7)
       .as[(Long, String)].collect()
     val (chunk1, chunk2) = delta.partition(_._1 % 20 == 7)
@@ -60,15 +67,24 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
       assert(spark.table(corpusT).count() == docs.count(),
         "corpus table should hold base + every streamed doc exactly once")
+      // the stored band index covers every document exactly once
+      // (8 band rows each: seed partition + one per micro-batch)
+      val bands = spark.read.parquet(bandD)
+      assert(bands.count() == docs.count() * 8)
+      assert(bands.select("doc_id").distinct().count() == docs.count())
 
-      // replay the second micro-batch (what a restarted stream
-      // re-applies): both keyed merges are idempotent — nothing moves
+      // replay the second micro-batch with ITS batch id (what a
+      // restarted stream re-applies): keyed merges and the per-batch
+      // band partition are idempotent — nothing moves
       DedupStreams.processBatch(
-        chunk2.toIndexedSeq.toDF("doc_id", "text"), corpusT, pairT, buckets = 4)
+        chunk2.toIndexedSeq.toDF("doc_id", "text"), batchId = 1L,
+        corpusT, pairT, bandD, buckets = 4)
       assert(spark.table(pairT).collect().map(pairKey).toSet == expected,
         "replayed micro-batch changed the pair table")
       assert(spark.table(corpusT).count() == docs.count(),
         "replayed micro-batch changed the corpus table")
+      assert(spark.read.parquet(bandD).count() == docs.count() * 8,
+        "replayed micro-batch changed the band index")
     } finally { q.stop(); cleanup() }
   }
 
@@ -77,7 +93,8 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .filter(col("doc_id") < 40)
     try {
-      DedupStreams.processBatch(docs, corpusT, pairT, buckets = 4)
+      DedupStreams.processBatch(docs, batchId = 0L, corpusT, pairT, bandD,
+        buckets = 4)
       val sh = DedupQueries.shinglesOf(docs)
       val expected = DedupQueries.lshPairsFrom(sh)
         .select("doc_a", "doc_b", "nbands", "jaccard")
