@@ -67,6 +67,10 @@ object Cms {
       s"cannot merge cms sketches of different shape " +
         s"(${a.d}x${a.w} vs ${b.d}x${b.w})")
     if (a.d == 0) { b.n += a.n; return b }
+    // Symmetric guard: a 0x0 sketch can arrive on the RIGHT too — a
+    // cms_merge partial stage emits one buffer per shuffle partition,
+    // empty partitions included, and merge order is AQE/arrival-dependent.
+    if (b.d == 0) { a.n += b.n; return a }
     a.n += b.n
     var i = 0
     while (i < a.tbl.length) { a.tbl(i) += b.tbl(i); i += 1 }

@@ -24,8 +24,10 @@ object ZOrder {
   def zValueN(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
     require(n >= 2 && n * bits <= 63, s"need 2+ columns and n*bits <= 63")
+    // Cast to long FIRST: shiftleft preserves the input type, so an
+    // IntegerType column would silently wrap for result positions >= 31.
     (for { b <- 0 until bits; (c, i) <- cols.zipWithIndex }
-      yield shiftleft(shiftright(c, b).bitwiseAND(lit(1)), b * n + i))
+      yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i))
       .reduce(_ bitwiseOR _)
   }
 

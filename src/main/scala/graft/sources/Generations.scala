@@ -60,11 +60,18 @@ object GenerationedTable {
     val f = fs(s, dir)
     if (!f.exists(pointer(dir))) return None
     val in = f.open(pointer(dir))
-    try {
-      val bytes = new Array[Byte](32)
-      val n = in.read(bytes)
-      Some(new String(bytes, 0, n, "UTF-8").trim.toInt)
-    } finally in.close()
+    // Read the stream fully — a single read() may return fewer bytes
+    // than available (or -1 on a zero-length not-yet-flushed pointer);
+    // an empty/unparseable pointer degrades to None, not a crash.
+    val content =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val bytes = new Array[Byte](64)
+        var n = in.read(bytes)
+        while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+        buf.toString("UTF-8").trim
+      } finally in.close()
+    content.toIntOption
   }
 
   /** Read the latest snapshot, or time-travel to `gen`. */

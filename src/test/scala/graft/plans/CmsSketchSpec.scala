@@ -67,6 +67,29 @@ class CmsSketchSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
 
+  test("empty sketch on the RIGHT of a merge is absorbed, not a crash") {
+    // cms_merge's partial stage emits a 0x0 buffer for every EMPTY
+    // shuffle partition; arrival order is AQE-dependent, so the empty
+    // operand can land on either side of Cms.merge.
+    val full = new Cms.Buffer(2, 8)
+    Cms.insert(full, "abc".getBytes("UTF-8"))
+    val emptyRight = Cms.deserialize(Cms.serialize(new Cms.Buffer(0, 0)))
+    val merged = Cms.merge(full, emptyRight)
+    assert(merged.d == 2 && merged.w == 8 && merged.n == 1)
+    assert(Cms.query(Cms.serialize(merged),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == 1L)
+    // and a registered-path shape: union of a populated and an EMPTY
+    // grouped stream, merged globally — exercises both orders end-to-end
+    import spark.implicits._
+    val sketches = words.limit(50).agg(cmsSketch(col("word"), 4, 64).as("sk"))
+      .unionAll(Seq.empty[String].toDF("word")
+        .agg(cmsSketch(col("word"), 4, 64).as("sk")))
+    val n = sketches.repartition(7)
+      .agg(cmsMerge(col("sk")).as("sk"))
+      .select(cmsTotal(col("sk"))).collect()(0).getLong(0)
+    assert(n == 50L)
+  }
+
   test("mismatched shapes refuse to merge") {
     val a = Cms.serialize(new Cms.Buffer(4, 64))
     val b = Cms.serialize(new Cms.Buffer(2, 64))

@@ -58,6 +58,17 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(r.getLong(3) == 65535L)
   }
 
+  test("integer-typed inputs do not wrap at bit positions >= 31") {
+    // int literals, 3 dims x 16 bits -> top positions reach 47; without
+    // the internal long cast, shiftleft would stay in 32-bit arithmetic
+    // and wrap. The high bit of each input must land at b*n+i intact.
+    val x = lit(1 << 15) // int with bit 15 set -> result bit 15*3+0 = 45
+    val r = spark.range(1)
+      .select(ZOrder.zValueN(Seq(x, lit(0), lit(0)), 16).as("z"))
+      .collect()(0).getLong(0)
+    assert(r == (1L << 45), s"expected ${1L << 45}, got $r")
+  }
+
   test("files cover disjoint z-ranges (range partitioning held)") {
     val zPath = "/tmp/graft_zorder_ranges"
     ZOrder.writeLayout(Tables.lineitem(spark, sf0001),

@@ -53,6 +53,21 @@ class GenerationsSpec extends SparkSpec {
     cleanup()
   }
 
+  test("an empty or garbage _LATEST pointer degrades to None, not a crash") {
+    cleanup()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    // zero-length pointer (a writer crashed between create and write)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_LATEST"), true).close()
+    assert(GenerationedTable.latest(spark, dir).isEmpty)
+    // unparseable pointer
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_LATEST"), true)
+    out.write("not-a-number".getBytes("UTF-8")); out.close()
+    assert(GenerationedTable.latest(spark, dir).isEmpty)
+    cleanup()
+  }
+
   test("a reader planned before a new write scans the old complete snapshot") {
     cleanup()
     GenerationedTable.write(spark.range(10).select(col("id")), dir)
