@@ -46,7 +46,8 @@ object CorpusQueries {
   private[graft] def benchGrams(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val dir = graft.sources.IndexCatalog.ensure(
-      s, s"bench_grams_${graft.sources.IndexCatalog.tag(d)}") { dir =>
+      s, s"bench_grams_${graft.sources.IndexCatalog.tag(d)}",
+      inputs = Seq(d)) { dir =>
       benchGramsPlan(s, d).write.mode("overwrite").parquet(s"$dir/grams")
     }
     s.read.parquet(s"$dir/grams")

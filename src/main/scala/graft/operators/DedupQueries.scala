@@ -273,7 +273,7 @@ object DedupQueries {
       .filter(col("n_docs") > maxBucket)
 
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       // corpus-sized frame read 3x within the single materializing pass
       // (signatures + both verify sides): cache, write, unpersist
       val sh = lshShingles(s, d).cache()
@@ -287,7 +287,7 @@ object DedupQueries {
     * connected components resolved once per (run, corpus dir) and
     * persisted; resolution and curation both consume this artifact. */
   private[graft] def lshKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"lsh_keep_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"lsh_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       DedupResolve.keepList(lshPairs(s, d).select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(s"$dir/keep")
     }
@@ -475,7 +475,7 @@ object DedupQueries {
   /** Hamming ≤ 1 pair set, materialized once per (run, corpus dir)
     * through [[IndexCatalog]] — same lifecycle as [[lshPairs]]. */
   private[graft] def simhashPairsArtifact(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       // signature frame read 4x within the one materializing pass
       // (two halves + both verify sides): cache, write, unpersist
       val sig = simhashFrame(s, d).cache()
@@ -650,7 +650,7 @@ object DedupQueries {
     * corpus dir) through [[IndexCatalog]] — same lifecycle as
     * [[lshPairs]]. */
   private[graft] def embPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       // vector frame read 3x within the one materializing pass
       // (bands + both verify sides): cache, write, unpersist
       val v = embeddingVectors(s, d).cache()
@@ -663,7 +663,7 @@ object DedupQueries {
   /** Keep-list over the embedding pair graph — connected components
     * resolved once per (run, corpus dir) and persisted. */
   private[graft] def embKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"emb_keep_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"emb_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       DedupResolve.keepList(
           embPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
@@ -775,7 +775,8 @@ object DedupQueries {
         .unionByName(Tables.embeddings(s, d)
           .select(col("vec_id"), (col("label") + 1).as("cell"))),
       embeddingVectors(s, d)),
-    "inv_index"     -> TextQueries.invertedIndexPlan(s, d))
+    "inv_index"     -> TextQueries.invertedIndexPlan(s, d),
+    "inv_doclens"   -> TextQueries.doclensPlan(s, d))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as
@@ -888,7 +889,7 @@ object DedupQueries {
     * first) and never trains anything itself. */
   private[graft] def semPairs(s: SparkSession, d: String): DataFrame = {
     import SimilarityQueries.{ivfIters, ivfK}
-    val dir = IndexCatalog.ensure(s, s"sem_pairs_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       semanticPairsFrom(
           IvfIndex.assignments(s, d, ivfK, ivfIters),
           embeddingVectors(s, d))
@@ -923,7 +924,7 @@ object DedupQueries {
     * resolved once per (run, corpus dir) and persisted, mirroring
     * [[embKeepList]]. */
   private[graft] def semKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"sem_keep_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       DedupResolve.keepList(
           semPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
@@ -971,7 +972,7 @@ object DedupQueries {
     * pass, no retraining. */
   private[graft] def semPairs2(s: SparkSession, d: String): DataFrame = {
     import SimilarityQueries.{ivfIters, ivfK}
-    val dir = IndexCatalog.ensure(s, s"sem2_pairs_${IndexCatalog.tag(d)}") { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem2_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
       semanticPairsProbed(
           IvfIndex.cells(s, d, ivfK, ivfIters, nprobe = 2),
           embeddingVectors(s, d))

@@ -172,13 +172,13 @@ object IvfIndex {
   /** Build (first caller only) and locate the artifact set. */
   private def ensure(s: SparkSession, d: String, k: Int, iters: Int): (String, String) = {
     val kk = key(d, k, iters)
-    val asnTable = IndexCatalog.tableName(s, kk)
-    val dir = IndexCatalog.ensure(s, kk) { dir =>
+    val asnTable = IndexCatalog.tableName(kk)
+    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
       val t = IvfQuantizer.train(s, d, k, iters)
       try {
         t.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-        BucketedTableSink(8, Seq("vec_id"))
-          .write(IvfQuantizer.cellsOf(t, 1), asnTable)
+        IndexCatalog.persistBucketedTable(
+          IvfQuantizer.cellsOf(t, 1), dir, asnTable, 8, Seq("vec_id"))
       } finally t.quantized.unpersist()
     }
     (dir, asnTable)

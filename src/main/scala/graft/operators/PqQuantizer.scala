@@ -153,13 +153,13 @@ object PqIndex {
   private def ensure(s: SparkSession, d: String, k: Int, iters: Int,
                      dsub: Int, codes: Int, pqIters: Int): (String, String) = {
     val kk = key(d, k, iters, dsub, codes, pqIters)
-    val codesTable = IndexCatalog.tableName(s, kk)
-    val dir = IndexCatalog.ensure(s, kk) { dir =>
+    val codesTable = IndexCatalog.tableName(kk)
+    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
       val (cb, res) = PqQuantizer.train(s, d, k, iters, dsub, codes, pqIters)
       try {
         cb.write.mode("overwrite").parquet(s"$dir/codebooks")
-        BucketedTableSink(8, Seq("vec_id"))
-          .write(PqQuantizer.assignCodes(res, cb), codesTable)
+        IndexCatalog.persistBucketedTable(
+          PqQuantizer.assignCodes(res, cb), dir, codesTable, 8, Seq("vec_id"))
       } finally res.unpersist()
     }
     (dir, codesTable)

@@ -43,11 +43,16 @@ final case class PartitionedParquetSink(baseDir: String, partitionCols: String*)
 final case class BucketedTableSink(
     buckets: Int,
     bucketCols: Seq[String],
-    sortCols: Seq[String] = Nil) extends Sink {
+    sortCols: Seq[String] = Nil,
+    location: Option[String] = None) extends Sink {
   require(bucketCols.nonEmpty, "bucketed sink needs at least one bucket column")
   def write(df: DataFrame, table: String): Unit = {
-    val bucketed = df.write
-      .mode(SaveMode.Overwrite)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    // an explicit location makes the table EXTERNAL: the files outlive
+    // the metastore entry, so another process can adopt them by DDL
+    // (IndexCatalog's cross-process artifact reuse)
+    location.foreach(writer.option("path", _))
+    val bucketed = writer
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.isEmpty) bucketed

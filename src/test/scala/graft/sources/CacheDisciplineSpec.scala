@@ -17,10 +17,13 @@ class CacheDisciplineSpec extends SparkSpec {
 
   test("ensure() memoizes: the builder runs once per key") {
     val builds = new AtomicInteger(0)
-    val dir1 = IndexCatalog.ensure(spark, "cache_discipline_probe") { _ =>
+    // unique key: the catalog now persists manifests ACROSS processes,
+    // so a fixed key would adopt a previous test run's artifact
+    val key = s"cache_discipline_probe_${System.nanoTime}"
+    val dir1 = IndexCatalog.ensure(spark, key) { _ =>
       builds.incrementAndGet(); ()
     }
-    val dir2 = IndexCatalog.ensure(spark, "cache_discipline_probe") { _ =>
+    val dir2 = IndexCatalog.ensure(spark, key) { _ =>
       builds.incrementAndGet(); ()
     }
     assert(builds.get() === 1, "second ensure() call must skip the build")

@@ -43,6 +43,60 @@ class CompactionSpec extends SparkSpec {
       Tables.events(spark, sf0001).count())
   }
 
+  test("a crash between the two swap renames is recovered on the next run") {
+    val dir = "/tmp/graft_compact_crash"
+    fragmented(dir, 8)
+    val rows = spark.read.parquet(dir).count()
+    // simulate dying between rename(dir, retired) and rename(staging, dir):
+    // the table sits in _compact_retired and dir does not exist
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(dir + "_compact_retired")
+    fs.delete(retired, true)
+    assert(fs.rename(p, retired))
+    assert(!fs.exists(p))
+    // next scheduled run restores the data, then compacts it
+    val report = Compaction.compact(spark, dir, targetBytes = 512L << 20).get
+    assert(report.filesBefore == 8 && report.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == rows, "data lost in recovery")
+    assert(!fs.exists(retired))
+  }
+
+  test("generation-aware compaction never disturbs a pinned reader") {
+    val dir = "/tmp/graft_compact_gen"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // ingest writes a fragmented generation 1
+    GenerationedTable.write(
+      Tables.events(spark, sf0001).repartition(21), dir)
+    val gen1Files = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "gen=1"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    assert(gen1Files == 21)
+    // a reader pins generation 1 BEFORE compaction runs
+    val pinned = GenerationedTable.read(spark, dir, Some(1))
+    val rows = pinned.count()
+    // compaction writes the compacted snapshot as generation 2
+    val report = Compaction.compactGeneration(spark, dir,
+      targetBytes = 512L << 20).get
+    assert(report.filesBefore == 21 && report.filesAfter == 1, s"got $report")
+    assert(GenerationedTable.latest(spark, dir).contains(2))
+    // the pinned reader still scans its complete, untouched snapshot
+    assert(pinned.count() == rows)
+    assert(GenerationedTable.read(spark, dir, Some(1)).count() == rows)
+    // new readers get the compacted generation with identical content
+    val latest = GenerationedTable.read(spark, dir)
+    assert(latest.count() == rows)
+    assert(latest.exceptAll(pinned).count() == 0)
+    // a second compaction pass is a no-op (gen 2 is already healthy)
+    assert(Compaction.compactGeneration(spark, dir,
+      targetBytes = 512L << 20).isEmpty)
+    // vacuum reclaims gen 1 only after retention allows, never gen 2
+    assert(GenerationedTable.vacuum(spark, dir, keep = 1) == Seq(1))
+    assert(GenerationedTable.read(spark, dir).count() == rows)
+    fs.delete(p, true)
+  }
+
   test("an already-healthy directory is a no-op") {
     val dir = "/tmp/graft_compact_spec3"
     fragmented(dir, 2)
