@@ -45,14 +45,20 @@ object Bench {
     // After this, every artifact-backed query measures SERVING cost —
     // the steady-state number a train-once/query-many deployment sees —
     // and build cost is reported explicitly as idx_* entries.
+    // Each build records whether it actually TRAINED or adopted a
+    // manifest-valid artifact from a previous process (IndexCatalog's
+    // content-keyed reuse): an adopted "build" is a registration replay,
+    // and reporting it as training cost would understate a cold run.
     val builds = graft.operators.IndexBuilds.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val b0 = graft.sources.IndexCatalog.buildCount.get()
       val ok = try { fn(spark, sfDir); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val trained = graft.sources.IndexCatalog.buildCount.get() > b0
       spark.catalog.clearCache()
-      name -> (if (ok) Some(dt) else None)
+      (name, if (ok) Some(dt) else None, trained)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two runs: this host has noisy co-tenants that randomly
@@ -66,17 +72,45 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val succeeded = results.collect { case (k, Some(v)) => k -> r3(v) }
     val failed = results.collect { case (k, None) => k } ++
-      builds.collect { case (k, None) => k }
+      builds.collect { case (k, None, _) => k }
     val total = r3(succeeded.map(_._2).sum)
-    val builtOk = builds.collect { case (k, Some(v)) => k -> r3(v) }
+    val builtOk = builds.collect { case (k, Some(v), _) => k -> r3(v) }
+    val adopted = builds.collect { case (k, Some(_), false) => k }
     val indexBuild = r3(builtOk.map(_._2).sum)
+    // Regression gate (round-5 verdict item 6): compare per-query times
+    // against the last committed BENCH_DETAIL.json, so a 16x swing is
+    // caught by the tool instead of the judge. Same-format self-parse —
+    // the queries object is flat {"name":sec,...}.
+    val prevQueries: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = (for {
+      (k, cur) <- succeeded
+      prev <- prevQueries.get(k)
+      // only flag swings that are both large (>=2x) and material
+      // (>=0.5s lost) — tiny queries jitter on a shared host
+      if prev > 0 && cur >= 2 * prev && cur - prev >= 0.5
+    } yield (k, prev, cur, math.rint(cur / prev * 100) / 100))
+      .sortBy { case (_, p, c, _) => p - c }
     // Per-query detail (and the explicit failed list — no -1 sentinels
     // that a summing consumer could mistake for timings) to a file.
     val qs = succeeded.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val bs = builtOk.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fl = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val ad = adopted.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val rg = regressions.map { case (k, p, c, r) =>
+      s"""{"query":"$k","prev":$p,"cur":$c,"ratio":$r}"""
+    }.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"regressions":$rg,"failed":$fl,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
@@ -85,7 +119,7 @@ object Bench {
     // defeated the driver's last-line parse in round 2 (BENCH_r02.json
     // recorded "parsed": null); the file can't be defeated that way.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failed":${failed.size},"index_build_sec":$indexBuild,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failed":${failed.size},"index_build_sec":$indexBuild,"n_index_adopted":${adopted.size},"n_regressions":${regressions.size},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       summary.getBytes("UTF-8"))
