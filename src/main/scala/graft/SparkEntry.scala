@@ -100,6 +100,7 @@ object SparkEntry {
     TextQueries.fingerprintQ,
     TextQueries.tfidfTerms,
     TextQueries.textSearch,
+    TextQueries.bm25,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

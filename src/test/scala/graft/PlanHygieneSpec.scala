@@ -48,9 +48,11 @@ class PlanHygieneSpec extends SparkSpec {
     // composes the documented bounded exact baseline
     "q_dedup_semantic", "q_dedup_semantic2", "q_dedup_semantic_recall",
     "q_dedup_semantic_resolve",
-    // serves from the bucketed inverted-index artifact; the postings
-    // build shape is swept via builderPlans("inv_index")
-    "q_text_search",
+    // serve from the bucketed inverted-index artifact; the postings
+    // build shape is swept via builderPlans("inv_index"). bm25's one
+    // cross join broadcasts the artifact's ONE-row collection-stats
+    // frame — bounded by construction, the q_ann_int8 pattern
+    "q_text_search", "q_text_bm25",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
