@@ -57,6 +57,14 @@ object IvfQuantizer {
   private def assign(vqDf: DataFrame, cent: DataFrame): DataFrame =
     nearestCells(vqDf, cent, 1)
 
+  /** Assign arbitrary (vec_id, embedding) rows to their nearest trained
+    * cell — the frozen-centroid assignment step a streaming ingest runs
+    * per micro-batch (quantize + broadcast join against k·dim centroid
+    * rows; map-only, no training). Deterministic, so a streamed vector
+    * lands in exactly the cell a batch rebuild would give it. */
+  def assignVectors(v: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vq(v), centroids)
+
   /** Trained state: final centroids (cell, dim, cval) and the quantized
     * long-form vectors (vec_id, dim, x), for assignment or multi-probe.
     * `quantized` is CACHED by [[train]]; the caller owns the lifecycle

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import graft.functions.TextFunctions._
-import graft.operators.{DedupQueries, DedupResolve}
+import graft.operators.DedupResolve
 import graft.sources.UpsertBucketedSink
 
 /** Streaming corpus ingest — the continuous twin of
@@ -14,8 +14,11 @@ import graft.sources.UpsertBucketedSink
   * into a growing curated-corpus table. What a crawl-fed training-data
   * service runs between nightly rebuilds.
   *
-  * Per-batch cost is |batch| × (map gates) + |batch| × bucket-width
-  * (the incremental LSH shape of [[DedupStreams]]) — never corpus².
+  * Per-batch cost is |batch| × (map gates) + |batch| × bucket-width:
+  * the dedup gate pairs the batch against [[DedupStreams]]' PERSISTED
+  * band index (each kept document is shingled/minhashed exactly once,
+  * on arrival; later batches join the stored band rows) — never a
+  * corpus-wide re-shingle, never corpus².
   *
   * DEDUP SEMANTICS (documented delta vs the nightly build): ONLINE
   * GREEDY. A batch doc is dropped if it near-dups an already-KEPT doc
@@ -29,29 +32,35 @@ import graft.sources.UpsertBucketedSink
   * shape), keeping greedy and nightly choices aligned on plain pairs.
   *
   * Replay safety: a re-applied micro-batch first anti-joins its doc ids
-  * out of the corpus slice, so the replayed plan equals the original,
-  * and the only write is an idempotent keyed merge. */
+  * out of the base corpus and band-index slices, so the replayed plan
+  * equals the original; the corpus write is an idempotent keyed merge
+  * and the band write overwrites its own per-batch partition. */
 object CorpusStreams {
 
   /** One micro-batch application (exposed for replay tests): gate the
-    * batch, dedup it against the accumulated corpus, merge survivors
-    * into `corpusTable` (doc_id, source, text). `benchGrams` is the
-    * fixed benchmark-gram frame (one column `g`), typically
-    * [[graft.operators.CorpusQueries.benchGrams]]'s persisted artifact. */
-  def processBatch(batch: DataFrame, corpusTable: String,
-                   benchGrams: DataFrame, buckets: Int = 8): Unit = {
+    * batch, dedup it against the accumulated corpus via the stored band
+    * index under `bandDir`, merge survivors into `corpusTable`
+    * (doc_id, source, text) and their band rows into the index.
+    * `benchGrams` is the fixed benchmark-gram frame (one column `g`),
+    * typically [[graft.operators.CorpusQueries.benchGrams]]'s persisted
+    * artifact. */
+  def processBatch(batch: DataFrame, batchId: Long, corpusTable: String,
+                   benchGrams: DataFrame, bandDir: String,
+                   buckets: Int = 8): Unit = {
     val s = batch.sparkSession
     val docs = batch.select("doc_id", "source", "text")
+    val batchIds = docs.select("doc_id")
+    // replay-safety: a re-applied batch's rows leave the base slices,
+    // so the replayed plan equals the original application
     val kept0 =
-      if (s.catalog.tableExists(corpusTable)) s.table(corpusTable)
+      if (s.catalog.tableExists(corpusTable))
+        s.table(corpusTable).join(batchIds, Seq("doc_id"), "left_anti")
       else docs.limit(0)
-    // replay-safety: a doc already merged is not a candidate again
-    val fresh = docs.join(kept0.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // gate 1: quality (integer cross-multiplied ratio — the nightly rule)
     val toks = size(tokens(col("text")))
     val dtoks = size(array_distinct(tokens(col("text"))))
-    val quality = fresh.filter(toks >= 20 && dtoks * 10 >= toks * 3)
+    val quality = docs.filter(toks >= 20 && dtoks * 10 >= toks * 3)
 
     // gate 2: benchmark decontamination against the FIXED gram artifact
     // (benchmark members themselves — doc_id % 97 = 0, the nightly
@@ -63,11 +72,16 @@ object CorpusStreams {
       .filter(col("doc_id") % 97 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // gate 3: online-greedy near-dup dedup (incremental LSH pairs)
-    val all = kept0.select("doc_id", "text").withColumn("is_delta", lit(false))
-      .unionByName(cand.select("doc_id", "text").withColumn("is_delta", lit(true)))
-    val pairs = DedupQueries
-      .lshIncrementalFrom(DedupQueries.shinglesOf(all), col("is_delta"))
+    // gate 3: online-greedy near-dup dedup — the batch's texts against
+    // the STORED band index (kept docs were shingled when they arrived;
+    // only candidate texts shingle now)
+    val baseBands = DedupStreams
+      .readBands(s, bandDir, cand, excludeBatch = Some(batchId))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    val pairs = DedupStreams.incrementalPairsAgainst(
+        cand.select("doc_id", "text"),
+        kept0.select("doc_id", "text"),
+        baseBands)
       .select("doc_a", "doc_b")
     val candIds = cand.select("doc_id")
     val p = pairs
@@ -89,6 +103,13 @@ object CorpusStreams {
       .join(crossDrop, Seq("doc_id"), "left_anti")
       .join(withinDrop, Seq("doc_id"), "left_anti")
 
+    // only KEPT docs' bands enter the stored index — a dropped doc
+    // never blocks a future one (greedy semantics) — and the partition
+    // is keyed by batchId, so a replay rewrites it in place. Written
+    // BEFORE the corpus merge: keepNew's plan reads the pre-swap corpus
+    // table, and the upsert's staging swap retires those files.
+    DedupStreams.bandRowsOf(keepNew.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$bandDir/ingest_batch=$batchId")
     UpsertBucketedSink(buckets, Seq("doc_id"), "doc_id")
       .write(keepNew.select("doc_id", "source", "text"), corpusTable)
   }
@@ -96,11 +117,12 @@ object CorpusStreams {
   /** Continuous wiring: a stream of (doc_id, source, text) documents
     * applied micro-batch by micro-batch through [[processBatch]]. */
   def ingestStream(docs: DataFrame, corpusTable: String,
-                   benchGrams: DataFrame,
+                   benchGrams: DataFrame, bandDir: String,
                    buckets: Int = 8): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) processBatch(batch, corpusTable, benchGrams, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, corpusTable, benchGrams, bandDir, buckets)
       }
 }

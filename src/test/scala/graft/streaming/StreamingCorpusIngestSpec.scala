@@ -16,10 +16,14 @@ class StreamingCorpusIngestSpec extends SparkSpec {
   import spark.implicits._
 
   private val corpusT = "sci_corpus"
+  private val bandD = "/tmp/graft_sci_bands"
 
-  private def cleanup(): Unit =
+  private def cleanup(): Unit = {
     Seq(corpusT, s"${corpusT}_upsert_staging")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val p = new org.apache.hadoop.fs.Path(bandD)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Minimal union-find for the within-batch component simulation. */
   private def componentMin(ids: Set[Long], pairs: Set[(Long, Long)]): Map[Long, Long] = {
@@ -77,7 +81,8 @@ class StreamingCorpusIngestSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
     val q = CorpusStreams.ingestStream(
-      mem.toDF().toDF("doc_id", "source", "text"), corpusT, bg, buckets = 4)
+      mem.toDF().toDF("doc_id", "source", "text"), corpusT, bg, bandD,
+      buckets = 4)
       .start()
     val rows = docs.as[(Long, String, String)].collect()
     try {
@@ -88,13 +93,21 @@ class StreamingCorpusIngestSpec extends SparkSpec {
       val got = spark.table(corpusT).select("doc_id").as[Long].collect().toSet
       assert(got == kept,
         s"missing=${(kept -- got).take(5)} extra=${(got -- kept).take(5)}")
+      // the stored band index covers exactly the kept docs, once each
+      val bands = spark.read.parquet(bandD)
+      assert(bands.select("doc_id").distinct().as[Long].collect().toSet == kept,
+        "band index out of sync with the kept corpus")
+      assert(bands.count() == kept.size * 8L)
 
-      // replay the final wave: the keyed merge must not move
+      // replay the final wave with ITS batch id: the keyed merge and
+      // the per-batch band partition must not move
       CorpusStreams.processBatch(
         rows.filter(_._1 % 3 == 2).toIndexedSeq.toDF("doc_id", "source", "text"),
-        corpusT, bg, buckets = 4)
+        batchId = 2L, corpusT, bg, bandD, buckets = 4)
       assert(spark.table(corpusT).select("doc_id").as[Long].collect().toSet == kept,
         "replayed micro-batch changed the corpus table")
+      assert(spark.read.parquet(bandD).count() == kept.size * 8L,
+        "replayed micro-batch changed the band index")
     } finally { q.stop(); cleanup() }
   }
 }
