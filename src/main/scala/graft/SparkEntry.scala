@@ -83,6 +83,7 @@ object SparkEntry {
     DedupQueries.semanticPairs,
     DedupQueries.semanticPairs2,
     DedupQueries.semanticRecall,
+    DedupQueries.semanticRecall2,
     DedupQueries.semanticResolve,
     // similarity search
     SimilarityQueries.bruteForceTopK,

@@ -47,7 +47,7 @@ class PlanHygieneSpec extends SparkSpec {
     // builderPlans("sem_pairs"), and the recall gauge additionally
     // composes the documented bounded exact baseline
     "q_dedup_semantic", "q_dedup_semantic2", "q_dedup_semantic_recall",
-    "q_dedup_semantic_resolve",
+    "q_dedup_semantic2_recall", "q_dedup_semantic_resolve",
     // serve from the bucketed inverted-index artifact; the postings
     // build shape is swept via builderPlans("inv_index"). bm25's one
     // cross join broadcasts the artifact's ONE-row collection-stats
