@@ -102,6 +102,7 @@ object SparkEntry {
     TextQueries.tfidfTerms,
     TextQueries.textSearch,
     TextQueries.bm25,
+    TextQueries.phraseSearch,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

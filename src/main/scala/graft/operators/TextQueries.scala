@@ -131,13 +131,17 @@ object TextQueries {
       .orderBy("doc_id", "rk")
   }
 
-  /** Inverted index (term → doc postings WITH term frequency) plus its
-    * side statistics, as one persisted [[graft.sources.IndexCatalog]]
-    * artifact — the text-retrieval counterpart of the ANN tier's
-    * IvfIndex, and the complete search-serving layout:
+  /** Inverted index (term → doc postings WITH term frequency AND token
+    * positions) plus its side statistics, as one persisted
+    * [[graft.sources.IndexCatalog]] artifact — the text-retrieval
+    * counterpart of the ANN tier's IvfIndex, and the complete
+    * search-serving layout:
     *
-    *  - `postings` (term, doc_id, tf), stored BUCKETED on term: every
-    *    term lookup / df aggregation is Exchange-free on the index side;
+    *  - `postings` (term, doc_id, tf, positions), stored BUCKETED on
+    *    term: every term lookup / df aggregation is Exchange-free on
+    *    the index side; `positions` (sorted 0-based token offsets) is
+    *    the classic positional-postings payload that makes PHRASE
+    *    queries an index lookup instead of a corpus re-scan;
     *  - `doclens` (doc_id, dl): per-document token counts, the BM25
     *    length-normalization input — recomputing them per query would
     *    re-scan the corpus text;
@@ -152,7 +156,7 @@ object TextQueries {
     import graft.sources.IndexCatalog
     val key = s"inv_${IndexCatalog.tag(d)}"
     val table = IndexCatalog.tableName(key)
-    val dir = IndexCatalog.ensure(s, key, inputs = Seq(d), version = "2") { dir =>
+    val dir = IndexCatalog.ensure(s, key, inputs = Seq(d), version = "3") { dir =>
       IndexCatalog.persistBucketedTable(
         invertedIndexPlan(s, d), dir, table, 8, Seq("term"))
       val dl = doclensPlan(s, d)
@@ -185,14 +189,17 @@ object TextQueries {
     s.read.parquet(s"$dir/stats")
   }
 
-  /** The unexecuted postings plan (exposed for the hygiene sweep). */
+  /** The unexecuted postings plan (exposed for the hygiene sweep):
+    * posexplode keeps each token's 0-based offset, so one hash-agg
+    * yields tf AND the sorted position list together. */
   private[graft] def invertedIndexPlan(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-      .select("term", "doc_id", "tf")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select("term", "doc_id", "tf", "positions")
 
   /** The unexecuted doc-length plan (exposed for the hygiene sweep). */
   private[graft] def doclensPlan(
@@ -279,6 +286,52 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
     }
+  }
+
+  /** Per-doc phrase occurrence counts from the positional postings:
+    * shift word i's positions back by i, and a phrase occurrence is
+    * one (doc_id, start) value shared by ALL words — the adjacency
+    * test becomes a chain of plain equi-joins on (doc_id, start), each
+    * input bounded by its term's postings. Generalizes to any phrase
+    * length with no corpus scan. */
+  private[graft] def phraseHits(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      words: Seq[String]): org.apache.spark.sql.DataFrame =
+    phraseHitsFrom(invertedIndex(s, d), words)
+
+  /** The phrase plan over any (term, doc_id, positions) postings frame
+    * (exposed for unit tests over synthetic postings). */
+  private[graft] def phraseHitsFrom(
+      postings: org.apache.spark.sql.DataFrame,
+      words: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(words.size >= 2, "a phrase needs at least two words")
+    val exploded = postings
+      .filter(col("term").isin(words.distinct: _*))
+      .select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
+    words.zipWithIndex.map { case (w, i) =>
+      exploded.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+      .reduce((l, r) => l.join(r, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Phrase search over the positional inverted index — exact adjacent
+    * occurrence counts per document for a fixed phrase, entirely from
+    * the persisted postings (the oracle recomputes positions from raw
+    * text; the engine never re-reads it). */
+  val phraseSearch = Q(
+    "q_text_phrase",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id, count(*) AS n_hits
+       |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |WHERE a.term = 'stream' AND b.term = 'data'
+       |GROUP BY a.doc_id
+       |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    phraseHits(s, d, Seq("stream", "data")).orderBy("doc_id")
   }
 
   /** Content fingerprinting: md5 over the sorted distinct token set;

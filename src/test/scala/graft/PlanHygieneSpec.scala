@@ -52,7 +52,7 @@ class PlanHygieneSpec extends SparkSpec {
     // build shape is swept via builderPlans("inv_index"). bm25's one
     // cross join broadcasts the artifact's ONE-row collection-stats
     // frame — bounded by construction, the q_ann_int8 pattern
-    "q_text_search", "q_text_bm25",
+    "q_text_search", "q_text_bm25", "q_text_phrase",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
