@@ -92,6 +92,7 @@ object SparkEntry {
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,
     SimilarityQueries.ivfCellStats,
+    SimilarityQueries.embeddingOutliers,
     SimilarityQueries.ivfPqTopK,
     SimilarityQueries.ivfPqRecall,
     // text analysis

@@ -65,6 +65,21 @@ object IvfQuantizer {
   def assignVectors(v: DataFrame, centroids: DataFrame): DataFrame =
     assign(vq(v), centroids)
 
+  /** Assigned cell AND its squared-L2 distance per vector (vec_id,
+    * cell, dist) — the outlier-gauge input: a vector far from EVERY
+    * trained centroid is far from its nearest one, so the assigned
+    * distance ranks noise candidates. Same map-only + broadcast shape
+    * as assignment; integer-space distances, oracle-replayable. */
+  def assignedDistances(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = (col("x") - col("cval")) * (col("x") - col("cval"))
+    val byDist = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    vq(v).join(broadcast(centroids), Seq("dim"))
+      .groupBy("vec_id", "cell").agg(sum(d2).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "dist")
+  }
+
   /** Trained state: final centroids (cell, dim, cval) and the quantized
     * long-form vectors (vec_id, dim, x), for assignment or multi-probe.
     * `quantized` is CACHED by [[train]]; the caller owns the lifecycle

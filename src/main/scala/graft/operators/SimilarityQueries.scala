@@ -236,6 +236,28 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Embedding outlier gauge: each vector's squared-L2 distance to its
+    * ASSIGNED (nearest) trained centroid, top-25 farthest — the noise
+    * detector of an embedding-curation pass (junk points sit far from
+    * every cluster; SemDeDup prunes the close-together end, this ranks
+    * the belongs-nowhere end). Serving is a map-only quantize pass +
+    * broadcast of k·dim centroid rows against the persisted IvfIndex —
+    * no training, no corpus-side shuffle beyond the per-vector
+    * hash-agg. Integer-space distances, so the oracle's training
+    * replay reproduces every dist exactly. */
+  val embeddingOutliers = Q(
+    "q_embedding_outliers",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT d.vec_id, d.cell, d.dist
+       |FROM d$ivfIters d JOIN asn USING (vec_id, cell)
+       |ORDER BY dist DESC, vec_id LIMIT 25""".stripMargin) { (s, d) =>
+    IvfQuantizer.assignedDistances(
+        DedupQueries.embeddingVectors(s, d),
+        IvfIndex.centroids(s, d, ivfK, ivfIters))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(25)
+  }
+
   /** IVF-PQ parameters: 64 dims → 16 subspaces × 4 dims, 32 codes per
     * subspace, one Lloyd refinement over the seeded codebooks — 16
     * codes ≈ 16 bytes per vector vs 256 float bytes (16×). Chosen at
