@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import graft.functions.TextFunctions._
+
+/** Streaming inverted-index maintenance — the text tier's continuous
+  * twin (LSH dedup, semantic dedup, ANN serving and corpus ingest each
+  * have one; search should too): every micro-batch of documents is
+  * tokenized ONCE, on arrival, into positional postings
+  * (term, doc_id, tf, positions) written as that batch's own
+  * `ingest_batch=<id>` partition. Per-batch cost is O(|batch|) with no
+  * reference to prior state at all — the index is a pure function of
+  * each batch — so a replayed batch rewrites its partition into exactly
+  * the same bytes (idempotent with no read-side coordination, stronger
+  * than the keyed-merge tiers need).
+  *
+  * Readers dedup superseded documents at query time: a re-crawled doc
+  * re-posts in a later partition, and [[termPostings]] keeps each
+  * doc's postings from its NEWEST ingest batch only (a per-doc window
+  * over the TERM-FILTERED slice, so query cost is bounded by the
+  * looked-up terms' postings, not the index). Exact term lookup and
+  * phrase adjacency then compose unchanged from the batch tier
+  * ([[graft.operators.TextQueries.phraseHitsFrom]]). A periodic
+  * rewrite folding partitions (the [[graft.sources.LogTable]]
+  * compaction discipline) bounds partition fan-in; the parity spec
+  * drives the whole loop. */
+object TextStreams {
+
+  /** Positional postings of one document frame — same shape as the
+    * batch artifact's postings table. */
+  private[streaming] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select("term", "doc_id", "tf", "positions")
+
+  /** One micro-batch application: tokenize and write this batch's
+    * postings partition. Pure per-batch work. */
+  def processBatch(batch: DataFrame, batchId: Long, postDir: String): Unit =
+    postingsOf(batch.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$postDir/ingest_batch=$batchId")
+
+  /** Continuous wiring: a stream of (doc_id, text) documents. */
+  def indexStream(docs: DataFrame, postDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, postDir)
+      }
+
+  /** Query-time postings for a term set: term-filter first (bounded by
+    * the looked-up postings), then keep each doc's newest ingest batch
+    * — a re-crawled document's old postings are superseded WHOLESALE.
+    * The newest-batch map must come from the FULL index, not the term
+    * slice: when a re-crawl DROPS a term, the slice holds only the old
+    * row, and a slice-local max would resurrect it. The full-index agg
+    * touches two pruned columns (doc_id, partition value) — a fraction
+    * of the postings bytes; a deployment would maintain it as a tiny
+    * doc→batch side table. Pass `terms = Nil` for the full deduped
+    * index (parity checks). */
+  def termPostings(s: SparkSession, postDir: String,
+                   terms: Seq[String]): DataFrame = {
+    val all = s.read.parquet(postDir)
+    val slice = if (terms.isEmpty) all else all.filter(col("term").isin(terms: _*))
+    val latest = all.select("doc_id", "ingest_batch")
+      .groupBy("doc_id").agg(max(col("ingest_batch")).as("_mb"))
+    slice.join(latest, Seq("doc_id"))
+      .filter(col("ingest_batch") === col("_mb"))
+      .select("term", "doc_id", "tf", "positions")
+  }
+}

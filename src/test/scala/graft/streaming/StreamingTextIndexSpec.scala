@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.TextQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream/batch parity for the inverted index: documents streamed
+  * through [[TextStreams.indexStream]] must accumulate EXACTLY the
+  * batch positional postings, phrase queries over the streamed index
+  * must equal the batch phrase plan, a re-crawled document must
+  * supersede its old postings wholesale (including terms the new
+  * version DROPPED), and a replayed batch must rewrite its partition
+  * to the same bytes. */
+class StreamingTextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val postD = "/tmp/graft_sti_postings"
+
+  private def cleanup(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(postD)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def postKey(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getSeq[Int](3).toList)
+
+  test("streamed postings equal the batch index; phrase queries agree") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val expected = TextQueries.invertedIndexPlan(spark, sf0001)
+      .collect().map(postKey).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = TextStreams.indexStream(
+      mem.toDF().toDF("doc_id", "text"), postD).start()
+    val rows = docs.as[(Long, String)].collect()
+    try {
+      for (wave <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == wave).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = TextStreams.termPostings(spark, postD, Nil)
+        .collect().map(postKey).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+
+      // phrase search over the STREAMED index == the batch phrase plan
+      val phrase = Seq("stream", "data")
+      val batchHits = TextQueries
+        .phraseHitsFrom(TextQueries.invertedIndexPlan(spark, sf0001), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamHits = TextQueries
+        .phraseHitsFrom(TextStreams.termPostings(spark, postD, phrase), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchHits.nonEmpty && streamHits == batchHits)
+
+      // replay the last wave with ITS batch id: same partition bytes
+      TextStreams.processBatch(
+        rows.filter(_._1 % 3 == 2).toIndexedSeq.toDF("doc_id", "text"),
+        batchId = 2L, postD)
+      assert(TextStreams.termPostings(spark, postD, Nil)
+        .collect().map(postKey).toSet == expected,
+        "replayed micro-batch changed the index")
+    } finally { q.stop(); cleanup() }
+  }
+
+  test("a re-crawled doc supersedes wholesale, dropped terms included") {
+    cleanup()
+    TextStreams.processBatch(
+      Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text"),
+      batchId = 0L, postD)
+    // re-crawl doc 1: 'beta' is DROPPED, 'omega' added
+    TextStreams.processBatch(
+      Seq((1L, "alpha omega")).toDF("doc_id", "text"), batchId = 1L, postD)
+    val terms = TextStreams.termPostings(spark, postD, Nil)
+      .select("doc_id", "term").as[(Long, String)].collect().toSet
+    assert(terms == Set(
+      (1L, "alpha"), (1L, "omega"), (2L, "delta")),
+      s"got $terms")
+    // the dropped term must not resurrect through a term-filtered lookup
+    assert(TextStreams.termPostings(spark, postD, Seq("beta")).count() == 0,
+      "a term dropped by the re-crawl resurfaced in term lookup")
+    cleanup()
+  }
+}
