@@ -111,6 +111,7 @@ object SparkEntry {
     CorpusQueries.contamination,
     CorpusQueries.repetition,
     CorpusQueries.splitAssign,
+    CorpusQueries.mixtureWeights,
     CorpusQueries.packShards,
     CorpusQueries.piiScrub,
     CorpusQueries.curationFunnel,

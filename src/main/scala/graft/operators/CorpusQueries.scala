@@ -172,6 +172,59 @@ object CorpusQueries {
       .orderBy("split")
   }
 
+  /** Temperature-scaled source-mixture weights (α = 3/4): the
+    * reweighting pass of a multi-domain/multilingual corpus build —
+    * sampling proportionally to tokens^α flattens the mixture so large
+    * domains stop drowning small ones (the standard α-sampling rule).
+    * Hash-exact despite the fractional power: tokens^(3/4) =
+    * sqrt(tokens·sqrt(tokens)) — two IEEE-correctly-rounded sqrts, no
+    * pow — and the normalizer folds the per-source weights in a FIXED
+    * order (sorted collect + left fold on both engines), so every
+    * double matches bit-for-bit and the ppm shares floor identically.
+    * One hash-agg over the corpus + a |sources|-row window; shares
+    * serve the deterministic md5-gate sampler downstream. */
+  val mixtureWeights = Q(
+    "q_mixture_weights",
+    s"""WITH src AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($W)) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, n_docs, toks, sqrt(toks * sqrt(toks)) AS wt FROM src
+       |), tw AS (
+       |  SELECT *, list_reduce(
+       |    list(wt) OVER (ORDER BY source
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING
+       |                   AND UNBOUNDED FOLLOWING),
+       |    (a, b) -> a + b) AS totw
+       |  FROM w
+       |)
+       |SELECT source, n_docs, toks,
+       |  CAST(floor(1000000 * wt / totw) AS BIGINT) AS share_ppm
+       |FROM tw ORDER BY source""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("toks"))
+      .withColumn("wt", sqrt(col("toks") * sqrt(col("toks"))))
+    // constant partition key: the frame is |sources| rows post-agg, and
+    // an EMPTY partitionBy would log the single-partition WindowExec
+    // warning the bench log is kept clean of
+    val everyRow = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w.withColumn("totw",
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("source"), col("wt")))
+              .over(everyRow)),
+            s => s("wt")),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("source"), col("n_docs"), col("toks"),
+        floor(lit(1000000) * col("wt") / col("totw")).cast("long")
+          .as("share_ppm"))
+      .orderBy("source")
+  }
+
   /** Token-budget shard packing: within each source, documents are
     * packed into contiguous shards of ~2000 whitespace tokens — the
     * "write N-token training files" step. A document lands in the shard
