@@ -71,6 +71,7 @@ object SparkEntry {
     DedupQueries.exactKeepFirst,
     DedupQueries.minhashSignature,
     DedupQueries.minhashLshPairs,
+    DedupQueries.crossSourcePairs,
     DedupQueries.incrementalPairs,
     DedupQueries.resolveClusters,
     DedupQueries.simhashBuckets,
@@ -107,6 +108,7 @@ object SparkEntry {
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,
+    SampleQueries.perSourceSample,
     // corpus construction (contamination / repetition / split / packing / PII)
     CorpusQueries.contamination,
     CorpusQueries.repetition,

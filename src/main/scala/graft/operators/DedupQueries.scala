@@ -304,6 +304,32 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-source duplication report: verified near-dup pairs grouped
+    * by the (source_a, source_b) they straddle — the curation question
+    * "which domains copy from which" (mirror detection, syndication,
+    * template reuse). Serves from the persisted pair artifact with two
+    * doc_id equi-joins for source attribution; at 100 TB the join input
+    * is the PAIR list (tiny vs the corpus), never corpus×corpus. */
+  val crossSourcePairs = Q(
+    "q_dedup_cross_source",
+    s"""WITH $lshCtes
+       |SELECT da.source AS source_a, db.source AS source_b,
+       |  count(*) AS n_pairs, min(p.doc_a) AS first_a
+       |FROM vpairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    lshPairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+        Seq("doc_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), min(col("doc_a")).as("first_a"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The incremental pair-generation plan: near-dup pairs TOUCHING a
     * delta slice, without re-pairing the base corpus against itself —
     * the daily-crawl shape. Delta band rows equi-join the FULL band

@@ -109,4 +109,30 @@ object SampleQueries {
       .select("doc_id", "source", "w")
       .orderBy("doc_id")
   }
+
+  /** Fixed-SIZE per-stratum sample: exactly k = 3 documents per source,
+    * chosen by md5 order — the "take N examples from every domain"
+    * move (eval-set construction, per-domain inspection), complementing
+    * the RATE-based stratified gate above. One window per source
+    * partition, deterministic under repartition/rerun (md5 of the id,
+    * doc_id tie-break), no corpus sort. */
+  val perSourceSample = Q(
+    "q_sample_per_source",
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('psamp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 3 ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("psamp|"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+  }
 }

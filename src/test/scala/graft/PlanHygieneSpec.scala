@@ -35,7 +35,8 @@ class PlanHygieneSpec extends SparkSpec {
     * that should stay planning-only. Their builder-side join shapes are
     * covered by the builder-plan sweep below and their own specs. */
   private val constructionEager = Set(
-    "q_dedup_minhash_lsh", "q_dedup_simhash_pairs", "q_dedup_embedding",
+    "q_dedup_minhash_lsh", "q_dedup_cross_source", "q_dedup_simhash_pairs",
+    "q_dedup_embedding",
     "q_dedup_resolve", "q_dedup_embedding_resolve", "q_corpus_curation",
     // contamination + funnel consume the persisted bench-gram artifact;
     // the gram-build shape is swept via builderPlans("bench_grams")
