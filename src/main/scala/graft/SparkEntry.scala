@@ -105,6 +105,7 @@ object SparkEntry {
     TextQueries.textSearch,
     TextQueries.bm25,
     TextQueries.phraseSearch,
+    TextQueries.surprisal,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

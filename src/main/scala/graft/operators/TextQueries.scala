@@ -334,6 +334,39 @@ object TextQueries {
     phraseHits(s, d, Seq("stream", "data")).orderBy("doc_id")
   }
 
+  /** Unigram-surprisal quality score — the LM-free approximation of
+    * perplexity filtering: a document packed with corpus-rare tokens
+    * (OCR noise, mojibake, gibberish) scores high, one made of common
+    * words scores low. Per-token surprisal is the INTEGER
+    * `64 − floor(log2 corpus_count) − 1 = 64 − length(bin(count))` —
+    * bit-length replaces the float logarithm, so the score is exact in
+    * both engines (a real log would differ in last ulps); the additive
+    * constant cancels in ranking. Plan: one explode + COUNT OVER
+    * (PARTITION BY token) — the tfidf pattern — + per-doc hash-agg;
+    * top-25 by integer average (×10⁶ div). */
+  val surprisal = Q(
+    "q_text_surprisal",
+    s"""WITH tok AS (SELECT doc_id, unnest($W) AS t FROM documents),
+       |c AS (SELECT doc_id, t,
+       |        count(*) OVER (PARTITION BY t) AS cnt FROM tok)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(64 - length(bin(cnt))) AS BIGINT) AS surprisal,
+       |  CAST(sum(64 - length(bin(cnt))) * 1000000 // count(*) AS BIGINT)
+       |    AS avg_ppm
+       |FROM c GROUP BY doc_id
+       |ORDER BY avg_ppm DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("t")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(lit(64) - length(bin(col("cnt")))).as("surprisal"))
+      .withColumn("avg_ppm", expr("surprisal * 1000000 div n_tokens"))
+      .orderBy(col("avg_ppm").desc, col("doc_id"))
+      .limit(25)
+  }
+
   /** Content fingerprinting: md5 over the sorted distinct token set;
     * bucket sizes reveal bag-of-words duplicates that exact-hash dedup
     * misses. */

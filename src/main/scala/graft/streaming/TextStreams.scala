@@ -73,4 +73,33 @@ object TextStreams {
       .filter(col("ingest_batch") === col("_mb"))
       .select("term", "doc_id", "tf", "positions")
   }
+
+  /** BM25 over the STREAMED index — identical integer scoring to the
+    * batch `q_text_bm25` (k1 = 6/5, b = 3/4, every fraction cleared by
+    * 10·total_tokens), with no state beyond the postings partitions:
+    * a document's length is Σtf over its deduped postings and the
+    * collection constants fold from the lengths, so search follows a
+    * continuously-ingested corpus with zero extra maintenance. (A
+    * deployment would cache the doc-length/stats fold per batch epoch
+    * rather than re-derive per query — same rows either way.) */
+  def bm25(s: SparkSession, postDir: String, terms: Seq[String],
+           k: Int = 20): DataFrame = {
+    val post = termPostings(s, postDir, terms)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val dl = termPostings(s, postDir, Nil)
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_tokens"))
+    post.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        expr("(((n_docs - df) * 2 + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tscore",
+        expr("(idf * (22 * tf * total_tokens)) div " +
+          "(10 * tf * total_tokens + 3 * total_tokens + 9 * dl * n_docs)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -57,6 +57,16 @@ class StreamingTextIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(batchHits.nonEmpty && streamHits == batchHits)
 
+      // BM25 over the STREAMED index == the registered batch query
+      // (same integer scoring, lengths folded from the postings)
+      val batchBm25 = TextQueries.bm25.run(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamBm25 = TextStreams
+        .bm25(spark, postD, Seq("scan", "join", "quantile"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batchBm25.nonEmpty && streamBm25 == batchBm25,
+        s"bm25 parity broke: missing=${(batchBm25 -- streamBm25).take(3)}")
+
       // replay the last wave with ITS batch id: same partition bytes
       TextStreams.processBatch(
         rows.filter(_._1 % 3 == 2).toIndexedSeq.toDF("doc_id", "text"),
