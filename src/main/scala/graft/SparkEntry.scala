@@ -90,6 +90,7 @@ object SparkEntry {
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.int8TopK,
     SimilarityQueries.ivfTopK,
+    SimilarityQueries.ivfFilteredTopK,
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,
     SimilarityQueries.ivfCellStats,

@@ -164,6 +164,44 @@ object SimilarityQueries {
       k = 5)
   }
 
+  /** FILTERED ANN search — vector ranking under a metadata predicate
+    * (`label % 2 = 0` stands in for language/license/date filters):
+    * the vector-DB workload where only qualifying candidates may rank.
+    * The predicate ANDs into the cell-pruned candidate side BEFORE
+    * ranking (pre-filtering), so top-k is exact over the filtered cell
+    * — never "search then discard", which under-fills k whenever the
+    * unfiltered top-k is predicate-heavy. Same persisted [[IvfIndex]]
+    * artifact, zero retraining; at 100 TB the filter pushes into the
+    * candidate scan alongside the cell prune. */
+  val ivfFilteredTopK = Q(
+    "q_ann_filtered",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |  FROM (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |        WHERE v.vec_id < 10) q
+       |  JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |        WHERE v.vec_id IN
+       |          (SELECT vec_id FROM embeddings WHERE label % 2 = 0)) c
+       |    ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val v = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      .join(asn, Seq("vec_id"))
+    topK(
+      v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cell").as("ql"),
+                col("embedding").as("eq")),
+      v.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("neighbor_id"), col("cell").as("cl"),
+                col("embedding").as("ec")),
+      col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
+      k = 5)
+  }
+
   /** Multi-probe IVF (nprobe = 2): each query searches its TWO nearest
     * trained cells — the recall/latency dial of a real IVF index
     * (candidates ×~2, recall strictly ≥ single-probe; the corpus scan
