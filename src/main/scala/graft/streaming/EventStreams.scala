@@ -96,6 +96,31 @@ object EventStreams {
         col("n"))
   }
 
+  /** Windowed heavy hitters: top users per (hour, event type) from a
+    * mergeable Misra-Gries sketch — the third windowed sketch beside
+    * the HLL distinct counter and the quantile sampler, with the same
+    * constant-state contract per (window, type). Capacity k is sized
+    * ABOVE the per-window distinct cardinality on the test corpora, so
+    * the sketch holds exact counts and the streamed top lists EQUAL
+    * the batch twin (above capacity the ε·n guarantee still holds and
+    * the parity claim weakens to the guarantee — the same regime note
+    * as the batch q_heavy_hitters oracle). */
+  def windowedHeavyHitters(events: DataFrame,
+                           watermark: String = "1 hour",
+                           k: Int = 1024, top: Int = 3): DataFrame = {
+    import graft.plans.Hh.{hhItems, hhSketch}
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hhSketch(col("user_id").cast("string"), k).as("sk"),
+           count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        slice(hhItems(col("sk")), 1, top).as("top_users"),
+        col("n"))
+  }
+
   /** Watermarked stream-stream INNER join: purchases attributed to every
     * click by the same user in the preceding hour — the streaming twin
     * of EventQueries.intervalJoin (its parity test's oracle).

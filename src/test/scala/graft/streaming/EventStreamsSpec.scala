@@ -84,6 +84,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed windowed heavy hitters equal the batch top lists exactly") {
+    import graft.plans.Hh.{hhItems, hhSketch}
+    // below-capacity premise: exactness requires k above the per-window
+    // distinct-user cardinality (above it, only the eps-n guarantee)
+    val maxDistinct = graft.Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    assert(maxDistinct < 1024, s"premise: k=1024 must exceed $maxDistinct")
+    val stream = EventStreams.readEventStream(spark, sf0001)
+    val q = EventStreams.windowedHeavyHitters(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hh_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hh_out")
+        .select("window_start", "event_type", "top_users", "n")
+      val batch = graft.Tables.events(spark, sf0001)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(hhSketch(col("user_id").cast("string"), 1024).as("sk"),
+          count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"),
+          slice(hhItems(col("sk")), 1, 3).as("top_users"),
+          col("n"))
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val clicks = EventStreams.readEventStream(spark, sf0001)
       .filter($"event_type" === "click")
