@@ -121,6 +121,29 @@ object EventStreams {
         col("n"))
   }
 
+  /** Windowed point-frequency sketch: a count-min grid per (hour,
+    * event type) probed for fixed keys — the last of the four
+    * mergeable sketches as a windowed stream (HLL distinct, quantiles,
+    * Misra-Gries top lists, CMS point frequencies). CMS cells are pure
+    * sums, so streamed grids equal the batch twin BYTE-FOR-BYTE under
+    * any sharding — no below-capacity caveat at all. */
+  def windowedTokenCounts(events: DataFrame,
+                          probes: Seq[String],
+                          watermark: String = "1 hour",
+                          d: Int = 4, w: Int = 64): DataFrame = {
+    import graft.plans.Cms.{cmsQuery, cmsSketch, cmsTotal}
+    val base = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(cmsSketch(col("user_id").cast("string"), d, w).as("sk"),
+           count(lit(1)).as("n"))
+    val probeCols = probes.map(p => cmsQuery(col("sk"), lit(p)).as(s"u_$p"))
+    base.select(
+      (date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start")
+        +: col("event_type") +: probeCols :+ cmsTotal(col("sk")).as("total")
+        :+ col("n")): _*)
+  }
+
   /** Watermarked stream-stream INNER join: purchases attributed to every
     * click by the same user in the preceding hour — the streaming twin
     * of EventQueries.intervalJoin (its parity test's oracle).

@@ -116,6 +116,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed windowed count-min probes equal the batch grid exactly") {
+    import graft.plans.Cms.{cmsQuery, cmsSketch, cmsTotal}
+    val probes = Seq("1", "2", "3")
+    val stream = EventStreams.readEventStream(spark, sf0001)
+    val q = EventStreams.windowedTokenCounts(stream, probes)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+      val base = graft.Tables.events(spark, sf0001)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(cmsSketch(col("user_id").cast("string"), 4, 64).as("sk"),
+          count(lit(1)).as("n"))
+      val batch = base.select(
+        (date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start")
+          +: col("event_type")
+          +: probes.map(p => cmsQuery(col("sk"), lit(p)).as(s"u_$p"))
+          :+ cmsTotal(col("sk")).as("total") :+ col("n")): _*)
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val clicks = EventStreams.readEventStream(spark, sf0001)
       .filter($"event_type" === "click")
