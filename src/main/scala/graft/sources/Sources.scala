@@ -60,6 +60,44 @@ object Sources {
   def interactionLogsInferred(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.json(paths: _*)
 
+  /** Corrupt-tolerant NDJSON ingest: PERMISSIVE parse with broken lines
+    * CAPTURED in `_corrupt` instead of silently nulled or failing the
+    * job — real crawl/export feeds always carry some torn lines.
+    * Callers split clean rows from the quarantine (dead-letter) slice:
+    *
+    *   val raw = Sources.interactionLogsLenient(spark, paths).cache()
+    *   val good = raw.filter(col("_corrupt").isNull).select(col("_source.*"))
+    *   val bad  = raw.filter(col("_corrupt").isNotNull)
+    *
+    * (the cache is Spark's documented requirement for querying the
+    * corrupt-record column; caller owns the lifecycle). */
+  def interactionLogsLenient(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .schema(Schemas.interactionLog
+        .add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(paths: _*)
+
+  /** Parallel JDBC source — the read side of the warehouse round trip
+    * ([[JdbcSink]] is the write side). `partition = (column, lo, hi,
+    * n)` splits the pull into n range-bounded concurrent cursors on a
+    * numeric column — the only shape that lifts a large table over
+    * JDBC without serializing through one result set. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               user: String = "", password: String = "",
+               driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+               partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("driver", driver)
+    partition.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
+
   /** Schema-evolved warehouse read: generations of a day-partitioned
     * parquet table whose schema GREW over time (columns added, never
     * removed/retyped) read as one frame — old generations null-fill the

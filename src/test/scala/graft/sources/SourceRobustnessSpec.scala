@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ingest robustness: corrupt NDJSON lines are quarantined (not
+  * silently nulled, not job-fatal), and the JDBC source round-trips
+  * the sink's output — including the partitioned parallel pull. */
+class SourceRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lenient NDJSON ingest splits clean rows from quarantined lines") {
+    val dir = Files.createTempDirectory("graft_lenient")
+    val f = dir.resolve("20220401.json")
+    Files.write(f, java.util.Arrays.asList(
+      """{"_index":"history","_type":"kplus","_id":"a","_score":0,"_source":{"Contract":"C1","Mac":"M","TotalDuration":10,"AppName":"KPLUS"}}""",
+      """{"broken json""",
+      """{"_index":"history","_type":"vod","_id":"b","_score":0,"_source":{"Contract":"C2","Mac":"M","TotalDuration":20,"AppName":"VOD"}}""",
+      """not json at all"""))
+    val raw = Sources.interactionLogsLenient(spark, Seq(f.toString)).cache()
+    try {
+      val good = raw.filter(col("_corrupt").isNull).select(col("_source.*"))
+      val bad = raw.filter(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw"))
+      assert(good.count() == 2)
+      assert(good.select("Contract").as[String].collect().toSet == Set("C1", "C2"))
+      val quarantined = bad.as[String].collect().toSet
+      assert(quarantined == Set("""{"broken json""", "not json at all"),
+        s"got $quarantined")
+      // and the strict declared-schema reader would have nulled them:
+      // the lenient path exists precisely to make the loss visible
+      assert(Sources.interactionLogs(spark, Seq(f.toString)).count() == 4)
+    } finally raw.unpersist()
+  }
+
+  test("JDBC source reads back the sink's table, partitioned pull included") {
+    val dbDir = Files.createTempDirectory("graft_derby_src").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val sink = JdbcSink(url, user = "", password = "",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver", truncate = false)
+    val rows = (1L to 100L).map(i => (i, s"c$i")).toDF("id", "payload")
+    sink.write(rows, "roundtrip")
+
+    val plain = Sources.readJdbc(spark, url, "roundtrip")
+    assert(plain.count() == 100)
+
+    val parallel = Sources.readJdbc(spark, url, "roundtrip",
+      partition = Some(("id", 1L, 100L, 4)))
+    assert(parallel.rdd.getNumPartitions == 4,
+      "partitioned pull must run as 4 range cursors")
+    assert(parallel.count() == 100)
+    assert(parallel.agg(sum("id")).collect()(0).getLong(0) == 5050L)
+  }
+}
