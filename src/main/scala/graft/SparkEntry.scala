@@ -91,6 +91,7 @@ object SparkEntry {
     SimilarityQueries.int8TopK,
     SimilarityQueries.ivfTopK,
     SimilarityQueries.ivfFilteredTopK,
+    SimilarityQueries.ivfFilteredRecall,
     SimilarityQueries.ivfTopKProbe2,
     SimilarityQueries.ivfRecall,
     SimilarityQueries.ivfCellStats,

@@ -202,6 +202,61 @@ object SimilarityQueries {
       k = 5)
   }
 
+  /** Recall of FILTERED cell-blocked search vs the filtered exact
+    * baseline — predicates interact with blocking (a filter thins every
+    * cell, so the same k loses more neighbors to cell boundaries than
+    * unfiltered search does); this gauge makes that loss a measured
+    * number, per query, oracle-exact. */
+  val ivfFilteredRecall = Q(
+    "q_ann_filtered_recall",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |fv AS (
+       |  SELECT v.vec_id, v.e FROM v WHERE v.vec_id IN
+       |    (SELECT vec_id FROM embeddings WHERE label % 2 = 0)
+       |), bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |    JOIN fv c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |          WHERE v.vec_id < 10) q
+       |    JOIN (SELECT f.vec_id, asn.cell, f.e FROM fv f JOIN asn USING (vec_id)) c
+       |      ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(ivf.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN ivf
+       |  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val bf = topK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+        emb.filter(col("label") % 2 === 0)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
+        col("neighbor_id") =!= col("query_id"), k = 5)
+      .select("query_id", "neighbor_id")
+    val iv = ivfFilteredTopK.run(s, d)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"))
+    bf.join(iv,
+        bf("query_id") === iv("query_id") &&
+          bf("neighbor_id") === iv("ivf_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("ivf_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Multi-probe IVF (nprobe = 2): each query searches its TWO nearest
     * trained cells — the recall/latency dial of a real IVF index
     * (candidates ×~2, recall strictly ≥ single-probe; the corpus scan

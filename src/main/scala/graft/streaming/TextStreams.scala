@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,6 +73,52 @@ object TextStreams {
     slice.join(latest, Seq("doc_id"))
       .filter(col("ingest_batch") === col("_mb"))
       .select("term", "doc_id", "tf", "positions")
+  }
+
+  /** Fold every postings partition EXCEPT the newest into the
+    * second-newest, then drop the superseded olds — the maintenance
+    * pass that bounds partition fan-in on a long-running stream (the
+    * LogTable compaction discipline). The newest partition is
+    * deliberately left alone: foreachBatch is at-least-once, so the
+    * LAST batch may be replayed after a restart and would rightfully
+    * OVERWRITE its partition — folding history into it would hand that
+    * replay the whole index to destroy. Older batches are committed in
+    * the streaming checkpoint and are never replayed (checkpoint loss
+    * means reprocess-the-world, outside this contract). Safe for
+    * readers because their contract is doc-max-batch dedup: the folded
+    * rows carry the fold partition's id, which is ≥ every folded batch
+    * and < the untouched newest batch. The swap briefly removes the
+    * fold partition (delete + rename) — run from the ingest's own
+    * driver between batches, the single-maintainer contract every swap
+    * in this repo carries. Returns the fold partition id. */
+  def compactIndex(s: SparkSession, postDir: String): Option[Long] = {
+    val p = new Path(postDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val parts = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
+      .sorted
+    if (parts.size <= 2) return None
+    val foldable = parts.init // all but the replay-eligible newest
+    val foldId = foldable.last
+    // materialize the deduped view of the foldable slice FIRST (it
+    // reads those partitions), into a staging dir, then swap it in
+    val staging = new Path(postDir + "_compact_staging")
+    fs.delete(staging, true)
+    val all = s.read.parquet(postDir)
+      .filter(col("ingest_batch") <= foldId)
+    val latest = all.select("doc_id", "ingest_batch")
+      .groupBy("doc_id").agg(max(col("ingest_batch")).as("_mb"))
+    all.join(latest, Seq("doc_id"))
+      .filter(col("ingest_batch") === col("_mb"))
+      .select("term", "doc_id", "tf", "positions")
+      .write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(p, s"ingest_batch=$foldId")
+    fs.delete(target, true)
+    require(fs.rename(staging, target), s"cannot swap compacted index into $target")
+    foldable.init.foreach(b => fs.delete(new Path(p, s"ingest_batch=$b"), true))
+    Some(foldId)
   }
 
   /** BM25 over the STREAMED index — identical integer scoring to the

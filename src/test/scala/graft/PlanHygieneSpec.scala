@@ -41,8 +41,8 @@ class PlanHygieneSpec extends SparkSpec {
     // contamination + funnel consume the persisted bench-gram artifact;
     // the gram-build shape is swept via builderPlans("bench_grams")
     "q_curation_funnel", "q_text_contamination",
-    "q_ann_ivf", "q_ann_filtered", "q_ann_ivf_probe2", "q_ann_recall",
-    "q_ann_cells",
+    "q_ann_ivf", "q_ann_filtered", "q_ann_filtered_recall",
+    "q_ann_ivf_probe2", "q_ann_recall", "q_ann_cells",
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_embedding_outliers",
     // consume the sem_pairs artifact (built from the persisted IVF
     // assignments); the pair-generation shape is swept via

@@ -77,6 +77,42 @@ class StreamingTextIndexSpec extends SparkSpec {
     } finally { q.stop(); cleanup() }
   }
 
+  test("index compaction bounds partitions without changing any answer") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val rows = docs.as[(Long, String)].collect()
+    for (wave <- 0 until 4)
+      TextStreams.processBatch(
+        rows.filter(_._1 % 4 == wave).toIndexedSeq.toDF("doc_id", "text"),
+        batchId = wave.toLong, postD)
+    val before = TextStreams.termPostings(spark, postD, Nil)
+      .collect().map(postKey).toSet
+
+    // fold batches 0..2 into partition 2; batch 3 stays replay-eligible
+    assert(TextStreams.compactIndex(spark, postD).contains(2L))
+    val p = new org.apache.hadoop.fs.Path(postD)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .map(_.getPath.getName).filter(_.startsWith("ingest_batch=")).sorted
+    assert(parts.toSeq == Seq("ingest_batch=2", "ingest_batch=3"), parts.toSeq)
+    assert(TextStreams.termPostings(spark, postD, Nil)
+      .collect().map(postKey).toSet == before, "compaction changed the index")
+
+    // the replay-eligible NEWEST batch re-applies harmlessly post-fold
+    TextStreams.processBatch(
+      rows.filter(_._1 % 4 == 3).toIndexedSeq.toDF("doc_id", "text"),
+      batchId = 3L, postD)
+    assert(TextStreams.termPostings(spark, postD, Nil)
+      .collect().map(postKey).toSet == before, "replay after fold diverged")
+
+    // and the stream keeps growing on top of the folded base
+    TextStreams.processBatch(
+      Seq((999L, "brand new doc")).toDF("doc_id", "text"), batchId = 4L, postD)
+    assert(TextStreams.termPostings(spark, postD, Seq("brand")).count() == 1)
+    cleanup()
+  }
+
   test("a re-crawled doc supersedes wholesale, dropped terms included") {
     cleanup()
     TextStreams.processBatch(
