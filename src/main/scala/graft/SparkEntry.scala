@@ -77,6 +77,7 @@ object SparkEntry {
     DedupQueries.simhashBuckets,
     DedupQueries.simhashPairs,
     DedupQueries.jaccardAllPairs,
+    DedupQueries.containmentPairs,
     DedupQueries.corpusCuration,
     DedupQueries.embeddingPairs,
     DedupQueries.embeddingResolve,

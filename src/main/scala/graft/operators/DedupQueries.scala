@@ -588,6 +588,42 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ASYMMETRIC near-containment pairs — the duplication dimension
+    * symmetric Jaccard misses: a short document quoted inside a long
+    * one has |∩|/|A| ≈ 1 while Jaccard ≈ |A|/|B| stays low. Reports
+    * directed (contained, container) pairs at containment ≥ 0.9 over
+    * the same bounded 500-doc slice as the Jaccard baseline (exact
+    * all-pairs by contract; the LSH candidate generator is the scale
+    * path — a contained doc still collides on its own shingles'
+    * bands). Threshold compare in integers (10·|∩| ≥ 9·|A|); the
+    * containment double is computed only for survivors. */
+  val containmentPairs = Q(
+    "q_dedup_containment",
+    s"""WITH sh AS (
+       |  SELECT doc_id, $SS AS ss
+       |  FROM (SELECT doc_id, $W AS w FROM documents WHERE doc_id < 500)
+       |)
+       |SELECT a.doc_id AS contained, b.doc_id AS container,
+       |  len(list_intersect(a.ss, b.ss)) * 1.0 / len(a.ss) AS containment
+       |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |WHERE len(a.ss) > 0
+       |  AND 10 * len(list_intersect(a.ss, b.ss)) >= 9 * len(a.ss)
+       |ORDER BY contained, container""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    val a = sh.select(col("doc_id").as("contained"), col("ss").as("sa"))
+    val b = sh.select(col("doc_id").as("container"), col("ss").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    a.crossJoin(b)
+      .filter(col("contained") =!= col("container"))
+      .filter(size(col("sa")) > 0 && lit(10) * inter >= lit(9) * size(col("sa")))
+      .withColumn("containment", inter.cast("double") / size(col("sa")))
+      .select("contained", "container", "containment")
+      .orderBy("contained", "container")
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH — the
     * scale path (round-1's unbounded cross join was the one guaranteed
     * 100 TB non-starter): 16 deterministic Rademacher hyperplanes → 8

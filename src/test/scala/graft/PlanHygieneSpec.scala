@@ -24,7 +24,8 @@ class PlanHygieneSpec extends SparkSpec {
     * batch (10 rows) broadcast against one corpus scan IS brute force —
     * 10·n by construction, not n². */
   private val boundedBaselines = Set(
-    "q_dedup_jaccard_pairs", "q_dedup_embedding_exact", "q_ann_bruteforce",
+    "q_dedup_jaccard_pairs", "q_dedup_containment", "q_dedup_embedding_exact",
+    "q_ann_bruteforce",
     // int8 ANN: same bounded query-batch × corpus shape as bruteforce,
     // plus a ONE-row per-dim stats frame cross-joined onto the scan
     "q_ann_int8")
