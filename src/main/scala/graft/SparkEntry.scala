@@ -57,6 +57,7 @@ object SparkEntry {
     EventQueries.eventFunnel,
     EventQueries.retentionCohorts,
     EventQueries.approxDistinct,
+    EventQueries.gapfillDaily,
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
     SketchQueries.kmvOverlap,
@@ -136,6 +137,13 @@ object SparkEntry {
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,
     ExtraQueries.saltedAgg,
+    ExtraQueries.skewJoinSalted,
+    ExtraQueries.histogram,
+    // entity resolution (blocking → fuzzy match → clusters → golden)
+    ResolutionQueries.blocking,
+    ResolutionQueries.fuzzyMatch,
+    ResolutionQueries.clusters,
+    ResolutionQueries.golden,
     ExtraQueries.sqlLayer,
     ExtraQueries.groupingSets,
     ExtraQueries.windowSuite,

@@ -218,4 +218,40 @@ object EventQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
   }
+
+  /** Time-series gap fill: daily event counts per type on a DENSE
+    * calendar spine — days with no events appear as explicit zeros
+    * (dashboards and trend models both need the zeros; a bare groupBy
+    * silently drops them). The spine is `sequence(min_day, max_day)`
+    * exploded from a one-row bounds aggregate, crossed with the
+    * distinct types — both metadata-sized frames (|days| × |types|,
+    * ~150 rows here), so the cross is a broadcast of nothing; the only
+    * data-sized work is the daily hash-agg and the left join back,
+    * both shuffle-on-(day, type). */
+  val gapfillDaily = Q(
+    "q_gapfill_daily",
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM b
+      |),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |actual AS (SELECT day, event_type, count(*) AS n_events
+      |           FROM ev GROUP BY day, event_type)
+      |SELECT d.day, t.event_type, coalesce(a.n_events, 0) AS n_events
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+      |ORDER BY d.day, t.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val actual = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val days = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    days.crossJoin(ev.select("event_type").distinct())
+      .join(actual, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .orderBy("day", "event_type")
+  }
 }

@@ -86,6 +86,60 @@ object ExtraQueries {
       .orderBy("event_type")
   }
 
+  /** Skew-salted fact↔dim equi-join: events.user_id is 15 distinct
+    * values over 32 shuffle partitions — the textbook hot-key join.
+    * [[Salting.saltedJoin]] spreads each key over 8 salt lanes; the
+    * merge hint forces the sort-merge (shuffled) path so the salted
+    * layout is what actually executes — with broadcast the salt would
+    * be a no-op, and at 100 TB the dim that matters is the one too big
+    * to broadcast. Result identical to the plain join (the oracle). */
+  val skewJoinSalted = Q(
+    "q_skew_join_salted",
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val dim = Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment").hint("merge")
+    Salting
+      .saltedJoin(Tables.events(s, d), "user_id", "event_id", dim, "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("_t"))
+      .select(col("c_mktsegment"), col("n"),
+              col("_t").cast(dec).cast("double").as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Equi-width histogram of events.value over 20 buckets sized from
+    * the observed [min, max] — the one-pass profile step before
+    * binning features or choosing sketch params. Two scans (bounds,
+    * then bucketing against the ONE-row bounds frame broadcast onto
+    * the scan — the q_ann_int8 stats-frame pattern); float bucket
+    * arithmetic is written operation-for-operation identically in both
+    * engines, so the bucket ids are IEEE-exact. */
+  val histogram = Q(
+    "q_histogram",
+    """WITH b AS (
+      |  SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS width
+      |  FROM events WHERE value IS NOT NULL
+      |)
+      |SELECT LEAST(CAST(FLOOR((value - lo) / width) AS INT), 19) AS bucket,
+      |  count(*) AS n, min(value) AS v_min, max(value) AS v_max
+      |FROM events, b WHERE value IS NOT NULL
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("value").isNotNull)
+    val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      .select(col("lo"), ((col("hi") - col("lo")) / lit(20.0)).as("width"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("value") - col("lo")) / col("width")).cast("int"),
+              lit(19)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min("value").as("v_min"), max("value").as("v_max"))
+      .orderBy("bucket")
+  }
+
   /** SQL-text layer: this exact string runs on Spark (via temp views)
     * AND on DuckDB — one dialect-neutral source of truth. */
   private val q3Sql =

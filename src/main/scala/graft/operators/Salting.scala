@@ -28,4 +28,25 @@ object Salting {
       .agg(count(lit(1)).as("_n"), sum(valueCol).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total"))
+
+  /** Salted equi-join for a skewed FACT key against a dim too large to
+    * broadcast: the fact side gets a deterministic salt from its row
+    * id; the dim side is replicated once per salt value; the join key
+    * becomes `(key, salt)`, so one hot key spreads over `nSalts` shuffle
+    * partitions instead of one straggler task. Result is IDENTICAL to
+    * `fact JOIN dim ON factKey = dimKey` — every fact row still meets
+    * its dim row (in exactly one salt lane), only the shuffle layout
+    * changes. Cost: the dim shuffle grows ×nSalts — worth it only when
+    * fact skew dominates (AQE's skew-join split is the automatic
+    * alternative; salting is the explicit-control version that also
+    * works for shuffle-hash joins and under AQE-off). */
+  def saltedJoin(fact: DataFrame, factKey: String, rowId: String,
+                 dim: DataFrame, dimKey: String, nSalts: Int = 8): DataFrame = {
+    val f = fact.withColumn("_fsalt", salt(col(rowId), nSalts))
+    val dRep = dim.withColumn("_dsalt",
+      explode(array((0 until nSalts).map(lit(_)): _*)))
+    f.join(dRep,
+        col(factKey) === col(dimKey) && col("_fsalt") === col("_dsalt"))
+      .drop("_fsalt", "_dsalt")
+  }
 }

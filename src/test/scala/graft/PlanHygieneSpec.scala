@@ -28,7 +28,12 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_bruteforce",
     // int8 ANN: same bounded query-batch × corpus shape as bruteforce,
     // plus a ONE-row per-dim stats frame cross-joined onto the scan
-    "q_ann_int8")
+    "q_ann_int8",
+    // ONE-row bounds frame broadcast onto the scan (q_ann_int8 pattern)
+    "q_histogram",
+    // calendar spine: |days| × |event types| — two metadata-sized
+    // derived frames crossed; data-sized work is all equi-keyed
+    "q_gapfill_daily")
 
   /** Queries whose CONSTRUCTION already runs Spark jobs — iterative
     * training/resolution (IVF k-means, connected components), eager
@@ -59,7 +64,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
-    "q_bloom_prefilter")
+    "q_bloom_prefilter",
+    // construction runs DedupResolve's iterative pointer-jumping loop;
+    // the underlying blocked match-join shape IS plan-swept via
+    // q_er_fuzzy_match (same self-join, unbounded)
+    "q_er_clusters", "q_er_golden")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
