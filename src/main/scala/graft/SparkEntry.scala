@@ -58,6 +58,7 @@ object SparkEntry {
     EventQueries.retentionCohorts,
     EventQueries.approxDistinct,
     EventQueries.gapfillDaily,
+    EventQueries.rolling7day,
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
     SketchQueries.kmvOverlap,
@@ -142,6 +143,7 @@ object SparkEntry {
     // entity resolution (blocking → fuzzy match → clusters → golden)
     ResolutionQueries.blocking,
     ResolutionQueries.fuzzyMatch,
+    ResolutionQueries.multiBlock,
     ResolutionQueries.clusters,
     ResolutionQueries.golden,
     ExtraQueries.sqlLayer,

@@ -207,18 +207,18 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokens(col("text")))).cast("long").as("toks"))
       .withColumn("wt", sqrt(col("toks") * sqrt(col("toks"))))
-    // constant partition key: the frame is |sources| rows post-agg, and
-    // an EMPTY partitionBy would log the single-partition WindowExec
-    // warning the bench log is kept clean of
-    val everyRow = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    w.withColumn("totw",
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("source"), col("wt")))
-              .over(everyRow)),
-            s => s("wt")),
-          lit(0.0), (acc, x) => acc + x))
+    // normalizer as a ONE-row aggregate broadcast back onto the
+    // |sources|-row frame (the q_ann_int8 stats-frame idiom) — a
+    // constant-key window here gets its partition key constant-folded
+    // by AQE's re-optimization, resurfacing the single-partition
+    // WindowExec warning the bench log is kept clean of
+    val tot = w.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"), col("wt")))),
+          s => s("wt")),
+        lit(0.0), (acc, x) => acc + x).as("totw"))
+    w.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("toks"),
         floor(lit(1000000) * col("wt") / col("totw")).cast("long")
           .as("share_ppm"))

@@ -573,8 +573,13 @@ object DedupQueries {
       .select(col("doc_id"),
               array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
     // NOT cached: the nested-loop cross join fuses the codegen'd shingle
-    // pipeline directly; a columnar cache scan here measured 6x slower
+    // pipeline directly; a columnar cache scan here measured 6x slower.
+    // The PROBE side is repartitioned by id: the 500-doc slice lands in
+    // one parquet split, and without the spread the whole quadratic
+    // intersect loop runs as a single task (measured 2.4s one-core vs
+    // the full local[32])
     val a = sh.select(col("doc_id").as("doc_a"), col("ss").as("sa"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("ss").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
@@ -614,6 +619,8 @@ object DedupQueries {
       .select(col("doc_id"),
               array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
     val a = sh.select(col("doc_id").as("contained"), col("ss").as("sa"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+                   col("contained")) // spread the probe side (see jaccard)
     val b = sh.select(col("doc_id").as("container"), col("ss").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     a.crossJoin(b)

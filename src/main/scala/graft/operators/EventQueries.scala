@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -228,9 +229,10 @@ object EventQueries {
     * ~150 rows here), so the cross is a broadcast of nothing; the only
     * data-sized work is the daily hash-agg and the left join back,
     * both shuffle-on-(day, type). */
-  val gapfillDaily = Q(
-    "q_gapfill_daily",
-    """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+  /** Shared DuckDB CTE chain: the dense (day × event_type) spine with
+    * explicit zero counts. */
+  private val denseCte =
+    """ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
       |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
       |days AS (
       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
@@ -238,11 +240,16 @@ object EventQueries {
       |),
       |types AS (SELECT DISTINCT event_type FROM ev),
       |actual AS (SELECT day, event_type, count(*) AS n_events
-      |           FROM ev GROUP BY day, event_type)
-      |SELECT d.day, t.event_type, coalesce(a.n_events, 0) AS n_events
-      |FROM days d CROSS JOIN types t
-      |LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
-      |ORDER BY d.day, t.event_type""".stripMargin) { (s, d) =>
+      |           FROM ev GROUP BY day, event_type),
+      |dense AS (
+      |  SELECT d.day, t.event_type, coalesce(a.n_events, 0) AS n_events
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+      |)""".stripMargin
+
+  /** Spark side of the shared spine: daily counts per type on a dense
+    * calendar, zeros explicit. */
+  private def denseDaily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("event_type"))
     val actual = ev.groupBy("day", "event_type")
@@ -252,6 +259,34 @@ object EventQueries {
     days.crossJoin(ev.select("event_type").distinct())
       .join(actual, Seq("day", "event_type"), "left")
       .na.fill(0L, Seq("n_events"))
+  }
+
+  val gapfillDaily = Q(
+    "q_gapfill_daily",
+    s"""WITH $denseCte
+       |SELECT day, event_type, n_events FROM dense
+       |ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    denseDaily(s, d).orderBy("day", "event_type")
+  }
+
+  /** Rolling 7-day mean of daily counts per type — the trend feature a
+    * dashboard or forecaster reads. Composes on the DENSE spine (a
+    * rolling frame over a gappy series silently averages the wrong
+    * days — gap fill is what makes ROWS BETWEEN 6 PRECEDING correct).
+    * Exactness: each frame sums ≤ 7 long counts (exact in double at any
+    * magnitude that fits 2^53) then divides once — identical on both
+    * engines regardless of accumulation order. */
+  val rolling7day = Q(
+    "q_rolling_7day",
+    s"""WITH $denseCte
+       |SELECT day, event_type, n_events,
+       |  avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+       |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |    AS avg_7d
+       |FROM dense ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    denseDaily(s, d)
+      .withColumn("avg_7d", avg("n_events").over(w))
       .orderBy("day", "event_type")
   }
 }

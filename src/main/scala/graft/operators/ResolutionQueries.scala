@@ -56,12 +56,16 @@ object ResolutionQueries {
     * BEFORE the join (pushed to the scan) so the resolution queries'
     * recursive-CTE oracle stays cheap; the unbounded match itself is
     * verified by q_er_fuzzy_match. */
-  private def matchPairs(s: SparkSession, d: String,
-                         bound: Option[Int]): DataFrame = {
+  private[graft] def matchPairs(s: SparkSession, d: String,
+                                bound: Option[Int]): DataFrame = {
     val base0 = Tables.customer(s, d)
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     val base = bound.map(b => base0.filter(col("c_custkey") < b)).getOrElse(base0)
+    // spread the probe side: the whole customer table is one parquet
+    // split at bench scale, and the blocked match would otherwise run
+    // its levenshtein loop as a single task
     val a = base.toDF("cust_a", "name_a", "nat", "seg")
+      .repartition(s.sparkContext.defaultParallelism, col("cust_a"))
     val b = base.toDF("cust_b", "name_b", "nat", "seg")
     a.join(b, Seq("nat", "seg"))
       .filter(col("cust_a") < col("cust_b"))
@@ -127,6 +131,55 @@ object ResolutionQueries {
       .select(col("id").as("cust_id"), col("cluster").as("entity"),
               (col("id") === col("cluster")).as("keep"))
       .orderBy("cust_id")
+  }
+
+  /** Multi-pass blocking — the production answer to single-key recall
+    * loss: a second, INDEPENDENT blocking pass (here the last 3 name
+    * characters) catches matches the demographic block key misses
+    * (same-name customers filed under different nation/segment), and
+    * the candidate sets union before matching. Each pass stays an
+    * equi-join on its own block key; the union dedups on the pair, so
+    * a candidate found by both passes is matched once. Recall grows
+    * pass by pass while cost stays Σ (per-pass block sizes)² — the
+    * same additive-recall shape as the LSH band union in
+    * [[DedupQueries]]. */
+  val multiBlock = Q(
+    "q_er_multiblock",
+    """WITH cand AS (
+      |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |    a.c_name AS name_a, b.c_name AS name_b
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |    AND a.c_mktsegment = b.c_mktsegment
+      |    AND a.c_custkey < b.c_custkey
+      |  UNION
+      |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+      |  FROM customer a JOIN customer b
+      |    ON right(a.c_name, 3) = right(b.c_name, 3)
+      |    AND a.c_custkey < b.c_custkey
+      |)
+      |SELECT cust_a, cust_b, levenshtein(name_a, name_b) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+      |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    def pass(blockCols: DataFrame => DataFrame): DataFrame = {
+      val a = blockCols(base).toDF("cust_a", "name_a", "blk")
+        .repartition(s.sparkContext.defaultParallelism,
+                     col("cust_a")) // spread the probe side (see matchPairs)
+      val b = blockCols(base).toDF("cust_b", "name_b", "blk")
+      a.join(b, Seq("blk")).filter(col("cust_a") < col("cust_b"))
+        .select("cust_a", "cust_b", "name_a", "name_b")
+    }
+    val demographic = pass(df => df.select(col("c_custkey"), col("c_name"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("blk")))
+    val suffix = pass(df => df.select(col("c_custkey"), col("c_name"),
+      substring(col("c_name"), -3, 3).as("blk")))
+    demographic.union(suffix).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("cust_a", "cust_b", "dist")
+      .orderBy("cust_a", "cust_b")
   }
 
   /** Stage-3b survivorship: one golden record per entity by the

@@ -31,9 +31,11 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_int8",
     // ONE-row bounds frame broadcast onto the scan (q_ann_int8 pattern)
     "q_histogram",
+    // ONE-row normalizer frame broadcast onto the |sources|-row agg
+    "q_mixture_weights",
     // calendar spine: |days| × |event types| — two metadata-sized
     // derived frames crossed; data-sized work is all equi-keyed
-    "q_gapfill_daily")
+    "q_gapfill_daily", "q_rolling_7day")
 
   /** Queries whose CONSTRUCTION already runs Spark jobs — iterative
     * training/resolution (IVF k-means, connected components), eager
@@ -80,6 +82,30 @@ class PlanHygieneSpec extends SparkSpec {
     spark.catalog.clearCache() // some queries cache their inputs
     assert(offenders.isEmpty,
       s"unbounded join shapes in: ${offenders.mkString(", ")}")
+  }
+
+  test("no registered query plans an unpartitioned window") {
+    // A WindowExec with an empty partition spec funnels the whole input
+    // through ONE task — fine on a 150-row frame today, a straggler at
+    // 100 TB, and the warning it logs is kept out of the bench tail.
+    // Caveat: a constant partition key can still be folded away by
+    // AQE's runtime re-optimization (the q_mixture_weights regression
+    // this test was added after) — don't use constant keys either; use
+    // a 1-row aggregate + broadcast cross join instead.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if constructionEager(name) => None
+      case (name, fn) =>
+        val bad = fn(spark, sf0001).queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
   test("no index-builder plan contains a cartesian or nested-loop join") {
