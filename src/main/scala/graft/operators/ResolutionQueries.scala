@@ -107,6 +107,24 @@ object ResolutionQueries {
     * Spark path runs the identical plan it runs unbounded. */
   private val ResolveBound = 3000
 
+  /** Resolved entity labels (cust_id, entity) over the bounded match
+    * slice — the pointer-jumping loop runs ONCE per (run, corpus) and
+    * persists through [[graft.sources.IndexCatalog]]; `q_er_clusters`
+    * and `q_er_golden` both serve from the stored artifact (the
+    * keep-list discipline of the dedup tier). */
+  private[graft] def erLabels(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"er_labels_${IndexCatalog.tag(d)}",
+                                  inputs = Seq(d)) { dir =>
+      val pairs = matchPairs(s, d, Some(ResolveBound))
+        .select(col("cust_a").as("doc_a"), col("cust_b").as("doc_b"))
+      DedupResolve.resolve(pairs)
+        .select(col("id").as("cust_id"), col("cluster").as("entity"))
+        .write.mode("overwrite").parquet(s"$dir/labels")
+    }
+    s.read.parquet(s"$dir/labels")
+  }
+
   /** Stage-3a: entity ids (connected components) for every customer in
     * a match pair; `keep` marks the canonical min-key member. Spark
     * side is [[DedupResolve]]'s pointer-jumping loop; the oracle walks
@@ -125,11 +143,9 @@ object ResolutionQueries {
        |)
        |SELECT id AS cust_id, min(reach) AS entity, id = min(reach) AS keep
        |FROM walk GROUP BY id ORDER BY cust_id""".stripMargin) { (s, d) =>
-    val pairs = matchPairs(s, d, Some(ResolveBound))
-      .select(col("cust_a").as("doc_a"), col("cust_b").as("doc_b"))
-    DedupResolve.resolve(pairs)
-      .select(col("id").as("cust_id"), col("cluster").as("entity"),
-              (col("id") === col("cluster")).as("keep"))
+    erLabels(s, d)
+      .select(col("cust_id"), col("entity"),
+              (col("cust_id") === col("entity")).as("keep"))
       .orderBy("cust_id")
   }
 
@@ -210,10 +226,7 @@ object ResolutionQueries {
        |                       ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
        |  FROM labeled l JOIN customer c ON l.cust_id = c.c_custkey
        |) WHERE rk = 1 ORDER BY entity""".stripMargin) { (s, d) =>
-    val pairs = matchPairs(s, d, Some(ResolveBound))
-      .select(col("cust_a").as("doc_a"), col("cust_b").as("doc_b"))
-    val labeled = DedupResolve.resolve(pairs)
-      .select(col("id").as("cust_id"), col("cluster").as("entity"))
+    val labeled = erLabels(s, d)
     val w = Window.partitionBy("entity")
     val joined = labeled.join(
       Tables.customer(s, d).select("c_custkey", "c_acctbal"),

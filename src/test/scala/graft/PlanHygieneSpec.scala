@@ -67,9 +67,10 @@ class PlanHygieneSpec extends SparkSpec {
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
     "q_bloom_prefilter",
-    // construction runs DedupResolve's iterative pointer-jumping loop;
-    // the underlying blocked match-join shape IS plan-swept via
-    // q_er_fuzzy_match (same self-join, unbounded)
+    // serve from the er_labels artifact (DedupResolve's pointer-jumping
+    // loop, run once per corpus via IndexCatalog); the underlying
+    // blocked match-join shape IS plan-swept via q_er_fuzzy_match
+    // (same self-join, unbounded)
     "q_er_clusters", "q_er_golden")
 
   test("no registered query plans a cartesian or nested-loop join") {
