@@ -153,6 +153,7 @@ object SparkEntry {
     ExtraQueries.topkAggregator,
     ExtraQueries.freqItems,
     ExtraQueries.medianAgg,
+    ExtraQueries.modeAgg,
     ExtraQueries.statsSuite,
     ExtraQueries.analyticsSegments,
     ExtraQueries.rangeJoin,

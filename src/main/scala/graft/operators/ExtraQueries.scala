@@ -545,4 +545,26 @@ object ExtraQueries {
       .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
+
+  /** Grouped mode with a DETERMINISTIC tie-break (max count, then min
+    * value) — built-in `mode()` breaks ties arbitrarily on both
+    * engines, so the hash-stable form is count + rank-1 window: one
+    * hash-agg to (group, value) cardinality, one window over it. */
+  val modeAgg = Q(
+    "q_mode",
+    """SELECT event_type, user_id AS modal_user, n FROM (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY count(*) DESC, user_id) AS rk
+      |  FROM events GROUP BY event_type, user_id
+      |) WHERE rk = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("user_id").as("modal_user"), col("n"))
+      .orderBy("event_type")
+  }
 }

@@ -69,8 +69,11 @@ object ResolutionQueries {
     val b = base.toDF("cust_b", "name_b", "nat", "seg")
     a.join(b, Seq("nat", "seg"))
       .filter(col("cust_a") < col("cust_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      // 3-arg banded variant: O(threshold·n) early-exit DP per pair
+      // (vs the full O(n²) table), -1 when the band is exceeded —
+      // same surviving pairs and distances as the unbounded form
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0)
       .select("cust_a", "cust_b", "dist")
   }
 
@@ -192,8 +195,8 @@ object ResolutionQueries {
     val suffix = pass(df => df.select(col("c_custkey"), col("c_name"),
       substring(col("c_name"), -3, 3).as("blk")))
     demographic.union(suffix).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0) // banded early-exit DP (see matchPairs)
       .select("cust_a", "cust_b", "dist")
       .orderBy("cust_a", "cust_b")
   }

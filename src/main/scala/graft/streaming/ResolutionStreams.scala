@@ -62,12 +62,14 @@ object ResolutionStreams {
       col("cust_id").as("o_id"), col("name").as("o_name"))
     d.join(o, Seq("blk"))
       .filter(col("d_id") =!= col("o_id"))
-      .filter(levenshtein(col("d_name"), col("o_name")) <= 2)
+      // banded early-exit DP, computed once; -1 marks over-threshold
+      .withColumn("dist", levenshtein(col("d_name"), col("o_name"), 2))
+      .filter(col("dist") >= 0)
       .select(
         least(col("d_id"), col("o_id")).as("cust_a"),
         greatest(col("d_id"), col("o_id")).as("cust_b"),
         // orientation-independent: distance is symmetric
-        levenshtein(col("d_name"), col("o_name")).as("dist"))
+        col("dist"))
       .distinct()
   }
 
