@@ -89,6 +89,7 @@ object SparkEntry {
     DedupQueries.semanticRecall,
     DedupQueries.semanticRecall2,
     DedupQueries.semanticResolve,
+    DedupQueries.substringShare,
     // similarity search
     SimilarityQueries.bruteForceTopK,
     SimilarityQueries.int8TopK,
@@ -101,6 +102,8 @@ object SparkEntry {
     SimilarityQueries.embeddingOutliers,
     SimilarityQueries.ivfPqTopK,
     SimilarityQueries.ivfPqRecall,
+    SimilarityQueries.knnGraph,
+    SimilarityQueries.clusterPurity,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,
@@ -111,6 +114,7 @@ object SparkEntry {
     TextQueries.bm25,
     TextQueries.phraseSearch,
     TextQueries.surprisal,
+    TextQueries.collocations,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

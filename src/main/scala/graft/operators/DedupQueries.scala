@@ -1161,4 +1161,63 @@ object DedupQueries {
                 .otherwise(col("n_found").cast("double") / col("n_exact"))
                 .as("recall"))
   }
+
+  /** Exact substring-duplication share per document — the distributed
+    * shape of suffix-array exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * word position is DUPLICATED when the `SubstringK`-word gram
+    * starting there occurs anywhere else in the corpus (another doc,
+    * or a second time in the same doc — both re-learn the span).
+    * Where the suffix array finds maximal repeats on one machine, the
+    * fixed-k gram join finds every repeat of length ≥ k as a pure
+    * shuffle-on-gram-hash pipeline: explode positional grams (WITH
+    * multiplicity — coverage, not contamination's distinct set),
+    * count occurrences per gram (map-side partial agg), re-join the
+    * counts onto the occurrences, fold per doc. Two shuffles on `g`,
+    * one on `doc_id`; at 100 TB grams hash-partition evenly by
+    * construction (55-word docs → ~48 grams each) and a boilerplate
+    * gram shared by millions of docs costs its occurrence count, not
+    * a quadratic — there is no pair generation anywhere. Output stays
+    * integer (floor-percent) so the share hash-matches the oracle. */
+  final val SubstringK = 8
+  val substringShare = Q(
+    "q_dedup_substring",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+${SubstringK - 1}], ' ')
+       |     for i in range(1, len(w) - ${SubstringK - 2})] AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |cnt AS (SELECT g, count(*) AS cn FROM ex GROUP BY g),
+       |agg AS (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN c.cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM ex e JOIN cnt c USING (g) GROUP BY e.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_grams, 0) AS n_grams,
+       |  coalesce(a.n_dup, 0) AS n_dup,
+       |  CASE WHEN coalesce(a.n_grams, 0) > 0
+       |       THEN (a.n_dup * 100) // a.n_grams ELSE 0 END AS dup_pct
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), SubstringK)).as("g"))
+    val cnt = ex.groupBy("g").agg(count(lit(1)).as("cn"))
+    val agg = ex.join(cnt, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    // docs shorter than k words have zero grams — keep them, with zeros
+    Tables.documents(s, d).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          ((col("n_dup") * 100) / col("n_grams")).cast("long"))
+          .otherwise(lit(0L)).as("dup_pct"))
+      .orderBy("doc_id")
+  }
 }

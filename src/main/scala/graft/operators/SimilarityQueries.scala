@@ -528,4 +528,94 @@ object SimilarityQueries {
       col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"),
       k = 5)
   }
+
+  /** k-NN graph over the WHOLE corpus — every vector's top-`knnK`
+    * neighbors among the vectors sharing its trained IVF cell. The
+    * batch graph-construction pass SemDeDup-style pipelines and
+    * graph-clustering passes start from: where the `q_ann_*` serving
+    * queries rank candidates for a small broadcast query batch, here
+    * every corpus vector is a query, so NOTHING broadcasts — candidates
+    * come from the (cell, vec_id)-only self-join of the persisted
+    * assignment table (vectors re-attach by plain equi-joins on vec id,
+    * exactly the [[DedupQueries.semanticPairsFrom]] shape), and the
+    * per-cell cap bounds the quadratic the same way. At 100 TB the
+    * candidate work is Σ min(cellᵢ, cap)² — the IVF partition count is
+    * the scale dial, and the window ranks within `vec_a` partitions the
+    * candidate shuffle already produced. */
+  val knnK = 3
+  val knnGraph = Q(
+    "q_knn_graph",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |okc AS (
+       |  SELECT cell FROM asn GROUP BY cell
+       |  HAVING count(*) <= ${DedupQueries.SemanticMaxCell}
+       |), sb AS (SELECT vec_id, cell FROM asn JOIN okc USING (cell))
+       |SELECT vec_a, rank, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(va.e, vb.e)
+       |      / (sqrt(list_dot_product(va.e, va.e))
+       |         * sqrt(list_dot_product(vb.e, vb.e))) AS cosine,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_dot_product(va.e, vb.e)
+       |        / (sqrt(list_dot_product(va.e, va.e))
+       |           * sqrt(list_dot_product(vb.e, vb.e))) DESC, b.vec_id) AS rank
+       |  FROM sb a JOIN sb b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN v va ON va.vec_id = a.vec_id
+       |  JOIN v vb ON vb.vec_id = b.vec_id
+       |) WHERE rank <= $knnK ORDER BY vec_a, rank""".stripMargin) { (s, d) =>
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val okCells = asn.groupBy("cell").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= DedupQueries.SemanticMaxCell).select("cell")
+    val bounded = asn.join(okCells, Seq("cell"))
+    val a = bounded.select(col("vec_id").as("vec_a"), col("cell"))
+    val b = bounded.select(col("vec_id").as("vec_b"), col("cell"))
+    val cand = a.join(b, Seq("cell")).filter(col("vec_a") =!= col("vec_b"))
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val w = Window.partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cosine", cosineSim(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= knnK)
+      .select("vec_a", "rank", "vec_b", "cosine")
+      .orderBy("vec_a", "rank")
+  }
+
+  /** Clustering-quality profile of the trained IVF partition: per cell,
+    * population, majority ground-truth `label` (deterministic mode —
+    * max count, min label), and integer purity percentage. The eval a
+    * clustering pass reports against labeled data; the mode is the same
+    * hash-agg + rank-1 window as `q_mode` (no collect, no pivot on an
+    * unbounded label domain). */
+  val clusterPurity = Q(
+    "q_cluster_purity",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |cl AS (
+       |  SELECT asn.cell, e.label, count(*) AS n
+       |  FROM asn JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+       |), top AS (
+       |  SELECT cell, label AS top_label, CAST(n AS BIGINT) AS top_n FROM (
+       |    SELECT cell, label, n,
+       |      row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk
+       |    FROM cl) WHERE rk = 1
+       |)
+       |SELECT cell, CAST(sz.n_vectors AS BIGINT) AS n_vectors,
+       |  top_label, top_n,
+       |  (top_n * 100) // sz.n_vectors AS purity_pct
+       |FROM (SELECT cell, count(*) AS n_vectors FROM asn GROUP BY 1) sz
+       |JOIN top USING (cell) ORDER BY cell""".stripMargin) { (s, d) =>
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val lab = Tables.embeddings(s, d).select("vec_id", "label")
+    val cl = asn.join(lab, Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cell").orderBy(col("n").desc, col("label"))
+    val top = cl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("n").as("top_n"))
+    val sz = asn.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    sz.join(top, Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("top_label"), col("top_n"),
+        ((col("top_n") * 100) / col("n_vectors")).cast("long").as("purity_pct"))
+      .orderBy("cell")
+  }
 }

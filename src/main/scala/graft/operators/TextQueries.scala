@@ -383,4 +383,54 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy("fp")
   }
+
+  /** Collocation mining: top-20 bigrams by corpus-wide LIFT
+    * n(xy)·N / (n(x)·n(y)) — the PMI ordering without the log, since
+    * log is monotone. Three hash-aggs (bigrams, unigrams, the 1-row
+    * total broadcast back via the normalizer-frame idiom) and two
+    * equi-joins of the ≥3-count bigram survivors against the unigram
+    * counts — every frame is token-vocabulary-sized, nothing pairs
+    * quadratically. The ranking key is the FLOOR-MILLI integer lift
+    * (exact BIGINT algebra on both engines), so the top-20 cut and the
+    * emitted columns are hash-stable — the `q_tfidf_terms` fixed-point
+    * trick applied to association scoring. */
+  val collocations = Q(
+    "q_text_collocations",
+    s"""WITH b AS (
+       |  SELECT unnest([array_to_string(w[i:i+1], ' ')
+       |                 for i in range(1, len(w))]) AS bg
+       |  FROM (SELECT $W AS w FROM documents)
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+       |bc AS (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS n_xy
+       |  FROM b GROUP BY bg HAVING count(*) >= 3
+       |), bs AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |    n_xy FROM bc
+       |), u AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+       |    SELECT unnest(w) AS w FROM (SELECT $W AS w FROM documents)
+       |  ) GROUP BY w
+       |)
+       |SELECT w1, w2, n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+       |  (n_xy * n_total * 1000) // (ux.n_w * uy.n_w) AS lift_milli
+       |FROM bs JOIN u ux ON ux.w = bs.w1 JOIN u uy ON uy.w = bs.w2, tot
+       |ORDER BY lift_milli DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bi = docs.select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 3)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n_xy"))
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = bi.agg(count(lit(1)).as("n_total"))
+    bc.join(uni.select(col("w").as("w1"), col("n_w").as("n_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("n_xy * n_total * 1000 div (n_x * n_y)").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
 }

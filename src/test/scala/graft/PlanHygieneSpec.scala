@@ -35,7 +35,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_mixture_weights",
     // calendar spine: |days| × |event types| — two metadata-sized
     // derived frames crossed; data-sized work is all equi-keyed
-    "q_gapfill_daily", "q_rolling_7day")
+    "q_gapfill_daily", "q_rolling_7day",
+    // ONE-row bigram-total normalizer frame broadcast onto the
+    // vocabulary-sized survivor set (q_mixture_weights pattern)
+    "q_text_collocations")
 
   /** Queries whose CONSTRUCTION already runs Spark jobs — iterative
     * training/resolution (IVF k-means, connected components), eager
