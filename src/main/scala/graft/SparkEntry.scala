@@ -59,6 +59,7 @@ object SparkEntry {
     EventQueries.approxDistinct,
     EventQueries.gapfillDaily,
     EventQueries.rolling7day,
+    EventQueries.ewma,
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
     SketchQueries.kmvOverlap,
@@ -104,6 +105,7 @@ object SparkEntry {
     SimilarityQueries.ivfPqRecall,
     SimilarityQueries.knnGraph,
     SimilarityQueries.clusterPurity,
+    GraphQueries.pagerank,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,
@@ -131,6 +133,7 @@ object SparkEntry {
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,
     WarehouseQueries.zorder3,
+    WarehouseQueries.tableChanges,
     DataQualityQueries.dataQuality,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
@@ -153,6 +156,7 @@ object SparkEntry {
     ExtraQueries.sqlLayer,
     ExtraQueries.groupingSets,
     ExtraQueries.windowSuite,
+    ExtraQueries.windowDist,
     ExtraQueries.collectSorted,
     ExtraQueries.topkAggregator,
     ExtraQueries.freqItems,

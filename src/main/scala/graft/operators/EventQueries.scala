@@ -289,4 +289,40 @@ object EventQueries {
       .withColumn("avg_7d", avg("n_events").over(w))
       .orderBy("day", "event_type")
   }
+
+  /** Exponentially-weighted moving average of `value` per user — the
+    * recency-biased smoother (α = 1/2) next to [[rolling7day]]'s flat
+    * kernel. The recursion is truncated at 8 taps, which turns it into
+    * a fixed-weight rolling dot product over lag columns: one
+    * partitioned window, no recursion, no state. Exactness: every
+    * weight is a power of two (multiplying by 2^-k only decrements the
+    * exponent), missing history coalesces to 0.0, and both engines
+    * evaluate the same left-associated sum — so the float result is
+    * bit-identical despite 8 roundings per row. At 100 TB this is one
+    * shuffle on user_id and a streamed 8-row frame per user. */
+  val ewma = Q(
+    "q_ewma",
+    """SELECT user_id, event_id, value,
+      |  coalesce(lag(value, 0) OVER w, 0) * 0.5
+      |  + coalesce(lag(value, 1) OVER w, 0) * 0.25
+      |  + coalesce(lag(value, 2) OVER w, 0) * 0.125
+      |  + coalesce(lag(value, 3) OVER w, 0) * 0.0625
+      |  + coalesce(lag(value, 4) OVER w, 0) * 0.03125
+      |  + coalesce(lag(value, 5) OVER w, 0) * 0.015625
+      |  + coalesce(lag(value, 6) OVER w, 0) * 0.0078125
+      |  + coalesce(lag(value, 7) OVER w, 0) * 0.00390625 AS ewma
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val weights = Seq(0.5, 0.25, 0.125, 0.0625,
+      0.03125, 0.015625, 0.0078125, 0.00390625)
+    val ewmaCol = weights.zipWithIndex.map { case (wt, i) =>
+      coalesce(lag(col("value"), i).over(w), lit(0.0)) * lit(wt)
+    }.reduceLeft(_ + _)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        ewmaCol.as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -190,6 +190,36 @@ object ExtraQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution-position window functions completing [[windowSuite]]:
+    * percent_rank, cume_dist, nth_value. The two ratios are a single
+    * small-integer division ((rank-1)/(n-1), rows≤current/n) — the same
+    * IEEE op on both engines, so bits match; nth_value's frame is
+    * pinned to ROWS UNBOUNDED-PRECEDING..CURRENT explicitly (the ANSI
+    * default, spelled out so neither engine's shorthand can drift), and
+    * the ORDER BY is total (price ties broken by key), so peer groups
+    * are single rows. */
+  val windowDist = Q(
+    "q_window_dist",
+    """SELECT o_custkey, o_orderkey,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist()    OVER w AS cume,
+      |  nth_value(o_orderkey, 2) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wRows).as("second_best"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Ordered collection aggregate (sorted set per group). The collection
     * is rendered as a '|'-joined string on BOTH engines: the verification
     * harness can't sort/hash list-typed cells, and a delimited rendering

@@ -543,26 +543,35 @@ object SimilarityQueries {
     * the scale dial, and the window ranks within `vec_a` partitions the
     * candidate shuffle already produced. */
   val knnK = 3
-  val knnGraph = Q(
-    "q_knn_graph",
-    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+
+  /** The kNN edge-set CTEs (`knn(vec_a, rank, vec_b, cosine)`), shared
+    * between [[knnGraph]]'s oracle and every oracle that walks the
+    * graph (e.g. [[GraphQueries.pagerank]]). */
+  def knnEdgesCtes: String =
+    s"""${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
        |okc AS (
        |  SELECT cell FROM asn GROUP BY cell
        |  HAVING count(*) <= ${DedupQueries.SemanticMaxCell}
-       |), sb AS (SELECT vec_id, cell FROM asn JOIN okc USING (cell))
-       |SELECT vec_a, rank, vec_b, cosine FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    list_dot_product(va.e, vb.e)
-       |      / (sqrt(list_dot_product(va.e, va.e))
-       |         * sqrt(list_dot_product(vb.e, vb.e))) AS cosine,
-       |    row_number() OVER (PARTITION BY a.vec_id
-       |      ORDER BY list_dot_product(va.e, vb.e)
+       |), sb AS (SELECT vec_id, cell FROM asn JOIN okc USING (cell)),
+       |knn AS (
+       |  SELECT vec_a, rank, vec_b, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      list_dot_product(va.e, vb.e)
        |        / (sqrt(list_dot_product(va.e, va.e))
-       |           * sqrt(list_dot_product(vb.e, vb.e))) DESC, b.vec_id) AS rank
-       |  FROM sb a JOIN sb b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-       |  JOIN v va ON va.vec_id = a.vec_id
-       |  JOIN v vb ON vb.vec_id = b.vec_id
-       |) WHERE rank <= $knnK ORDER BY vec_a, rank""".stripMargin) { (s, d) =>
+       |           * sqrt(list_dot_product(vb.e, vb.e))) AS cosine,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_dot_product(va.e, vb.e)
+       |          / (sqrt(list_dot_product(va.e, va.e))
+       |             * sqrt(list_dot_product(vb.e, vb.e))) DESC, b.vec_id) AS rank
+       |    FROM sb a JOIN sb b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |    JOIN v va ON va.vec_id = a.vec_id
+       |    JOIN v vb ON vb.vec_id = b.vec_id
+       |  ) WHERE rank <= $knnK
+       |)""".stripMargin
+
+  /** The kNN edge set itself: every bounded-cell vector's top-`knnK`
+    * cell-mates by cosine (columns vec_a, rank, vec_b, cosine). */
+  def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
     val okCells = asn.groupBy("cell").agg(count(lit(1)).as("cn"))
       .filter(col("cn") <= DedupQueries.SemanticMaxCell).select("cell")
@@ -579,7 +588,14 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= knnK)
       .select("vec_a", "rank", "vec_b", "cosine")
-      .orderBy("vec_a", "rank")
+  }
+
+  val knnGraph = Q(
+    "q_knn_graph",
+    s"""WITH $knnEdgesCtes
+       |SELECT vec_a, rank, vec_b, cosine FROM knn
+       |ORDER BY vec_a, rank""".stripMargin) { (s, d) =>
+    knnEdges(s, d).orderBy("vec_a", "rank")
   }
 
   /** Clustering-quality profile of the trained IVF partition: per cell,

@@ -102,4 +102,49 @@ object WarehouseQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }
   }
+
+  /** CDC change feed between two keyed snapshots via
+    * [[TableChanges.diff]]: day-1 load vs day-2 load of an `orders`
+    * dimension, where day 2 adds the `%10==7` keys, drops the `%10==9`
+    * keys, and reprices the `%10==3` keys — so all three change classes
+    * appear deterministically. The oracle replays both snapshot
+    * derivations and the full-outer classification; the `+1.0` reprice
+    * is the same IEEE op on the same input bits on both engines.
+    * TableChangesSpec drives the same operator over REAL
+    * [[graft.sources.GenerationedTable]] generations (incl. null-edit
+    * classes the modulo snapshots can't produce). */
+  val tableChanges = Q(
+    "q_table_changes",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 7
+      |), a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 9
+      |)
+      |SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |       WHEN a.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type,
+      |  b.o_orderstatus AS old_o_orderstatus,
+      |  a.o_orderstatus AS new_o_orderstatus,
+      |  b.o_totalprice AS old_o_totalprice,
+      |  a.o_totalprice AS new_o_totalprice
+      |FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+      |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+      |   OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+      |   OR b.o_totalprice  IS DISTINCT FROM a.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val before = base.filter(col("o_orderkey") % 10 =!= 7)
+    val after = base.filter(col("o_orderkey") % 10 =!= 9)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 3, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    TableChanges.diff(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
 }

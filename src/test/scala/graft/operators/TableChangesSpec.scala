@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.GenerationedTable
+
+/** CDC snapshot diff: classification of insert/update/delete, null-safe
+  * value comparison, and the generation-to-generation wiring. */
+class TableChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_table_changes_spec"
+
+  private def cleanup(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  test("classifies inserts, updates, deletes; drops unchanged rows") {
+    val before = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(20.0)),
+      (3L, Some("c"), Some(30.0))).toDF("k", "s", "x")
+    val after = Seq(
+      (1L, Some("a"), Some(10.0)),  // unchanged -> dropped
+      (2L, Some("B"), Some(20.0)),  // update
+      (4L, Some("d"), Some(40.0))). // insert; 3 deleted
+      toDF("k", "s", "x")
+    val got = TableChanges.diff(before, after, Seq("k"))
+      .orderBy("k").collect().toSeq
+    val byKey = got.map(r => r.getLong(0) -> r).toMap
+    assert(got.map(_.getLong(0)) == Seq(2L, 3L, 4L))
+    assert(byKey(2L).getString(1) == "update" &&
+      byKey(2L).getString(2) == "b" && byKey(2L).getString(3) == "B")
+    assert(byKey(3L).getString(1) == "delete" &&
+      byKey(3L).getString(2) == "c" && byKey(3L).isNullAt(3) &&
+      byKey(3L).getDouble(4) == 30.0 && byKey(3L).isNullAt(5))
+    assert(byKey(4L).getString(1) == "insert" &&
+      byKey(4L).isNullAt(2) && byKey(4L).getString(3) == "d" &&
+      byKey(4L).isNullAt(4) && byKey(4L).getDouble(5) == 40.0)
+  }
+
+  test("null edits classify null-safely") {
+    val before = Seq((1L, Option.empty[String]), (2L, Some("v")),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val after = Seq((1L, Some("now")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("k", "s")
+    val got = TableChanges.diff(before, after, Seq("k"))
+      .orderBy("k").collect().toSeq
+    // null->value and value->null are updates; null->null is unchanged
+    assert(got.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "update"), (2L, "update")))
+  }
+
+  test("diffs two real table generations") {
+    cleanup()
+    GenerationedTable.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    GenerationedTable.write(
+      Seq((2L, "b2"), (5L, "e")).toDF("k", "v"), dir)
+    val feed = TableChanges.diff(
+      GenerationedTable.read(spark, dir, Some(1)),
+      GenerationedTable.read(spark, dir, Some(2)),
+      Seq("k"))
+    assert(feed.orderBy("k").collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "delete"), (2L, "update"), (5L, "insert")))
+    cleanup()
+  }
+
+  test("mismatched schemas are refused") {
+    intercept[IllegalArgumentException] {
+      TableChanges.diff(
+        Seq((1L, "a")).toDF("k", "v"),
+        Seq((1L, 2.0)).toDF("k", "x"),
+        Seq("k"))
+    }
+  }
+}
