@@ -845,7 +845,13 @@ object DedupQueries {
           .select(col("vec_id"), (col("label") + 1).as("cell"))),
       embeddingVectors(s, d)),
     "inv_index"     -> TextQueries.invertedIndexPlan(s, d),
-    "inv_doclens"   -> TextQueries.doclensPlan(s, d))
+    "inv_doclens"   -> TextQueries.doclensPlan(s, d),
+    // same label-as-cell stand-in rule as sem_pairs: the kNN edge build
+    // consumes the persisted IVF assignment table; the stand-in has the
+    // identical candidate-join + window shape downstream of that scan
+    "knn_edges"     -> SimilarityQueries.knnEdgesFrom(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label").as("cell")),
+      Tables.embeddings(s, d).select("vec_id", "embedding")))
 
   /** Exact all-pairs cosine baseline, hard-bounded to vec_id < 500 — the
     * recall oracle for the LSH pipeline above (same role as

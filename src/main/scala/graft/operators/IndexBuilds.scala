@@ -36,6 +36,7 @@ object IndexBuilds {
     "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }),
     "idx_sem_keep"      -> ((s, d) => { DedupQueries.semKeepList(s, d); () }),
     "idx_sem2_pairs"    -> ((s, d) => { DedupQueries.semPairs2(s, d); () }),
+    "idx_knn"           -> ((s, d) => { SimilarityQueries.knnEdges(s, d); () }),
     "idx_inverted"      -> ((s, d) => { TextQueries.invertedIndex(s, d); () }),
     "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }))
 }

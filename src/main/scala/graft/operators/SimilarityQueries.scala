@@ -569,19 +569,19 @@ object SimilarityQueries {
        |  ) WHERE rank <= $knnK
        |)""".stripMargin
 
-  /** The kNN edge set itself: every bounded-cell vector's top-`knnK`
-    * cell-mates by cosine (columns vec_a, rank, vec_b, cosine). */
-  def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+  /** Construction shape of the kNN edge build, factored over the
+    * assignment frame so PlanHygieneSpec can sweep it with a
+    * label-as-cell stand-in (the real assignment table would
+    * materialize its artifact mid-sweep). */
+  private[graft] def knnEdgesFrom(asn: DataFrame, vecs: DataFrame): DataFrame = {
     val okCells = asn.groupBy("cell").agg(count(lit(1)).as("cn"))
       .filter(col("cn") <= DedupQueries.SemanticMaxCell).select("cell")
     val bounded = asn.join(okCells, Seq("cell"))
     val a = bounded.select(col("vec_id").as("vec_a"), col("cell"))
     val b = bounded.select(col("vec_id").as("vec_b"), col("cell"))
     val cand = a.join(b, Seq("cell")).filter(col("vec_a") =!= col("vec_b"))
-    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
-    val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val va = vecs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val vb = vecs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     val w = Window.partitionBy("vec_a").orderBy(col("cosine").desc, col("vec_b"))
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cosine", cosineSim(col("ea"), col("eb")))
@@ -589,6 +589,17 @@ object SimilarityQueries {
       .filter(col("rank") <= knnK)
       .select("vec_a", "rank", "vec_b", "cosine")
   }
+
+  private[graft] def knnEdgesPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    knnEdgesFrom(
+      IvfIndex.assignments(s, d, ivfK, ivfIters),
+      Tables.embeddings(s, d).select("vec_id", "embedding"))
+
+  /** The kNN edge set, served from the persisted [[KnnIndex]] artifact
+    * (columns vec_a, rank, vec_b, cosine) — built once per corpus,
+    * bucketed on vec_a so graph walks join it without an Exchange. */
+  def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    KnnIndex.edges(s, d)
 
   val knnGraph = Q(
     "q_knn_graph",
@@ -633,5 +644,38 @@ object SimilarityQueries {
       .select(col("cell"), col("n_vectors"), col("top_label"), col("top_n"),
         ((col("top_n") * 100) / col("n_vectors")).cast("long").as("purity_pct"))
       .orderBy("cell")
+  }
+}
+
+/** Persisted kNN-graph artifact: the edge set is a derived index like
+  * [[IvfIndex]]'s assignment table — trained data, built once per
+  * corpus, consumed by every graph pass. Without it, an iterative
+  * consumer (PageRank's 3 supersteps) would recompute the whole
+  * candidate-join-plus-window construction once per superstep; with it,
+  * each superstep starts from a bucketed scan. Bucketing on vec_a means
+  * the per-superstep contribution join needs no Exchange on the edge
+  * side. Deterministic construction (seeded IVF cells, total-order
+  * tie-breaks) keeps artifact reads bit-identical to a recompute, so
+  * the DuckDB oracles replay construction and still hash-match. */
+object KnnIndex {
+  import graft.sources.IndexCatalog
+
+  private def key(d: String) =
+    s"knn_${IndexCatalog.tag(d)}_k${SimilarityQueries.knnK}"
+
+  /** Build (first caller only) and read the edge table. */
+  def edges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // dependency first: ensure() build blocks don't nest, so the IVF
+    // artifact must exist before this one starts building
+    IvfIndex.assignments(
+      s, d, SimilarityQueries.ivfK, SimilarityQueries.ivfIters)
+    val kk = key(d)
+    val table = IndexCatalog.tableName(kk)
+    IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
+      IndexCatalog.persistBucketedTable(
+        SimilarityQueries.knnEdgesPlan(s, d), dir, table, 8,
+        Seq("vec_a"), Seq("rank"))
+    }
+    s.table(table)
   }
 }
