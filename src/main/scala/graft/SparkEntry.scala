@@ -106,6 +106,7 @@ object SparkEntry {
     SimilarityQueries.knnGraph,
     SimilarityQueries.clusterPurity,
     GraphQueries.pagerank,
+    GraphQueries.weightedPagerank,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,
@@ -134,6 +135,7 @@ object SparkEntry {
     WarehouseQueries.zorderKey,
     WarehouseQueries.zorder3,
     WarehouseQueries.tableChanges,
+    WarehouseQueries.equidepthHist,
     DataQualityQueries.dataQuality,
     // multimodal plumbing
     MultimodalQueries.decodeMeta,
@@ -157,6 +159,7 @@ object SparkEntry {
     ExtraQueries.groupingSets,
     ExtraQueries.windowSuite,
     ExtraQueries.windowDist,
+    ExtraQueries.topRevenue,
     ExtraQueries.collectSorted,
     ExtraQueries.topkAggregator,
     ExtraQueries.freqItems,

@@ -190,6 +190,44 @@ object ExtraQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Shipping-priority revenue top-10 — the classic three-table
+    * fact/dim join profile (TPC-H Q3 shape) over the synthetic tables,
+    * here as the flagship MULTI-JOIN plan audit: the filtered
+    * `customer` dim is broadcast (AQE sizes it), `orders`×`lineitem`
+    * shuffle on the order key, revenue accumulates in exact DECIMAL
+    * (the q1_agg convention — double sums would be merge-order
+    * noise), and the top-10 is a TakeOrderedAndProject, never a global
+    * sort. Deterministic: revenue is a decimal→double exact value and
+    * ties break by order key, so both engines pick the same 10 rows. */
+  val topRevenue = Q(
+    "q_top_revenue",
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate  > TIMESTAMP '1998-06-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val dec = "decimal(18,2)"
+    val cut = lit("1998-06-01").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("l_extendedprice").cast(dec)
+          * (lit(1) - col("l_discount").cast(dec)))
+        .cast("decimal(18,4)").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Distribution-position window functions completing [[windowSuite]]:
     * percent_rank, cume_dist, nth_value. The two ratios are a single
     * small-integer division ((rank-1)/(n-1), rows≤current/n) — the same

@@ -103,6 +103,37 @@ object WarehouseQueries {
     }
   }
 
+  /** Equi-DEPTH histogram (decile profile) per order priority — the
+    * optimizer-statistics twin of `q_histogram`'s equi-width buckets
+    * (equi-depth is what a cost model actually wants: every bucket
+    * holds the same row count, so selectivity per bucket is constant).
+    * The ntile window is PARTITIONED by priority — the scale dial: a
+    * 100 TB profile runs per partition/segment, never as one global
+    * sort (an unpartitioned ntile is exactly the single-reducer shape
+    * PlanHygieneSpec forbids). Total order inside each partition
+    * (price, then key) makes the ANSI remainder-to-early-buckets split
+    * identical on both engines. */
+  val equidepthHist = Q(
+    "q_histogram_equidepth",
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT o_orderpriority, decile, CAST(count(*) AS BIGINT) AS n,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM t GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   /** CDC change feed between two keyed snapshots via
     * [[TableChanges.diff]]: day-1 load vs day-2 load of an `orders`
     * dimension, where day 2 adds the `%10==7` keys, drops the `%10==9`

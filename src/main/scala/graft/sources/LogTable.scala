@@ -59,6 +59,19 @@ final case class LogTable(dir: String, keyCols: Seq[String], versionCol: String)
       .drop("_rn", "_gen")
   }
 
+  /** CDC read: the effective insert/update/delete feed between the
+    * keep-latest views at two generations — what an incremental
+    * consumer processes instead of re-reading the whole table after
+    * each batch ([[graft.operators.TableChanges.diff]] over two
+    * [[read]]s; one full-outer join on the keys, unchanged rows
+    * dropped). `versionCol` rides along as a value column, so a pure
+    * version bump with unchanged payload still surfaces as an update —
+    * consumers that only care about payload can drop the
+    * `old_/new_<versionCol>` pair before comparing. */
+  def changes(s: SparkSession, fromGen: Int, toGen: Int): org.apache.spark.sql.DataFrame =
+    graft.operators.TableChanges.diff(
+      read(s, Some(fromGen)), read(s, Some(toGen)), keyCols)
+
   /** Fold all current generations into one merged snapshot generation.
     * Returns its number (None when there is nothing to fold). */
   def compact(s: SparkSession): Option[Int] = {

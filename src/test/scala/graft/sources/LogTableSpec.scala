@@ -36,6 +36,28 @@ class LogTableSpec extends SparkSpec {
     cleanup()
   }
 
+  test("changes() emits the effective CDC feed between generations") {
+    cleanup()
+    table.append(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (4L, 1L, "d1"))
+      .toDF("k", "v", "payload"))
+    // gen 2: update key 2's payload (version bump), insert key 3;
+    // key 1 re-appended IDENTICALLY (same version+payload) -> unchanged
+    table.append(Seq((1L, 1L, "a1"), (2L, 2L, "b2"), (3L, 1L, "c1"))
+      .toDF("k", "v", "payload"))
+    val feed = table.changes(spark, 1, 2)
+      .select("k", "change_type", "old_payload", "new_payload")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._1).toSeq
+    // a log table never deletes (tombstones are upserts), so the feed
+    // here is inserts + updates; key 1 and key 4 are unchanged and absent
+    assert(feed == Seq(
+      (2L, "update", Some("b1"), Some("b2")),
+      (3L, "insert", None, Some("c1"))))
+    // diffing a generation against itself is empty
+    assert(table.changes(spark, 2, 2).isEmpty)
+    cleanup()
+  }
+
   test("compaction folds deltas; pinned readers and time travel survive") {
     cleanup()
     table.append(Seq((1L, 1L, "a1"), (2L, 1L, "b1")).toDF("k", "v", "payload"))
