@@ -86,10 +86,16 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(obj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // Only compare same-scale runs: a local sf0.001 probe must not
+        // become the baseline a subsequent sf0.1 run "regresses" from.
+        val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val obj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("")
+          """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     }
     val regressions = (for {

@@ -107,6 +107,9 @@ object SparkEntry {
     SimilarityQueries.clusterPurity,
     GraphQueries.pagerank,
     GraphQueries.weightedPagerank,
+    GraphQueries.triangles,
+    GraphQueries.linkPredict,
+    GraphQueries.mutualKnn,
     // text analysis
     TextQueries.langId,
     TextQueries.quality,

@@ -114,6 +114,140 @@ object GraphQueries {
     rk.orderBy("vec_id")
   }
 
+  /** Canonical undirected `u < v` edge list of a directed
+    * (vec_a, vec_b) edge set. */
+  private[graft] def undirected(e: DataFrame): DataFrame =
+    e.select(least(col("vec_a"), col("vec_b")).as("u"),
+             greatest(col("vec_a"), col("vec_b")).as("v"))
+      .distinct()
+
+  /** Construction shape of [[triangles]] over any canonical undirected
+    * edge frame — factored out so GraphOpsSpec pins the counting on a
+    * handcrafted graph (the registered query runs it over the persisted
+    * kNN artifact). */
+  private[graft] def trianglesFrom(und: DataFrame): DataFrame = {
+    val tri = und
+      .join(und.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+      .join(und.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .select(col("u").as("a"), col("v").as("b"), col("w").as("c"))
+    val tcount = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("tri"))
+    val deg = und.select(col("u").as("vec_id"))
+      .union(und.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    deg.join(tcount, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(200 * coalesce(tri, 0)) DIV (deg * (deg - 1))"))
+          .as("coeff_pct"))
+      .orderBy("vec_id")
+  }
+
+  /** Construction shape of [[linkPredict]] (sans limit) over any
+    * canonical undirected edge frame. */
+  private[graft] def linkPredictFrom(und: DataFrame): DataFrame = {
+    val adj = und.select(col("u").as("m"), col("v").as("x"))
+      .union(und.select(col("v").as("m"), col("u").as("x")))
+    val cn = adj
+      .join(adj.select(col("m"), col("x").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("u"), col("y").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(und, Seq("u", "v"), "left_anti")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+  }
+
+  /** Per-node triangle count and local clustering coefficient over the
+    * kNN graph — the density gauge a graph-curation pass reads (a
+    * high-coefficient neighborhood is a tight near-duplicate clique;
+    * a zero-coefficient hub is a spurious centroid-adjacent node).
+    *
+    * Shape: the directed top-k edge set canonicalizes to an undirected
+    * `u < v` edge list (≤ kN rows), wedges come from one self-join on
+    * the middle vertex and close into triangles by a second keyed join
+    * (the standard a<b<c enumeration — each triangle counted exactly
+    * once), then per-node counts explode the 3 corners. All joins are
+    * keyed equi-joins on vertex ids; candidate volume is bounded by the
+    * per-cell cap exactly like the kNN build itself. Coefficient is the
+    * integer percentage 200·tri DIV (deg·(deg−1)) — deg is the
+    * UNDIRECTED degree, and deg<2 nodes define 0 (no wedge exists). */
+  val triangles = Q(
+    "q_graph_triangles",
+    s"""WITH ${SimilarityQueries.knnEdgesCtes},
+       |und AS (SELECT DISTINCT least(vec_a, vec_b) AS u,
+       |                        greatest(vec_a, vec_b) AS v FROM knn),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM und e1 JOIN und e2 ON e2.u = e1.v
+       |       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (
+       |  SELECT a AS vec_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri),
+       |tcount AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS tri
+       |           FROM corners GROUP BY 1),
+       |ends AS (SELECT u AS vec_id FROM und UNION ALL SELECT v FROM und),
+       |deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS deg
+       |        FROM ends GROUP BY 1)
+       |SELECT d.vec_id, d.deg, CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+       |  CAST(CASE WHEN d.deg < 2 THEN 0
+       |       ELSE (200 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1))
+       |       END AS BIGINT) AS coeff_pct
+       |FROM deg d LEFT JOIN tcount t USING (vec_id)
+       |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
+    trianglesFrom(undirected(SimilarityQueries.knnEdges(s, d)))
+  }
+
+  /** Link prediction by common-neighbor count: the top-100 node pairs
+    * that share the most neighbors in the kNN graph but are NOT
+    * themselves connected — the candidate edges a graph-densification
+    * pass (or a "related documents" recommender) would add next. One
+    * wedge enumeration (self-join of the symmetric adjacency on the
+    * middle vertex, `x < y` canonicalizes), one count, one anti-join
+    * against the existing edge set, one TakeOrderedAndProject. All
+    * shuffles are keyed; wedge volume is Σ deg², bounded by the IVF
+    * cell cap exactly like [[triangles]]. Deterministic: ties break by
+    * (u, v) after the count. */
+  val linkPredict = Q(
+    "q_graph_link_predict",
+    s"""WITH ${SimilarityQueries.knnEdgesCtes},
+       |und AS (SELECT DISTINCT least(vec_a, vec_b) AS u,
+       |                        greatest(vec_a, vec_b) AS v FROM knn),
+       |adj AS (SELECT u AS m, v AS x FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |cn AS (
+       |  SELECT e1.x AS u, e2.x AS v, CAST(count(*) AS BIGINT) AS cn
+       |  FROM adj e1 JOIN adj e2 ON e1.m = e2.m AND e1.x < e2.x
+       |  GROUP BY 1, 2)
+       |SELECT u, v, cn FROM cn
+       |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = cn.u AND und.v = cn.v)
+       |ORDER BY cn DESC, u, v LIMIT 100""".stripMargin) { (s, d) =>
+    linkPredictFrom(undirected(SimilarityQueries.knnEdges(s, d))).limit(100)
+  }
+
+  /** Mutual-kNN edge set: pairs where EACH side ranks the other in its
+    * top-k — the standard symmetrized graph for density-based
+    * clustering (mutual edges are far more precise than one-directional
+    * ones, which hub nodes accumulate spuriously). One self-join of the
+    * directed edge set against its own reversal; cosine is symmetric so
+    * either side's value serves. */
+  val mutualKnn = Q(
+    "q_graph_mutual_knn",
+    s"""WITH ${SimilarityQueries.knnEdgesCtes}
+       |SELECT f.vec_a AS u, f.vec_b AS v, f.cosine
+       |FROM knn f JOIN knn r ON r.vec_a = f.vec_b AND r.vec_b = f.vec_a
+       |WHERE f.vec_a < f.vec_b
+       |ORDER BY u, v""".stripMargin) { (s, d) =>
+    val e = SimilarityQueries.knnEdges(s, d)
+    val rev = e.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"))
+    e.join(rev, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a").as("u"), col("vec_b").as("v"), col("cosine"))
+      .orderBy("u", "v")
+  }
+
   val pagerank = Q(
     "q_pagerank",
     s"""WITH ${SimilarityQueries.knnEdgesCtes},
