@@ -60,6 +60,8 @@ object SparkEntry {
     EventQueries.gapfillDaily,
     EventQueries.rolling7day,
     EventQueries.ewma,
+    EventQueries.transitions,
+    EventQueries.anomalies,
     SketchQueries.hllDistinct,
     SketchQueries.kmvDistinct,
     SketchQueries.kmvOverlap,

@@ -325,4 +325,77 @@ object EventQueries {
         ewmaCol.as("ewma"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Markov transition counts — how often each event type follows each
+    * other type within a user's activity stream, the first-order model
+    * a next-action predictor or funnel-drift monitor trains on.
+    * Transitions crossing a [[sessionize]]-style 6-hour inactivity gap
+    * don't count (a new session has no meaningful predecessor). One
+    * window pass (same partition/order/tie-break as sessionize) + one
+    * hash agg; the output is at most |types|² rows. */
+  val transitions = Q(
+    "q_event_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type,
+      |    epoch_ms(ts) - lag(epoch_ms(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM seq
+      |WHERE prev_type IS NOT NULL AND gap_ms <= 21600000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byTime))
+      .filter(col("prev_type").isNotNull && col("gap_ms") <= 21600000L)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** 3σ outlier events per (user, event type), z-scored ENTIRELY in
+    * integer space: with cents x, group count n, sum S and sum-of-squares
+    * Q, z² > 9 rewrites to (n·x − S)² > 9·(n·Q − S²) — no float mean, no
+    * sqrt, so both engines flag bit-identical rows (the float-algebra
+    * trap that forced q_stats_suite to rows-only doesn't apply).
+    * Overflow headroom: group sizes stay O(events-per-user) as the
+    * corpus scales (users scale with data), so terms are ~(30·6e4)²,
+    * 10^5 below 2^63; a fatter deployment groups by a finer window or
+    * promotes to DECIMAL(38,0). Zero-variance groups flag nothing
+    * (n·x ≡ S exactly when all values equal). */
+  val anomalies = Q(
+    "q_event_anomalies",
+    """WITH c AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS q
+      |  FROM c GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.event_type, c.cents, g.n
+      |FROM c JOIN g USING (user_id, event_type)
+      |WHERE (g.n * c.cents - g.s) * (g.n * c.cents - g.s)
+      |      > 9 * (g.n * g.q - g.s * g.s)
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val cents = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val g = cents.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    cents.join(g, Seq("user_id", "event_type"))
+      .filter((col("n") * col("cents") - col("s")) *
+              (col("n") * col("cents") - col("s")) >
+              lit(9) * (col("n") * col("q") - col("s") * col("s")))
+      .select("event_id", "user_id", "event_type", "cents", "n")
+      .orderBy("event_id")
+  }
 }
