@@ -148,6 +148,7 @@ object SparkEntry {
     MultimodalQueries.wavRoundTrip,
     MultimodalQueries.aviProbe,
     MultimodalQueries.mjpegFrames,
+    MultimodalQueries.wavFeatures,
     // surface completion: full pipeline composition, salting, SQL layer,
     // window suite, ordered collections, percentiles
     ExtraQueries.engagementFull,

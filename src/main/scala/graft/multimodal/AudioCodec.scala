@@ -47,6 +47,33 @@ object AudioCodec {
     bos.toByteArray
   }
 
+  /** Decode a WAV payload's FULL 16-bit PCM stream to (index, sample)
+    * pairs in interleaved order — the input to windowed feature
+    * extraction (energy / zero-crossing / peak). Real codec work: the
+    * bytes come back through `javax.sound.sampled`'s stream decode, not
+    * from replaying the generator. Total on garbage: undecodable or
+    * non-16-bit payloads yield an empty iterator (a bad blob
+    * contributes no feature rows rather than killing the stage). */
+  def samples(payload: Array[Byte]): Iterator[(Long, Int)] = {
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) Iterator.empty
+        else {
+          val bytes = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          Iterator.tabulate(bytes.length / 2) { i =>
+            val s =
+              if (big) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+              else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+            (i.toLong, s.toInt)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => Iterator.empty }
+  }
+
   /** Decode a WAV payload's header + first frame, total: corrupt or
     * non-audio payloads yield the -1 sentinel row instead of throwing
     * (one bad blob must not kill a 100 TB stage). duration_ms uses

@@ -159,4 +159,66 @@ object MultimodalQueries {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Windowed audio features over the REAL decoded PCM stream: per
+    * 256-sample window, count, energy (Σ s²), zero crossings, and peak
+    * amplitude — the speech/music/silence gate a corpus pass runs
+    * before expensive transcription. The boundary is the only
+    * imperative part: `AudioCodec.samples` streams (index, sample)
+    * pairs out of the `javax.sound.sampled` decode inside
+    * `mapPartitions`; everything after — windowing, lag for sign
+    * changes, the aggregates — is declarative and codegen'd. The WAVs
+    * are the same deterministic synthetics as [[wavRoundTrip]], so the
+    * oracle replays the generator formula (sample i = ((id·31 + i·7)
+    * mod 65536) − 32768) while SPARK earns the values through the
+    * codec; agreement proves the full decode round trip sample-exact,
+    * not just header-exact. Zero-crossing convention: strict sign
+    * product < 0 against the previous sample in the same window. */
+  val wavFeatures = Q(
+    "q_mm_wav_features",
+    """WITH params AS (
+      |  SELECT doc_id,
+      |    (400 + (doc_id % 100) * 4) * (1 + doc_id % 2) AS total
+      |  FROM documents WHERE doc_id < 500),
+      |samp AS (
+      |  SELECT doc_id, t.range AS idx,
+      |    ((doc_id * 31 + t.range * 7) % 65536) - 32768 AS s
+      |  FROM params, range(1600) t WHERE t.range < params.total),
+      |w AS (
+      |  SELECT doc_id, idx // 256 AS win, idx, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+      |  FROM samp)
+      |SELECT doc_id, CAST(win AS BIGINT) AS win,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(s * s) AS BIGINT) AS energy,
+      |  CAST(sum(CASE WHEN idx % 256 <> 0 AND s * prev < 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(max(abs(s)) AS BIGINT) AS peak
+      |FROM w GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val samp = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          graft.multimodal.AudioCodec
+            .samples(graft.multimodal.AudioCodec.syntheticWav(id))
+            .map { case (i, smp) => (id, i, smp) }
+        }
+      }
+      .toDF("doc_id", "idx", "s")
+    val byIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("idx")
+    samp
+      .withColumn("prev", lag(col("s"), 1).over(byIdx))
+      .withColumn("win", expr("idx DIV 256"))
+      .groupBy("doc_id", "win")
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("s").cast("long") * col("s")).as("energy"),
+        sum(when(col("idx") % 256 =!= 0 && col("s") * col("prev") < 0, 1L)
+          .otherwise(0L)).as("zero_crossings"),
+        max(abs(col("s"))).cast("long").as("peak"))
+      .orderBy("doc_id", "win")
+  }
 }
