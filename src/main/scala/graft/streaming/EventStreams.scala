@@ -308,6 +308,70 @@ object EventStreams {
       gapMs)
   }
 
+  final case class TypedEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** One observed transition (a training example for the Markov model). */
+  final case class Transition(prev_type: String, next_type: String)
+
+  /** Per-user state: the single most recent event — O(1) per user. */
+  final case class LastEvent(ms: Long, eventId: Long, tpe: String)
+
+  /** Streaming twin of EventQueries.transitions: emits one row per
+    * observed same-session (gap ≤ 6 h) type transition as events
+    * arrive; the downstream count-by-(prev, next) IS the continuously
+    * maintained Markov model. State is one event per user (the minimal
+    * sufficient statistic), evicted by event-time timeout after
+    * `retentionMs` idle — a user returning later starts fresh, which
+    * changes nothing: their gap would exceed 6 h anyway, so no
+    * transition is lost. Rows at/older than the watermark are dropped
+    * (allowed-lateness contract shared with [[sessionize]]); within a
+    * micro-batch rows sort by (ts, event_id), the batch tie-break. */
+  def transitions(events: Dataset[TypedEvent], gapMs: Long = 21600000L,
+                  retentionMs: Long = 604800000L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = rows.filter(_.ts.getTime > wm).toSeq
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            var prev = state.getOption.orNull
+            val out = Seq.newBuilder[Transition]
+            sorted.foreach { e =>
+              if (prev != null && e.ts.getTime - prev.ms <= gapMs)
+                out += Transition(prev.tpe, e.event_type)
+              prev = LastEvent(e.ts.getTime, e.event_id, e.event_type)
+            }
+            if (prev != null) {
+              state.update(prev)
+              state.setTimeoutTimestamp(
+                math.max(prev.ms + retentionMs,
+                         state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Watermarked end-to-end form: (user_id, event_id, ts, event_type)
+    * frame → transition rows. */
+  def transitionsStream(events: DataFrame, gapMs: Long = 21600000L,
+                        watermark: String = "1 hour"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    transitions(
+      events
+        .withWatermark("ts", watermark)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+                col("ts"), col("event_type"))
+        .as[TypedEvent],
+      gapMs)
+  }
+
   /** Continuous keyed merge: every micro-batch upserts into a bucketed
     * warehouse table through [[graft.sources.UpsertBucketedSink]] — the
     * streaming CDC-apply pattern without a transactional table format.

@@ -241,4 +241,34 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streamed transition rows aggregate to the batch Markov counts") {
+    val batch = EventQueries.transitions.run(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val events = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)]
+      .collect().sortBy(e => (e._3.getTime, e._2))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStreams
+      .transitionsStream(mem.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("transitions_out").start()
+    try {
+      // three chunks exercise cross-batch state (the stored last event
+      // of chunk N pairs with the first event of chunk N+1)
+      val third = events.length / 3
+      events.grouped(third + 1).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("transitions_out")
+        .as[EventStreams.Transition].collect()
+        .groupBy(t => (t.prev_type, t.next_type))
+        .map { case (k, v) => k -> v.length.toLong }
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
