@@ -121,6 +121,7 @@ object SparkEntry {
     TextQueries.textSearch,
     TextQueries.bm25,
     TextQueries.phraseSearch,
+    TextQueries.nearSearch,
     TextQueries.surprisal,
     TextQueries.collocations,
     SampleQueries.hashSample,

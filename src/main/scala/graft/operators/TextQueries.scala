@@ -334,6 +334,44 @@ object TextQueries {
     phraseHits(s, d, Seq("stream", "data")).orderBy("doc_id")
   }
 
+  /** Proximity plan over any (term, doc_id, positions) postings frame:
+    * co-occurrences of two terms within `slop` token positions, either
+    * order — the IR middle ground between [[phraseHitsFrom]] (exact
+    * adjacency) and BM25 (bag of words). One keyed self-join on doc_id
+    * with a bounded position-distance predicate. */
+  private[graft] def nearHitsFrom(
+      postings: org.apache.spark.sql.DataFrame,
+      w1: String, w2: String, slop: Int): org.apache.spark.sql.DataFrame = {
+    def side(w: String, p: String) = postings
+      .filter(col("term") === w)
+      .select(col("doc_id"), explode(col("positions")).as(p))
+    side(w1, "pa").join(side(w2, "pb"), Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("best_dist"))
+  }
+
+  /** Proximity search served from the same persisted postings as
+    * [[phraseSearch]]: 'stream' within 3 positions of 'data', either
+    * order. The oracle recomputes positions from raw text; the engine
+    * touches only the two terms' postings rows. */
+  val nearSearch = Q(
+    "q_text_near",
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |)
+       |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS best_dist
+       |FROM t a JOIN t b ON a.doc_id = b.doc_id
+       |WHERE a.term = 'stream' AND b.term = 'data'
+       |  AND abs(a.pos - b.pos) <= 3
+       |GROUP BY a.doc_id
+       |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    nearHitsFrom(invertedIndex(s, d), "stream", "data", 3).orderBy("doc_id")
+  }
+
   /** Unigram-surprisal quality score — the LM-free approximation of
     * perplexity filtering: a document packed with corpus-rare tokens
     * (OCR noise, mojibake, gibberish) scores high, one made of common

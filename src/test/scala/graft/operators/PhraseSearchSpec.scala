@@ -45,4 +45,25 @@ class PhraseSearchSpec extends SparkSpec {
   test("a phrase with an absent word matches nothing") {
     assert(hits(Seq(1L -> "a b c"), "a", "zzz").isEmpty)
   }
+
+  private def near(docs: Seq[(Long, String)], w1: String, w2: String,
+                   slop: Int): Map[Long, (Long, Long)] =
+    TextQueries.nearHitsFrom(postingsOf(docs), w1, w2, slop)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("proximity counts pairs within slop in either order") {
+    val docs = Seq(
+      1L -> "big data rocks",      // adjacent: dist 1
+      2L -> "data big rocks",      // reversed: dist 1 still counts
+      3L -> "big x y z data",      // dist 4: outside slop 3
+      4L -> "big x data big data") // pairs within 3: (0,2),(2,3)? — big@0,3 data@2,4
+    assert(near(docs, "big", "data", 3) == Map(
+      1L -> (1L, 1L), 2L -> (1L, 1L),
+      // big@0-data@2 (2), big@3-data@2 (1), big@3-data@4 (1), big@0-data@4 is 4: out
+      4L -> (3L, 1L)))
+  }
+
+  test("proximity with an absent term matches nothing") {
+    assert(near(Seq(1L -> "a b c"), "a", "zzz", 5).isEmpty)
+  }
 }
