@@ -49,6 +49,9 @@ object SparkEntry {
     ScalarQueries.jsonExtract,
     ScalarQueries.mapOps,
     ScalarQueries.explodeWordcount,
+    // X1 keyword classification + Pipeline B composition (SURVEY §2.10)
+    ClassifyQueries.classifyKeywords,
+    ClassifyQueries.behaviorTrend,
     // event-time analytics (streaming-parity batch)
     EventQueries.tumblingWindow,
     EventQueries.sessionize,

@@ -20,10 +20,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy conf) and floor-divide to
-    * microseconds — the same truncation DuckDB applies when it loads a
-    * nanosecond timestamp, so oracle comparisons stay exact.
+  /** `events.ts` has shipped as two physical types across data drops:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as long via the legacy conf and floor-divide to micros, the
+    * same truncation DuckDB applies) and plain TIMESTAMP(MICROS) without
+    * UTC adjustment (which Spark reads as TIMESTAMP_NTZ). Both normalize
+    * here to session-zone TimestampType at microsecond precision, so
+    * every downstream operator and oracle sees one dtype regardless of
+    * which generator wrote the file. Sessions must run with
+    * `spark.sql.session.timeZone=UTC` (all graft entrypoints do) for the
+    * NTZ→TZ cast to be the identity on the stored micros.
     *
     * SESSION-WIDE SIDE EFFECT (deliberate): this sets
     * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared session
@@ -32,15 +38,22 @@ object Tables {
     * would break execution of the returned frame. Consequence: any later
     * nanos-timestamp parquet read in the same session also surfaces as
     * long. Every graft read path goes through [[Tables]], which applies
-    * the matching `ts div 1000` conversion, so inside the library the
-    * setting is invisible; sessions mixing graft with external nanos
-    * reads must apply the same conversion.
+    * the matching conversion, so inside the library the setting is
+    * invisible; sessions mixing graft with external nanos reads must
+    * apply the same conversion.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as long nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ micros: reinterpret in the (UTC) session zone
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -341,7 +341,7 @@ object SimilarityQueries {
   val embeddingOutliers = Q(
     "q_embedding_outliers",
     s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
-       |SELECT d.vec_id, d.cell, d.dist
+       |SELECT d.vec_id, d.cell, CAST(d.dist AS BIGINT) AS dist
        |FROM d$ivfIters d JOIN asn USING (vec_id, cell)
        |ORDER BY dist DESC, vec_id LIMIT 25""".stripMargin) { (s, d) =>
     IvfQuantizer.assignedDistances(

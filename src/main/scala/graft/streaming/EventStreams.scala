@@ -18,17 +18,28 @@ object EventStreams {
     * TimestampType by the caller — see [[readEventStream]]). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    // file-stream twin of Tables.events: nanos arrive as long, floor to micros
+    // File-stream twin of Tables.events: probe the batch schema once to
+    // learn which physical ts type this data drop uses (nanos-as-long vs
+    // TIMESTAMP(MICROS)/NTZ — see Tables.events), then declare the stream
+    // schema to match and normalize to session-zone TimestampType.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.Tables(spark, dir, "events").schema("ts").dataType match {
+      case LongType => LongType
+      case t => t
+    }
     val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val src = spark.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => src
+      case _ => src.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour windows per event type with a 1-hour watermark —
@@ -326,7 +337,18 @@ object EventStreams {
     * changes nothing: their gap would exceed 6 h anyway, so no
     * transition is lost. Rows at/older than the watermark are dropped
     * (allowed-lateness contract shared with [[sessionize]]); within a
-    * micro-batch rows sort by (ts, event_id), the batch tie-break. */
+    * micro-batch rows sort by (ts, event_id), the batch tie-break.
+    *
+    * Late events (within the watermark, delivered in a LATER micro-batch
+    * than a newer event): the stored state is merged into the sorted
+    * incoming rows by (ts, event_id) — the batch twin's global order —
+    * so pairs are always emitted oldest→newest and state keeps the MAX
+    * event (extend-not-regress, [[sessionize]]'s contract). Residual
+    * divergence, inherent to O(1) state: the transition OUT OF the event
+    * that preceded the stored one was already emitted against the stored
+    * event and cannot be recalled when a late row lands between them —
+    * only the pairs touching the late row itself are recoverable, and
+    * those are emitted correctly. */
   def transitions(events: Dataset[TypedEvent], gapMs: Long = 21600000L,
                   retentionMs: Long = 604800000L): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -338,19 +360,22 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
-            val sorted = rows.filter(_.ts.getTime > wm).toSeq
-              .sortBy(e => (e.ts.getTime, e.event_id))
-            var prev = state.getOption.orNull
+            val incoming = rows.filter(_.ts.getTime > wm)
+              .map(e => LastEvent(e.ts.getTime, e.event_id, e.event_type))
+              .toSeq
             val out = Seq.newBuilder[Transition]
-            sorted.foreach { e =>
-              if (prev != null && e.ts.getTime - prev.ms <= gapMs)
-                out += Transition(prev.tpe, e.event_type)
-              prev = LastEvent(e.ts.getTime, e.event_id, e.event_type)
-            }
-            if (prev != null) {
-              state.update(prev)
+            if (incoming.nonEmpty) {
+              // merge state into the batch's event-time order: a
+              // within-watermark late row may be OLDER than the state
+              val merged = (state.getOption.toSeq ++ incoming)
+                .sortBy(le => (le.ms, le.eventId))
+              merged.zip(merged.drop(1)).foreach { case (a, b) =>
+                if (b.ms - a.ms <= gapMs) out += Transition(a.tpe, b.tpe)
+              }
+              val last = merged.last // the max — state never regresses
+              state.update(last)
               state.setTimeoutTimestamp(
-                math.max(prev.ms + retentionMs,
+                math.max(last.ms + retentionMs,
                          state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator

@@ -271,4 +271,30 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("within-watermark late row in a later chunk: pairs ordered by event time, state keeps max") {
+    // B arrives first; A (older, but within the 1 h watermark) arrives in
+    // a LATER micro-batch; then C. Batch truth over event-time order
+    // A(01:30) -> B(02:00) -> C(02:30) is (A->B), (B->C). The pre-fix
+    // code paired the stored B against incoming A unordered — emitting a
+    // reversed (B->A) — and regressed state to A, so C then paired as
+    // (A->C). This pins the merge-by-(ts,event_id) + keep-max contract.
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStreams
+      .transitionsStream(mem.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("transitions_late_out").start()
+    try {
+      mem.addData(Seq((7L, 2L, t("02:00"), "B"))); q.processAllAvailable()
+      // watermark is now 01:00; A at 01:30 is late but within allowance
+      mem.addData(Seq((7L, 1L, t("01:30"), "A"))); q.processAllAvailable()
+      mem.addData(Seq((7L, 3L, t("02:30"), "C"))); q.processAllAvailable()
+      val streamed = spark.table("transitions_late_out")
+        .as[EventStreams.Transition].collect()
+        .map(tr => (tr.prev_type, tr.next_type)).sorted.toSeq
+      assert(streamed == Seq(("A", "B"), ("B", "C")))
+    } finally q.stop()
+  }
 }
