@@ -44,15 +44,20 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) surfaced as long nanos
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
-      case _ => // TIMESTAMP_NTZ micros: reinterpret in the (UTC) session zone
+      case TimestampNTZType => // micros: reinterpret in the (UTC) session zone
         df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => // anything else means a malformed data drop: fail at
+        // read time, not as subtly wrong timestamps downstream
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected TIMESTAMP, " +
+            "TIMESTAMP_NTZ, or nanos-as-long)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

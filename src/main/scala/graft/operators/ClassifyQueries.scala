@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   * The reference's search log carries free-text Vietnamese/English
   * keywords (ETL_customer_behavior.py prompt examples :96-105). The
   * synthetic `events` table has no keyword column, so the queries derive
-  * a deterministic search log from it: a fixed 24-entry keyword
-  * vocabulary — two per category of the closed 14-class taxonomy
+  * a deterministic search log from it: a fixed 25-entry keyword
+  * vocabulary covering every category of the closed 14-class taxonomy
   * (ETL_customer_behavior.py:71-85), including deliberately messy forms
   * (missing diacritics, rule-priority overlaps) — indexed by
-  * `event_id % 24`. Pure column transform of driver data, identical in
+  * `event_id % 25`. Pure column transform of driver data, identical in
   * DuckDB, and it exercises EVERY branch of the rule chain plus the
   * "Other" fallback (:121,:131), which distinct `documents` tokens alone
   * cannot (they are all English prose → all "Other").
@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object ClassifyQueries {
 
-  /** Two keywords per taxonomy category + two no-match forms; order is
-    * load-bearing only in that `% 24` must cover all entries. Overlap
-    * cases ("phim hành động" matches both the Action and Drama rules;
-    * "phim ma rạp" both Horror and Drama) pin first-match-wins priority
-    * cross-engine. */
+  /** At least one keyword per taxonomy category + two no-match forms;
+    * order is load-bearing only in that `% SearchVocab.size` must cover
+    * all entries. Overlap cases ("phim hành động" matches both the
+    * Action and Drama rules; "phim ma rạp" both Horror and Drama;
+    * "phim trung quốc" both C Drama and Drama) pin first-match-wins
+    * priority cross-engine; "phim bộ việt nam" is the one PURE Drama
+    * form (no earlier-rule overlap), so plain "Drama" — last in the rule
+    * chain and shadowed by every regional/genre rule — still appears in
+    * the output and all 14 categories are emitted. */
   val SearchVocab: Seq[String] = Seq(
     "VTV3 HD", "kenh 14",                      // TV Channel
     "Running Man tập 5", "master key hàn",     // Reality Show
@@ -48,6 +52,7 @@ object ClassifyQueries {
     "hài tết 2022", "funny moments",           // Comedy
     "phim hành động mỹ", "action movie",       // Action
     "phim trung quốc", "hàn quốc tình cảm",    // C Drama, K Drama
+    "phim bộ việt nam",                        // Drama (pure, unshadowed)
     "thuyetminh", "xin chào")                  // Other (fallback)
 
   /** events → (user_id, ts, keyword): the deterministic search log. */

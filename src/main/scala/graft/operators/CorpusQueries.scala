@@ -47,7 +47,10 @@ object CorpusQueries {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val dir = graft.sources.IndexCatalog.ensure(
       s, s"bench_grams_${graft.sources.IndexCatalog.tag(d)}",
-      inputs = Seq(d)) { dir =>
+      inputs = Seq(d),
+      owners = Seq(CorpusQueries.getClass, Tables.getClass,
+        graft.functions.TextFunctions.getClass,
+        classOf[graft.plans.WordShingles])) { dir =>
       benchGramsPlan(s, d).write.mode("overwrite").parquet(s"$dir/grams")
     }
     s.read.parquet(s"$dir/grams")

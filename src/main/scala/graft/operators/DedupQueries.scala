@@ -28,6 +28,30 @@ import graft.sources.IndexCatalog
   * builders fully materialize, then release their caches. */
 object DedupQueries {
 
+  /** [[IndexCatalog.ensure]] `owners` scopes — the graft classes whose
+    * behavior feeds each persisted artifact's bytes, so only edits to
+    * THOSE files invalidate the artifact (round-7 verdict: the
+    * repo-global fingerprint rebuilt all 14 artifacts on a one-commit
+    * change that fed none of them). Transitive by construction: a
+    * keep-list owns everything its pair set owns plus the resolver. */
+  private val lshOwners: Seq[Class[_]] = Seq(
+    DedupQueries.getClass, Tables.getClass,
+    graft.functions.TextFunctions.getClass,
+    classOf[graft.plans.WordShingles], classOf[graft.plans.MinHashes])
+  private val lshKeepOwners = lshOwners :+ DedupResolve.getClass
+  private val simhashOwners: Seq[Class[_]] = Seq(
+    DedupQueries.getClass, Tables.getClass,
+    graft.functions.TextFunctions.getClass)
+  private val embOwners: Seq[Class[_]] = Seq(
+    DedupQueries.getClass, Tables.getClass,
+    classOf[graft.plans.HyperplaneBands], classOf[graft.plans.CosineSimilarity])
+  private val embKeepOwners = embOwners :+ DedupResolve.getClass
+  private val semOwners: Seq[Class[_]] = Seq(
+    DedupQueries.getClass, Tables.getClass,
+    classOf[graft.plans.CosineSimilarity],
+    IvfQuantizer.getClass, IvfIndex.getClass)
+  private val semKeepOwners = semOwners :+ DedupResolve.getClass
+
   /** DuckDB fragment: whitespace tokens of `text`. */
   private val W = """string_split_regex(trim(text), '\s+')"""
 
@@ -273,7 +297,8 @@ object DedupQueries {
       .filter(col("n_docs") > maxBucket)
 
   private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"lsh_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = lshOwners) { dir =>
       // corpus-sized frame read 3x within the single materializing pass
       // (signatures + both verify sides): cache, write, unpersist
       val sh = lshShingles(s, d).cache()
@@ -287,7 +312,8 @@ object DedupQueries {
     * connected components resolved once per (run, corpus dir) and
     * persisted; resolution and curation both consume this artifact. */
   private[graft] def lshKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"lsh_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"lsh_keep_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = lshKeepOwners) { dir =>
       DedupResolve.keepList(lshPairs(s, d).select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(s"$dir/keep")
     }
@@ -501,7 +527,8 @@ object DedupQueries {
   /** Hamming ≤ 1 pair set, materialized once per (run, corpus dir)
     * through [[IndexCatalog]] — same lifecycle as [[lshPairs]]. */
   private[graft] def simhashPairsArtifact(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"simhash_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = simhashOwners) { dir =>
       // signature frame read 4x within the one materializing pass
       // (two halves + both verify sides): cache, write, unpersist
       val sig = simhashFrame(s, d).cache()
@@ -719,7 +746,8 @@ object DedupQueries {
     * corpus dir) through [[IndexCatalog]] — same lifecycle as
     * [[lshPairs]]. */
   private[graft] def embPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = embOwners) { dir =>
       // vector frame read 3x within the one materializing pass
       // (bands + both verify sides): cache, write, unpersist
       val v = embeddingVectors(s, d).cache()
@@ -732,7 +760,8 @@ object DedupQueries {
   /** Keep-list over the embedding pair graph — connected components
     * resolved once per (run, corpus dir) and persisted. */
   private[graft] def embKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"emb_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"emb_keep_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = embKeepOwners) { dir =>
       DedupResolve.keepList(
           embPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
@@ -964,7 +993,8 @@ object DedupQueries {
     * first) and never trains anything itself. */
   private[graft] def semPairs(s: SparkSession, d: String): DataFrame = {
     import SimilarityQueries.{ivfIters, ivfK}
-    val dir = IndexCatalog.ensure(s, s"sem_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = semOwners) { dir =>
       semanticPairsFrom(
           IvfIndex.assignments(s, d, ivfK, ivfIters),
           embeddingVectors(s, d))
@@ -999,7 +1029,8 @@ object DedupQueries {
     * resolved once per (run, corpus dir) and persisted, mirroring
     * [[embKeepList]]. */
   private[graft] def semKeepList(s: SparkSession, d: String): DataFrame = {
-    val dir = IndexCatalog.ensure(s, s"sem_keep_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem_keep_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = semKeepOwners) { dir =>
       DedupResolve.keepList(
           semPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
@@ -1047,7 +1078,8 @@ object DedupQueries {
     * pass, no retraining. */
   private[graft] def semPairs2(s: SparkSession, d: String): DataFrame = {
     import SimilarityQueries.{ivfIters, ivfK}
-    val dir = IndexCatalog.ensure(s, s"sem2_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, s"sem2_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
+                                  owners = semOwners) { dir =>
       semanticPairsProbed(
           IvfIndex.cells(s, d, ivfK, ivfIters, nprobe = 2),
           embeddingVectors(s, d))

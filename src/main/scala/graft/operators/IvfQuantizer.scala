@@ -196,7 +196,9 @@ object IvfIndex {
   private def ensure(s: SparkSession, d: String, k: Int, iters: Int): (String, String) = {
     val kk = key(d, k, iters)
     val asnTable = IndexCatalog.tableName(kk)
-    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d),
+        owners = Seq(IvfQuantizer.getClass, IvfIndex.getClass,
+          graft.Tables.getClass, BucketedTableSink.getClass)) { dir =>
       val t = IvfQuantizer.train(s, d, k, iters)
       try {
         t.centroids.write.mode("overwrite").parquet(s"$dir/centroids")

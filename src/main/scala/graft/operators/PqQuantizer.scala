@@ -154,7 +154,10 @@ object PqIndex {
                      dsub: Int, codes: Int, pqIters: Int): (String, String) = {
     val kk = key(d, k, iters, dsub, codes, pqIters)
     val codesTable = IndexCatalog.tableName(kk)
-    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
+    val dir = IndexCatalog.ensure(s, kk, inputs = Seq(d),
+        owners = Seq(PqQuantizer.getClass, PqIndex.getClass,
+          IvfQuantizer.getClass, graft.Tables.getClass,
+          BucketedTableSink.getClass)) { dir =>
       val (cb, res) = PqQuantizer.train(s, d, k, iters, dsub, codes, pqIters)
       try {
         cb.write.mode("overwrite").parquet(s"$dir/codebooks")

@@ -118,7 +118,10 @@ object ResolutionQueries {
   private[graft] def erLabels(s: SparkSession, d: String): DataFrame = {
     import graft.sources.IndexCatalog
     val dir = IndexCatalog.ensure(s, s"er_labels_${IndexCatalog.tag(d)}",
-                                  inputs = Seq(d)) { dir =>
+                                  inputs = Seq(d),
+                                  owners = Seq(ResolutionQueries.getClass,
+                                    graft.Tables.getClass,
+                                    DedupResolve.getClass)) { dir =>
       val pairs = matchPairs(s, d, Some(ResolveBound))
         .select(col("cust_a").as("doc_a"), col("cust_b").as("doc_b"))
       DedupResolve.resolve(pairs)

@@ -671,7 +671,11 @@ object KnnIndex {
       s, d, SimilarityQueries.ivfK, SimilarityQueries.ivfIters)
     val kk = key(d)
     val table = IndexCatalog.tableName(kk)
-    IndexCatalog.ensure(s, kk, inputs = Seq(d)) { dir =>
+    IndexCatalog.ensure(s, kk, inputs = Seq(d),
+        owners = Seq(SimilarityQueries.getClass, KnnIndex.getClass,
+          IvfQuantizer.getClass, IvfIndex.getClass, graft.Tables.getClass,
+          classOf[graft.plans.CosineSimilarity],
+          graft.sources.BucketedTableSink.getClass)) { dir =>
       IndexCatalog.persistBucketedTable(
         SimilarityQueries.knnEdgesPlan(s, d), dir, table, 8,
         Seq("vec_a"), Seq("rank"))

@@ -156,7 +156,12 @@ object TextQueries {
     import graft.sources.IndexCatalog
     val key = s"inv_${IndexCatalog.tag(d)}"
     val table = IndexCatalog.tableName(key)
-    val dir = IndexCatalog.ensure(s, key, inputs = Seq(d), version = "3") { dir =>
+    // owners: this object (plan + stats), Tables (the scan), the token
+    // pipeline, and the bucketed sink (bucket-spec layout of `postings`)
+    val dir = IndexCatalog.ensure(s, key, inputs = Seq(d), version = "3",
+        owners = Seq(TextQueries.getClass, Tables.getClass,
+          graft.functions.TextFunctions.getClass,
+          graft.sources.BucketedTableSink.getClass)) { dir =>
       IndexCatalog.persistBucketedTable(
         invertedIndexPlan(s, d), dir, table, 8, Seq("term"))
       val dl = doclensPlan(s, d)

@@ -23,10 +23,7 @@ object EventStreams {
     // TIMESTAMP(MICROS)/NTZ — see Tables.events), then declare the stream
     // schema to match and normalize to session-zone TimestampType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = graft.Tables(spark, dir, "events").schema("ts").dataType match {
-      case LongType => LongType
-      case t => t
-    }
+    val tsType = graft.Tables(spark, dir, "events").schema("ts").dataType
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -348,7 +345,11 @@ object EventStreams {
     * that preceded the stored one was already emitted against the stored
     * event and cannot be recalled when a late row lands between them —
     * only the pairs touching the late row itself are recoverable, and
-    * those are emitted correctly. */
+    * those are emitted correctly. One deliberate eviction-timing nuance:
+    * a micro-batch whose rows are ALL at/behind the watermark leaves
+    * state (and its retention timeout) untouched, so an idle user's
+    * state evicts on the original schedule — late noise no longer
+    * postpones eviction the way the pre-round-7 refresh did. */
   def transitions(events: Dataset[TypedEvent], gapMs: Long = 21600000L,
                   retentionMs: Long = 604800000L): Dataset[Transition] = {
     import events.sparkSession.implicits._

@@ -52,6 +52,23 @@ class TableChangesSpec extends SparkSpec {
       Seq((1L, "update"), (2L, "update")))
   }
 
+  test("null-keyed rows match null-safely instead of splitting into " +
+       "delete+insert") {
+    // round-7 verdict: plain-equality key matching turned a null-keyed
+    // row present in both snapshots into a spurious delete+insert pair
+    val before = Seq((Option(1L), Some("a")), (Option.empty[Long], Some("n")))
+      .toDF("k", "s")
+    val after = Seq((Option(1L), Some("a")), (Option.empty[Long], Some("N")))
+      .toDF("k", "s")
+    val got = TableChanges.diff(before, after, Seq("k")).collect().toSeq
+    // k=1 unchanged -> dropped; k=null value-edited -> ONE update row
+    assert(got.size == 1)
+    assert(got.head.isNullAt(0) && got.head.getString(1) == "update" &&
+      got.head.getString(2) == "n" && got.head.getString(3) == "N")
+    // and an untouched null-keyed row is unchanged -> dropped entirely
+    assert(TableChanges.diff(before, before, Seq("k")).isEmpty)
+  }
+
   test("diffs two real table generations") {
     cleanup()
     GenerationedTable.write(

@@ -74,6 +74,46 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("the registered q_behavior_trend equals Pipeline B on the same log " +
+       "(oracle surface ≡ reference-data surface)") {
+    // round-7 verdict item 7: the oracle-checked composition and the
+    // reference-format pipeline are two surfaces over ONE semantics.
+    // Materialize the query's synthetic search log in the pipeline's
+    // day-dir input format (H1 -> "June", H2 -> "July"), run both, and
+    // pin identical output row sets.
+    import graft.operators.ClassifyQueries
+    val tmp = "/tmp/graft_behavior_parity"
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val log = ClassifyQueries.searchLog(spark, sf0001)
+      .withColumn("half",
+        when(dayofmonth(col("ts")) <= 15, "H1").otherwise("H2"))
+      .select(col("user_id").cast("string").as("user_id"),
+              col("keyword"), col("half"))
+      .cache()
+    try {
+      log.filter($"half" === "H1").drop("half")
+        .write.mode("overwrite").parquet(s"$tmp/20220601")
+      log.filter($"half" === "H2").drop("half")
+        .write.mode("overwrite").parquet(s"$tmp/20220701")
+    } finally log.unpersist()
+    val pipeline = BehaviorPipeline
+      .build(spark, Seq(s"$tmp/20220601"), Seq(s"$tmp/20220701"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("most_search_T6").as("most_search_h1"),
+        col("category_T6").as("category_h1"),
+        col("most_search_T7").as("most_search_h2"),
+        col("category_T7").as("category_h2"),
+        col("Trending_Type").as("trending_type"),
+        col("Category_Change").as("category_change"))
+    val registered = graft.SparkEntry.queries("q_behavior_trend")(spark, sf0001)
+    assert(registered.count() == pipeline.count())
+    assert(registered.exceptAll(pipeline).count() == 0)
+    assert(pipeline.exceptAll(registered).count() == 0)
+    fs.delete(p, true)
+  }
+
   test("userPlansMap array column: explode + plan:source split (map semantics)") {
     assume(present(searchDir))
     import org.apache.spark.sql.functions.{col, explode, split, count, lit}

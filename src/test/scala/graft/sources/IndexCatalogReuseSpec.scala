@@ -118,6 +118,82 @@ class IndexCatalogReuseSpec extends SparkSpec {
     assert(desc.exists(r => r.contains("Bucket Columns") && r.contains("k")))
   }
 
+  /** The main classes dir IndexCatalog fingerprints (sbt compiles graft
+    * main sources here; the suite plants/removes probe class files in it
+    * to simulate a recompile-with-changes). */
+  private def classesDir = new java.io.File(
+    IndexCatalog.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+
+  private def withPlantedClassFile(relPath: String)(body: => Unit): Unit = {
+    val f = new java.io.File(classesDir, relPath)
+    assert(!f.exists(), s"probe file $f already present")
+    f.getParentFile.mkdirs()
+    val out = new java.io.FileOutputStream(f)
+    try out.write("graft fingerprint probe".getBytes("UTF-8"))
+    finally out.close()
+    IndexCatalog.resetCodeFingerprintMemo() // rescan, as a new deploy would
+    try body
+    finally {
+      assert(f.delete())
+      IndexCatalog.resetCodeFingerprintMemo()
+    }
+  }
+
+  test("an edit to UNRELATED graft code leaves an owner-scoped artifact " +
+       "adoptable, while an unscoped artifact rebuilds") {
+    // round-7 verdict item 2: the repo-global code fingerprint rebuilt
+    // all 14 artifacts (221 s) on a one-commit change that fed none of
+    // them. Owner-scoped artifacts must survive such a commit.
+    writeInput(10)
+    val owners: Seq[Class[_]] = Seq(classOf[graft.plans.MinHashes])
+    val keyScoped = s"reuse_scope_${System.nanoTime}"
+    val keyGlobal = s"reuse_global_${System.nanoTime}"
+    val builds = new AtomicInteger(0)
+    def runScoped() = IndexCatalog.ensure(
+      spark, keyScoped, inputs = Seq(inputDir), owners = owners) { dir =>
+      builds.incrementAndGet()
+      spark.range(4).toDF("v").write.mode("overwrite").parquet(s"$dir/data")
+    }
+    def runGlobal() = IndexCatalog.ensure(
+      spark, keyGlobal, inputs = Seq(inputDir)) { dir =>
+      builds.incrementAndGet()
+      spark.range(4).toDF("v").write.mode("overwrite").parquet(s"$dir/data")
+    }
+    runScoped(); runGlobal()
+    assert(builds.get() == 2)
+    // "unrelated commit": a new class file that is not in the owner set
+    withPlantedClassFile("graft/ZZZUnrelatedProbe.class") {
+      freshProcess()
+      runScoped()
+      assert(builds.get() == 2,
+        "owner-scoped artifact rebuilt on an unrelated-code change")
+      runGlobal()
+      assert(builds.get() == 3,
+        "unscoped artifact must stay conservatively repo-global")
+    }
+  }
+
+  test("an edit to an OWNER class invalidates the scoped artifact") {
+    writeInput(10)
+    val owners: Seq[Class[_]] = Seq(classOf[graft.plans.MinHashes])
+    val key = s"reuse_owner_${System.nanoTime}"
+    val builds = new AtomicInteger(0)
+    def run() = IndexCatalog.ensure(
+      spark, key, inputs = Seq(inputDir), owners = owners) { dir =>
+      builds.incrementAndGet()
+      spark.range(4).toDF("v").write.mode("overwrite").parquet(s"$dir/data")
+    }
+    run()
+    assert(builds.get() == 1)
+    // a recompiled owner: a fresh anonymous/lambda class under its prefix
+    withPlantedClassFile("graft/plans/MinHashes$ZZZProbe.class") {
+      freshProcess()
+      run()
+      assert(builds.get() == 2,
+        "stale artifact adopted after its owner's code changed")
+    }
+  }
+
   test("a REAL index artifact (IVF) is adopted across processes") {
     // builds (or adopts from an earlier suite) the sf0.001 IVF index,
     // then proves a fresh process serves assignments from the same
