@@ -88,9 +88,18 @@ object IvfQuantizer {
   final case class Trained(centroids: DataFrame, quantized: DataFrame)
 
   /** Run `iters` Lloyd updates; returns the trained centroids. */
-  def train(spark: SparkSession, dir: String, k: Int, iters: Int): Trained = {
+  def train(spark: SparkSession, dir: String, k: Int, iters: Int): Trained =
+    trainVectors(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), k, iters)
+
+  /** [[train]] over an arbitrary (vec_id, embedding) frame — the
+    * retrain-lifecycle entry point ([[IvfLifecycle]] trains a new
+    * centroid generation from the CURRENT corpus, wherever it lives:
+    * the embeddings table, a streaming vector table, a filtered slice). */
+  def trainVectors(vectors: DataFrame, k: Int, iters: Int): Trained = {
+    val spark = vectors.sparkSession
     import spark.implicits._
-    val v = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val v = vectors.select("vec_id", "embedding")
       .repartition(spark.sparkContext.defaultParallelism)
     val q = vq(v).cache() // reused by every assign + recompute step
     // cells 0..k-1 = the k smallest vec_ids in order. The frame is at

@@ -140,4 +140,79 @@ object SemanticStreams {
     IvfQuantizer.assignVectors(vecs.select("vec_id", "embedding"), centroids)
       .write.mode("overwrite").parquet(s"$asnDir/ingest_batch=-1")
   }
+
+  // ---------------------------------------------------------------------
+  // Generation-aware wiring: the retrain-lifecycle consumer
+  // ---------------------------------------------------------------------
+
+  /** The per-generation slice of the assignment index: assignments made
+    * under centroid generation `gen` live under `gen=<g>/`, so a retrain
+    * never touches the slice a pinned reader resolved — the
+    * [[graft.sources.GenerationedTable]] isolation contract, applied to
+    * the streaming state. */
+  def asnGenDir(asnDir: String, gen: Int): String = s"$asnDir/gen=$gen"
+
+  /** One micro-batch under the retrain lifecycle ([[graft.operators.IvfLifecycle]]):
+    * resolve the CURRENT centroid generation from the store's pointer,
+    * and on the first batch after a retrain — the generation boundary —
+    * REASSIGN the accumulated vector table under the new centroids
+    * before processing, so every later batch pairs against a
+    * consistent, current-generation cell space. Cost of the boundary:
+    * one map-only quantize pass over stored vectors + broadcast join
+    * (assignment shape, no training), paid once per generation.
+    *
+    * Pair semantics across the boundary: `pairTable` is a keyed merge
+    * and keeps pairs discovered under earlier generations — the same
+    * greedy-vs-nightly divergence contract as the cap (a nightly batch
+    * rebuild under the new generation would regenerate pairs from the
+    * reassigned index only). Assignment reads are always
+    * generation-consistent: [[processBatch]] reads only this
+    * generation's `gen=<g>/` slice.
+    *
+    * Replay safety: the boundary reassignment is keyed by the
+    * generation dir (exists ⇒ already done) and excludes the incoming
+    * batch's ids, so a re-applied boundary batch reproduces the
+    * original plan exactly. */
+  def processBatchGenerationed(batch: DataFrame, batchId: Long,
+                               store: String, vecTable: String,
+                               pairTable: String, asnDir: String,
+                               buckets: Int = 8): Unit = {
+    import graft.operators.IvfLifecycle
+    import graft.sources.GenerationedTable
+    val s = batch.sparkSession
+    val gen = GenerationedTable.latest(s, IvfLifecycle.centroidsDir(store))
+      .getOrElse(throw new IllegalStateException(
+        s"$store has no trained centroid generation — run IvfLifecycle.retrain first"))
+    val centroids =
+      GenerationedTable.read(s, IvfLifecycle.centroidsDir(store), Some(gen))
+    val genDir = asnGenDir(asnDir, gen)
+    val p = new Path(genDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && s.catalog.tableExists(vecTable)) {
+      // generation boundary: the accumulated corpus re-enters the new
+      // cell space once, as the seed slice of the new generation's index
+      IvfQuantizer.assignVectors(
+          s.table(vecTable).select("vec_id", "embedding")
+            .join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
+          centroids)
+        .write.mode("overwrite").parquet(s"$genDir/ingest_batch=-1")
+    }
+    processBatch(batch, batchId, centroids, vecTable, pairTable, genDir, buckets)
+  }
+
+  /** Continuous generation-aware wiring: like [[semanticDedupStream]],
+    * but each micro-batch resolves the centroid store's `_LATEST`
+    * pointer, so the stream switches to a freshly retrained generation
+    * at the next batch boundary — no restart, no coordination beyond
+    * the pointer. */
+  def semanticDedupStreamGenerationed(
+      vecs: DataFrame, store: String, vecTable: String, pairTable: String,
+      asnDir: String, buckets: Int = 8): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatchGenerationed(batch, batchId, store, vecTable,
+            pairTable, asnDir, buckets)
+      }
 }
