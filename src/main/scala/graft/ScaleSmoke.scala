@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the artifact tier (round-7 verdict item 5: the 100 TB
+  * claims rested on plan shape alone — this main adds a measured point
+  * one decade up from the bench SF).
+  *
+  * The driver ships sf0.001/0.01/0.1; there is no sf1 drop, so this
+  * main DERIVES one: `documents` and `embeddings` replicated
+  * `GRAFT_SMOKE_REPLICAS`× (default 10 ⇒ sf1-equivalent corpus volume
+  * for the two tables the artifact tier indexes) with shifted ids, a
+  * per-replica text token, and a per-replica jitter on the embedding —
+  * so replicas are NEAR-duplicates (the adversarial shape for a dedup
+  * tier: every document gains `replicas-1` near-dup partners and
+  * LSH/simhash/IVF-cell candidate buckets grow ~replicas×), never
+  * byte-identical rows that exact-dedup would trivially collapse. The
+  * remaining tables copy through at source scale — the artifact tier
+  * does not index them (`er_labels` blocks on `customer`; its build is
+  * reported but its input did not scale, which the output notes).
+  *
+  * It then times (a) every [[graft.operators.IndexBuilds]] artifact
+  * build COLD — build cost should grow ~linearly in corpus volume —
+  * and (b) a serve pass over the artifact-backed query families, which
+  * should stay near-flat vs the sf0.1 bench because serving reads
+  * persisted candidates/cells/postings, not the corpus. Derived-corpus
+  * queries have no DuckDB oracle run (the correctness gate stays at
+  * sf0.001/0.01); this main is a PERFORMANCE instrument.
+  *
+  * Output: one JSON line on stdout (last) and `SCALE_SMOKE.json` in the
+  * working directory: replicas, corpus row counts, per-build and
+  * per-query seconds, build/serve totals.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale_smoke/sf1"
+    val replicas = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // ---- derive the scaled corpus (idempotent: skip if present) ----
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY"))) {
+      fs.delete(outPath, true)
+      val reps = spark.range(replicas).select(col("id").as("rep"))
+      val IdStride = 100000000L // far above any source id
+      spark.read.parquet(s"$src/documents.parquet")
+        .crossJoin(reps) // corpus × tiny literal frame: broadcast, map-only
+        .select(
+          (col("doc_id") + col("rep") * IdStride).as("doc_id"),
+          // one extra token: replicas stay >0.5-Jaccard near-dups
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + length(concat(lit(" rep"), col("rep"))))
+            .as("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * IdStride).as("vec_id"),
+          // jitter ONE component by rep/1000: distinct vectors, ~1.0
+          // cosine within a replica group (semantic near-dups). The
+          // arithmetic widens to double; cast back — the engine's
+          // vector surface is array<float> by contract
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + col("rep").cast("float") / 1000f)
+              .otherwise(x).cast("float")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      fs.create(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY"), true).close()
+    }
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+
+    // ---- cold artifact builds (force: this is the build-cost probe) ----
+    sys.props("graft.catalog.rebuild") = "1"
+    val builds = graft.operators.IndexBuilds.all.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, out); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[smoke] $name failed: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, if (ok) Some(dt) else None)
+    }
+    sys.props.remove("graft.catalog.rebuild")
+
+    // ---- serve pass over the artifact-backed families ----
+    val serveNames = Seq(
+      "q_dedup_minhash_lsh", "q_dedup_resolve", "q_dedup_cross_source",
+      "q_dedup_simhash_pairs", "q_dedup_embedding", "q_dedup_semantic",
+      "q_dedup_semantic2", "q_dedup_incremental",
+      "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq", "q_ann_filtered",
+      "q_ann_cells", "q_knn_graph", "q_pagerank", "q_graph_triangles",
+      "q_er_clusters", "q_er_golden",
+      "q_text_bm25", "q_text_phrase", "q_text_near", "q_text_search",
+      "q_tfidf_terms", "q_text_contamination", "q_corpus_curation")
+    val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, out).queryExecution.toRdd.count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[smoke] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (name, if (ok) Some(dt) else None)
+      }
+    spark.stop()
+
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    def obj(xs: Seq[(String, Option[Double])]) =
+      xs.collect { case (k, Some(v)) => s"\"$k\":${r3(v)}" }
+        .mkString("{", ",", "}")
+    val failed = (builds ++ serve).collect { case (k, None) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val buildTotal = r3(builds.flatMap(_._2).sum)
+    val serveTotal = r3(serve.flatMap(_._2).sum)
+    val json =
+      s"""{"metric":"scale_smoke","replicas":$replicas,"n_docs":$nDocs,""" +
+      s""""n_vecs":$nVecs,"index_build_sec":$buildTotal,""" +
+      s""""serve_sec":$serveTotal,"n_serve":${serve.count(_._2.isDefined)},""" +
+      s""""builds":${obj(builds)},"queries":${obj(serve)},""" +
+      s""""failed":$failed,"src":"$src"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_SMOKE.json"), json.getBytes("UTF-8"))
+    println(json)
+  }
+}

@@ -106,6 +106,7 @@ object SparkEntry {
     SimilarityQueries.ivfRecall,
     SimilarityQueries.ivfCellStats,
     SimilarityQueries.embeddingOutliers,
+    SimilarityQueries.ivfDrift,
     SimilarityQueries.ivfPqTopK,
     SimilarityQueries.ivfPqRecall,
     SimilarityQueries.knnGraph,

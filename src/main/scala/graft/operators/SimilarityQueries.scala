@@ -351,6 +351,30 @@ object SimilarityQueries {
       .limit(25)
   }
 
+  /** Per-cell drift profile — the [[graft.operators.IvfLifecycle]]
+    * gauge's cell-level breakdown as an oracle-checked query: population
+    * and integer-mean assigned squared-L2 distance per trained cell.
+    * Rising means vs the training-time baseline = corpus drift;
+    * population skew = balance decay (the candidate-join degeneracy
+    * signal). Same serving shape as the outlier gauge: map-only
+    * quantize + broadcast against persisted centroids; the k-row
+    * result is what a nightly maintenance job compares and alerts on. */
+  val ivfDrift = Q(
+    "q_ivf_drift",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT d.cell, count(*) AS n_vectors,
+       |  CAST(SUM(d.dist) AS BIGINT) // count(*) AS mean_dist
+       |FROM d$ivfIters d JOIN asn USING (vec_id, cell)
+       |GROUP BY d.cell ORDER BY d.cell""".stripMargin) { (s, d) =>
+    IvfQuantizer.assignedDistances(
+        DedupQueries.embeddingVectors(s, d),
+        IvfIndex.centroids(s, d, ivfK, ivfIters))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+           expr("sum(dist) div count(1)").as("mean_dist"))
+      .orderBy("cell")
+  }
+
   /** IVF-PQ parameters: 64 dims → 16 subspaces × 4 dims, 32 codes per
     * subspace, one Lloyd refinement over the seeded codebooks — 16
     * codes ≈ 16 bytes per vector vs 256 float bytes (16×). Chosen at
