@@ -140,6 +140,8 @@ object SparkEntry {
     CorpusQueries.packShards,
     CorpusQueries.piiScrub,
     CorpusQueries.curationFunnel,
+    ChunkingQueries.chunkOverlap,
+    ChunkingQueries.lengthBuckets,
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,

@@ -303,12 +303,21 @@ object IndexCatalog {
         case None =>
           f.delete(new Path(dir), true)
           val ddls = ListBuffer.empty[String]
+          // save/restore the enclosing build's buffer: a builder that
+          // calls into another artifact's accessor (e.g. a semantic pair
+          // builder ensuring the IVF index) nests ensure() safely — the
+          // inner build's DDLs land in the inner manifest, and the outer
+          // build keeps collecting into its own
+          val enclosing = ddlBuffer.get()
           ddlBuffer.set(ddls)
           try {
             build(dir)
             buildCount.incrementAndGet()
             writeManifest(s, dir, key, version, inputFp, codeFp, ddls.toList)
-          } finally ddlBuffer.remove()
+          } finally {
+            if (enclosing == null) ddlBuffer.remove()
+            else ddlBuffer.set(enclosing)
+          }
       }
       dir
     })

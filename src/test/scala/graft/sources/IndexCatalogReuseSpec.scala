@@ -194,6 +194,35 @@ class IndexCatalogReuseSpec extends SparkSpec {
     }
   }
 
+  test("ensure() builds nest: each manifest records its own table DDL") {
+    // a builder that calls another artifact's accessor nests ensure();
+    // the DDL buffer must save/restore, not clobber
+    writeInput(10)
+    val kOuter = s"reuse_nest_o_${System.nanoTime}"
+    val kInner = s"reuse_nest_i_${System.nanoTime}"
+    val tOuter = IndexCatalog.tableName(kOuter)
+    val tInner = IndexCatalog.tableName(kInner)
+    IndexCatalog.ensure(spark, kOuter, inputs = Seq(inputDir)) { dir =>
+      IndexCatalog.ensure(spark, kInner, inputs = Seq(inputDir)) { idir =>
+        IndexCatalog.persistBucketedTable(
+          spark.range(10).select(col("id").as("k")), idir, tInner, 2, Seq("k"))
+      }
+      IndexCatalog.persistBucketedTable(
+        spark.range(20).select(col("id").as("k")), dir, tOuter, 2, Seq("k"))
+    }
+    assert(spark.table(tOuter).count() == 20)
+    assert(spark.table(tInner).count() == 10)
+    // fresh process: BOTH artifacts re-register from their own manifests
+    Seq(tOuter, tInner).foreach(t => spark.sql(s"DROP TABLE $t"))
+    freshProcess()
+    val n = IndexCatalog.buildCount.get()
+    IndexCatalog.ensure(spark, kInner, inputs = Seq(inputDir))(_ => fail("rebuilt inner"))
+    IndexCatalog.ensure(spark, kOuter, inputs = Seq(inputDir))(_ => fail("rebuilt outer"))
+    assert(IndexCatalog.buildCount.get() == n)
+    assert(spark.table(tOuter).count() == 20)
+    assert(spark.table(tInner).count() == 10)
+  }
+
   test("a REAL index artifact (IVF) is adopted across processes") {
     // builds (or adopts from an earlier suite) the sf0.001 IVF index,
     // then proves a fresh process serves assignments from the same
