@@ -21,7 +21,8 @@ object ChunkingQueries {
     * 0, 48, 96, … strictly below the document's token count, so every
     * token is covered, tail chunks may run short, and an empty document
     * yields exactly one empty chunk (the whitespace-split of "" is a
-    * single empty token — same in DuckDB, pinned by the oracle). */
+    * single empty token — same in DuckDB; ChunkingSpec pins the whole
+    * boundary grid: empty/1/48/49/64/97/112-token documents). */
   final val ChunkSize = 64
   final val ChunkStride = 48
 

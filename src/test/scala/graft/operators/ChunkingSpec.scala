@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Boundary semantics of the context-window chunker — pinned over a
+  * hand-built documents table, since the driver corpus contains no
+  * empty or exactly-boundary-length documents. */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_chunking_spec"
+
+  private def writeDocs(texts: Seq[String]): Unit =
+    texts.zipWithIndex
+      .map { case (t, i) =>
+        (i.toLong, t, "en", "spec", t.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def word(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("chunk geometry: starts every 48, 64-token windows, short tails") {
+    writeDocs(Seq(
+      "",              // doc 0: empty -> one empty chunk (split("") = [""])
+      word(1),         // doc 1: one chunk of 1
+      word(48),        // doc 2: one chunk (next start 48 == len, excluded)
+      word(49),        // doc 3: two chunks — tail of 1 token at start 48
+      word(64),        // doc 4: one full + 16-token tail at 48 (overlap)
+      word(112),       // doc 5: 64 @ 0, 64 @ 48 (reaches 112), tail 16 @ 96
+      word(97)))       // doc 6: 64 @ 0, 49 @ 48, 1 @ 96
+    val rows = ChunkingQueries.chunkOverlap.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).toSeq.sorted).toMap
+    assert(byDoc(0L) == Seq((0L, 1L))) // the single empty token
+    assert(byDoc(1L) == Seq((0L, 1L)))
+    assert(byDoc(2L) == Seq((0L, 48L)))
+    assert(byDoc(3L) == Seq((0L, 49L), (48L, 1L)))
+    assert(byDoc(4L) == Seq((0L, 64L), (48L, 16L)))
+    assert(byDoc(5L) == Seq((0L, 64L), (48L, 64L), (96L, 16L)))
+    assert(byDoc(6L) == Seq((0L, 64L), (48L, 49L), (96L, 1L)))
+  }
+
+  test("chunk text carries the exact token slice (coverage + overlap)") {
+    writeDocs(Seq(word(112)))
+    val byStart = ChunkingQueries.chunkOverlap.run(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(byStart(0L) == (1 to 64).map(i => s"w$i").mkString(" "))
+    assert(byStart(48L) == (49 to 112).map(i => s"w$i").mkString(" "))
+    assert(byStart(96L) == (97 to 112).map(i => s"w$i").mkString(" "))
+    // every token appears in some chunk; overlap region appears twice
+    assert(byStart(0L).endsWith("w64") && byStart(48L).startsWith("w49"))
+  }
+
+  test("length buckets: integral bucketing and pad-to-longest accounting") {
+    writeDocs(Seq(word(3), word(15), word(16), word(20), word(31)))
+    // lengths 3,15 -> bucket 0 (max 15); 16,20,31 -> bucket 1 (max 31)
+    val rows = ChunkingQueries.lengthBuckets.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 2L, 18L, 15L, 15L * 2 - 18L),
+      (1L, 3L, 67L, 31L, 31L * 3 - 67L)))
+  }
+}
