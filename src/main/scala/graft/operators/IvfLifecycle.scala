@@ -44,6 +44,14 @@ import graft.sources.GenerationedTable
   * those k+1 aggregate rows. Training cost is paid exactly when the
   * gauge says the index is stale, never per deploy (the IndexCatalog
   * fingerprint fix) and never per process (the manifest fix).
+  *
+  * Dependent-artifact coupling: [[PqQuantizer]] codebooks train on
+  * RESIDUALS against the coarse centroids, so a coarse retrain stales
+  * the PQ tier — a deployment retrains PQ into the same generation
+  * boundary (its [[graft.sources.IndexCatalog]] artifact already keys
+  * on its inputs, so the next build after a centroid change recomputes;
+  * the generationed store here covers the coarse tier the streaming
+  * assigner consumes).
   */
 object IvfLifecycle {
 
