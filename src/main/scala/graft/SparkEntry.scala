@@ -142,6 +142,7 @@ object SparkEntry {
     CorpusQueries.curationFunnel,
     ChunkingQueries.chunkOverlap,
     ChunkingQueries.lengthBuckets,
+    ChunkingQueries.bpePairs,
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,

@@ -55,6 +55,44 @@ object ChunkingQueries {
       .orderBy("doc_id", "start")
   }
 
+  /** BPE first-merge statistic: adjacent character-pair frequencies
+    * across the corpus vocabulary, weighted by word occurrence count —
+    * the quantity byte-pair-encoding training maximizes at every merge
+    * step. Top-20 with deterministic tie-break; the full iterative
+    * trainer is this query re-run on a re-paired vocabulary per merge.
+    *
+    * Scale shape: one corpus scan → vocabulary-sized hash-agg (the
+    * word-count frame) → per-word pair explode bounded by word length →
+    * pair-vocabulary hash-agg → top-k. Nothing corpus-quadratic; the
+    * heavy reduction happens at the (small) vocabulary, not the corpus.
+    * ASCII/BMP text assumed (Spark counts UTF-16 units, DuckDB code
+    * points — equal on the basic plane). */
+  val bpePairs = Q(
+    "q_bpe_pairs",
+    s"""WITH wc AS (
+       |  SELECT w, count(*) AS wn FROM (
+       |    SELECT unnest($W) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |)
+       |SELECT substr(w, CAST(i AS INT), 2) AS pair,
+       |  CAST(sum(wn) AS BIGINT) AS n
+       |FROM wc, unnest(range(1, len(w))) AS u(i)
+       |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+    val wc = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    wc
+      // Spark's sequence(1, 0) throws on 1-char words; DuckDB's
+      // range(1, 1) is just empty — filter to keep the sides equal
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("wn"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("wn"))
+      .groupBy("pair").agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   /** Bucket width for the length profile: 16 tokens. */
   final val BucketWidth = 16
 
