@@ -48,9 +48,12 @@ object ScaleSmoke {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     // ---- derive the scaled corpus (idempotent: skip if present) ----
+    // The ready marker encodes the replica count, so rerunning with a
+    // different GRAFT_SMOKE_REPLICAS against the same out dir rebuilds
+    // instead of silently reusing the old corpus under a new label.
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY"))) {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas"))) {
       fs.delete(outPath, true)
       val reps = spark.range(replicas).select(col("id").as("rep"))
       val IdStride = 100000000L // far above any source id
@@ -81,7 +84,7 @@ object ScaleSmoke {
                     "orders", "lineitem", "events"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      fs.create(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY"), true).close()
+      fs.create(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas"), true).close()
     }
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()

@@ -49,7 +49,10 @@ object DedupQueries {
   private val semOwners: Seq[Class[_]] = Seq(
     DedupQueries.getClass, Tables.getClass,
     classOf[graft.plans.CosineSimilarity],
-    IvfQuantizer.getClass, IvfIndex.getClass)
+    IvfQuantizer.getClass, IvfIndex.getClass,
+    // supplies ivfK/ivfIters — the sem_* keys don't encode k, so a
+    // constant change must invalidate via the fingerprint (OwnersGuardSpec)
+    SimilarityQueries.getClass)
   private val semKeepOwners = semOwners :+ DedupResolve.getClass
 
   /** DuckDB fragment: whitespace tokens of `text`. */

@@ -81,6 +81,10 @@ object IvfLifecycle {
            (max(col("n")).cast("double") / sum(col("n"))).as("ms"),
            count(lit(1)).as("lc"))
       .collect().head // k+1 aggregate rows end at 1 — telemetry, not data
+    require(!r.isNullAt(0) && r.getLong(0) > 0,
+      "driftStats over an empty corpus — the vectors frame produced no " +
+        "assignments (empty source or a filter that dropped every row); " +
+        "drift against nothing is undefined, refusing to gauge")
     DriftStats(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
   }
 
@@ -112,17 +116,22 @@ object IvfLifecycle {
     val s = vectors.sparkSession
     val t = IvfQuantizer.trainVectors(vectors, k, iters)
     try {
-      // stats BEFORE the pointer swing: compute from the in-training
-      // cache, then commit centroids last-ish — a crash between the two
-      // writes leaves a stats generation without a centroid twin, which
-      // baselineStats surfaces loudly (missing gen) rather than silently
       val st = driftStats(vectors, t.centroids)
-      val cg = GenerationedTable.write(t.centroids, centroidsDir(store))
-      val sg = GenerationedTable.write(statsToDf(s, st), statsDir(store))
-      require(cg == sg,
-        s"centroid/stats generations diverged ($cg vs $sg) — " +
-          "the store requires a single writer")
-      cg
+      // One generation number for both tables, chosen from the CENTROID
+      // dir (the pointer readers resolve), stats committed FIRST: a
+      // crash between the two writes leaves only an orphan stats
+      // generation, which is harmless (stats are read by explicit gen
+      // via the centroid pointer, never by their own) and gets
+      // overwritten by the next retrain, which re-derives the same
+      // number from the unchanged centroid dir. The old order (centroids
+      // first) wedged the store: a centroid gen with no stats twin made
+      // baselineStats throw and every later retrain fail its
+      // lockstep check.
+      val next = GenerationedTable.generations(s, centroidsDir(store))
+        .lastOption.getOrElse(0) + 1
+      GenerationedTable.writeAs(statsToDf(s, st), statsDir(store), next)
+      GenerationedTable.writeAs(t.centroids, centroidsDir(store), next)
+      next
     } finally t.quantized.unpersist()
   }
 

@@ -30,10 +30,17 @@ object GenerationedTable {
 
   /** Write `df` as the next generation and swing the pointer. Returns
     * the new generation number. */
-  def write(df: DataFrame, dir: String): Int = {
+  def write(df: DataFrame, dir: String): Int =
+    writeAs(df, dir, generations(df.sparkSession, dir).lastOption.getOrElse(0) + 1)
+
+  /** Write `df` under an EXPLICIT generation number (overwriting any
+    * partial snapshot a crashed writer left there) and swing the
+    * pointer. Lets a multi-table store commit sibling tables under one
+    * externally-chosen generation instead of trusting two independent
+    * counters to stay in lockstep (see [[graft.operators.IvfLifecycle]]). */
+  def writeAs(df: DataFrame, dir: String, next: Int): Int = {
     val s = df.sparkSession
     val f = fs(s, dir)
-    val next = generations(s, dir).lastOption.getOrElse(0) + 1
     df.write.mode("overwrite").parquet(s"$dir/gen=$next")
     val tmp = new Path(dir, s"_LATEST.tmp")
     val out = f.create(tmp, true)

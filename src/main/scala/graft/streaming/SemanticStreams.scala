@@ -85,8 +85,13 @@ object SemanticStreams {
                       emptyLike: DataFrame): DataFrame = {
     val p = new Path(asnDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(asnDir).select("vec_id", "cell")
+    // data = non-metadata entries: the generation dir may hold only the
+    // _GEN_BOUNDARY_DONE marker before any slice lands
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) s.read.parquet(asnDir).select("vec_id", "cell")
     else emptyLike.select("vec_id", "cell").limit(0)
   }
 
@@ -169,10 +174,15 @@ object SemanticStreams {
     * generation-consistent: [[processBatch]] reads only this
     * generation's `gen=<g>/` slice.
     *
-    * Replay safety: the boundary reassignment is keyed by the
-    * generation dir (exists ⇒ already done) and excludes the incoming
-    * batch's ids, so a re-applied boundary batch reproduces the
-    * original plan exactly. */
+    * Replay safety: the boundary reassignment is keyed by a
+    * `_GEN_BOUNDARY_DONE` marker written only AFTER the seed-slice
+    * overwrite completes (the parquet write creates the generation dir
+    * before it finishes, so bare dir existence would let a crash
+    * mid-write masquerade as done and silently serve an index missing
+    * part of the accumulated corpus). A replayed boundary batch with no
+    * marker reruns the overwrite — idempotent — and the reassignment
+    * excludes the incoming batch's ids, so it reproduces the original
+    * plan exactly. */
   def processBatchGenerationed(batch: DataFrame, batchId: Long,
                                store: String, vecTable: String,
                                pairTable: String, asnDir: String,
@@ -188,14 +198,24 @@ object SemanticStreams {
     val genDir = asnGenDir(asnDir, gen)
     val p = new Path(genDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && s.catalog.tableExists(vecTable)) {
-      // generation boundary: the accumulated corpus re-enters the new
-      // cell space once, as the seed slice of the new generation's index
-      IvfQuantizer.assignVectors(
-          s.table(vecTable).select("vec_id", "embedding")
-            .join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
-          centroids)
-        .write.mode("overwrite").parquet(s"$genDir/ingest_batch=-1")
+    // Completion marker, not dir existence: the overwrite below creates
+    // genDir before it finishes. The marker also records the "nothing to
+    // seed" boundary (no accumulated corpus yet) so a LATER batch — by
+    // which time vecTable exists and holds rows already assigned via
+    // their own ingest_batch slices — never runs a duplicating seed pass.
+    val marker = new Path(p, "_GEN_BOUNDARY_DONE")
+    if (!fs.exists(marker)) {
+      if (s.catalog.tableExists(vecTable)) {
+        // generation boundary: the accumulated corpus re-enters the new
+        // cell space once, as the seed slice of the new generation's index
+        IvfQuantizer.assignVectors(
+            s.table(vecTable).select("vec_id", "embedding")
+              .join(batch.select("vec_id"), Seq("vec_id"), "left_anti"),
+            centroids)
+          .write.mode("overwrite").parquet(s"$genDir/ingest_batch=-1")
+      }
+      fs.mkdirs(p)
+      fs.create(marker, true).close()
     }
     processBatch(batch, batchId, centroids, vecTable, pairTable, genDir, buckets)
   }

@@ -35,6 +35,20 @@ class GenerationsSpec extends SparkSpec {
     cleanup()
   }
 
+  test("writeAs commits under an explicit generation, overwriting a " +
+       "crashed writer's partial snapshot") {
+    cleanup()
+    GenerationedTable.write(Seq((1L, "a")).toDF("k", "v"), dir)
+    // a crashed writer left a partial gen=2 (no pointer swing)
+    Seq((9L, "partial")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val g = GenerationedTable.writeAs(Seq((2L, "b")).toDF("k", "v"), dir, 2)
+    assert(g == 2 && GenerationedTable.latest(spark, dir).contains(2))
+    assert(GenerationedTable.read(spark, dir).as[(Long, String)]
+      .collect().toSet == Set((2L, "b")), "partial snapshot fully replaced")
+    cleanup()
+  }
+
   test("vacuum drops old generations but never the pointed-at one") {
     cleanup()
     (1 to 4).foreach(i =>

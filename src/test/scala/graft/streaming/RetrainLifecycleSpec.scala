@@ -98,6 +98,67 @@ class RetrainLifecycleSpec extends SparkSpec {
     assert(d.current.maxCellShare == 1.0)
   }
 
+  test("a crash between the stats and centroid writes leaves the store " +
+       "recoverable: the orphan stats generation is overwritten, not wedged") {
+    cleanup()
+    IvfLifecycle.retrain(vecs, k = 8, iters = 2, store)
+    // simulate the crash window: stats gen 2 committed, centroids not —
+    // the exact state the stats-first write order can leave behind
+    val orphan = Seq((0L, 0.0, 0.0, 0L))
+      .toDF("n_vectors", "mean_dist", "max_cell_share", "live_cells")
+    GenerationedTable.writeAs(orphan, IvfLifecycle.statsDir(store), 2)
+    // readers resolve via the CENTROID pointer: still generation 1
+    assert(GenerationedTable.latest(
+      spark, IvfLifecycle.centroidsDir(store)).contains(1))
+    assert(IvfLifecycle.driftCheck(vecs, store).generation == 1)
+    // the next retrain re-derives gen 2 from the centroid dir and
+    // overwrites the orphan — no require-mismatch, no wedge
+    val g2 = IvfLifecycle.retrain(drifted, k = 8, iters = 2, store)
+    assert(g2 == 2)
+    assert(IvfLifecycle.baselineStats(spark, store, 2).nVectors == vecs.count())
+    assert(IvfLifecycle.driftCheck(drifted, store).generation == 2)
+    cleanup()
+  }
+
+  test("driftStats refuses an empty corpus with a descriptive error") {
+    cleanup()
+    IvfLifecycle.retrain(vecs, k = 8, iters = 2, store)
+    val e = intercept[IllegalArgumentException] {
+      IvfLifecycle.driftCheck(vecs.filter(col("vec_id") < 0), store)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    cleanup()
+  }
+
+  test("a partial boundary seed write (no completion marker) is rerun, " +
+       "not mistaken for done") {
+    cleanup()
+    val all = vecs.as[(Long, Array[Float])].collect()
+    val chunks = all.groupBy(_._1 % 2).toSeq.sortBy(_._1).map(_._2)
+    def chunkDf(i: Int) = chunks(i).toIndexedSeq.toDF("vec_id", "embedding")
+    IvfLifecycle.retrain(chunkDf(0), k = 8, iters = 2, store)
+    SemanticStreams.processBatchGenerationed(chunkDf(0), 0L, store,
+      vecT, pairT, asnD, buckets = 4)
+    IvfLifecycle.retrain(chunkDf(0), k = 8, iters = 2, store) // gen 2
+    // simulate a crash mid-seed: gen-2 dir exists with a PARTIAL slice
+    // (only half the accumulated corpus reassigned) and no marker
+    val gen2Cent = GenerationedTable.read(
+      spark, IvfLifecycle.centroidsDir(store), Some(2))
+    IvfQuantizer.assignVectors(
+        chunkDf(0).limit(chunks(0).length / 2), gen2Cent)
+      .write.mode("overwrite")
+      .parquet(s"${SemanticStreams.asnGenDir(asnD, 2)}/ingest_batch=-1")
+    // the replayed boundary batch must rerun the seed overwrite: the
+    // old dir-existence gate would have adopted the partial slice
+    SemanticStreams.processBatchGenerationed(chunkDf(1), 1L, store,
+      vecT, pairT, asnD, buckets = 4)
+    val gen2Asn = spark.read.parquet(SemanticStreams.asnGenDir(asnD, 2))
+    assert(asnKey(gen2Asn) == asnKey(IvfQuantizer.assignVectors(
+      chunkDf(0).unionByName(chunkDf(1)), gen2Cent)),
+      "generation-2 index must cover the FULL accumulated corpus")
+    cleanup()
+  }
+
   test("streamed assignments switch generations at the batch boundary " +
        "and equal a batch rebuild on the new generation") {
     cleanup()
