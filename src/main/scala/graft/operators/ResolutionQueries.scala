@@ -38,16 +38,82 @@ import graft.{Q, Tables}
   */
 object ResolutionQueries {
 
-  /** DuckDB CTE: blocked fuzzy-match pairs, optionally key-bounded. */
+  /** Hot-block cap (round-8 verdict item 2): the one way blocked ER
+    * degenerates at scale is a popular block key — membership grows
+    * linearly with the corpus and candidate pairs quadratically, so one
+    * hot block becomes a straggler task (the LSH bucket problem,
+    * record-linkage-shaped). Blocks over the cap are SUB-BLOCKED: their
+    * members split into ceil(n/cap) slices by `id % nsub`, so the
+    * candidate join stays bounded at ~cap² per slice. Recall contract:
+    * within-hot-block pairs that land in different slices are missed —
+    * the cap trades bounded cost for partial in-block recall (LSH drops
+    * the whole bucket; ER keeps 1/nsub of it, which sub-blocking gets
+    * for free because equality blocks need no band agreement).
+    * [[erOversizedBlocks]] is the telemetry twin an operator alerts on.
+    * Dense sequential ids spread ±1-evenly under mod; the guard is
+    * deterministic, so the DuckDB oracles replay it exactly. */
+  private[graft] val ErMaxBlock = 500
+
+  /** Sub-block refinement over a (id, nm, blk) frame: `blk2` equals
+    * `blk` for within-cap blocks and `blk#<id mod nsub>` inside
+    * oversized ones. The block-size frame is one row per distinct block
+    * key — metadata-sized, AQE broadcasts it onto the scan. */
+  private[graft] def subBlocked(rows: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = rows.groupBy("blk").agg(count(lit(1)).as("bn"))
+    rows.join(sizes, Seq("blk"))
+      .withColumn("nsub",
+        ((col("bn") + lit(maxBlock - 1)) / lit(maxBlock)).cast("long"))
+      .withColumn("blk2",
+        when(col("bn") <= maxBlock, col("blk"))
+          .otherwise(concat(col("blk"), lit("#"),
+            (col("id") % col("nsub")).cast("string"))))
+      .select("id", "nm", "blk2")
+  }
+
+  /** Telemetry twin of the cap: blocks whose membership exceeds it,
+    * with the slice count the guard split them into. */
+  private[graft] def erOversizedBlocks(rows: DataFrame,
+                                       maxBlock: Int = ErMaxBlock): DataFrame =
+    rows.groupBy("blk")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBlock)
+      .withColumn("n_sub",
+        ((col("n_members") + lit(maxBlock - 1)) / lit(maxBlock)).cast("long"))
+
+  /** The demographic blocking frame both match stages share. */
+  private[graft] def demographicRows(s: SparkSession, d: String,
+                                     bound: Option[Int]): DataFrame = {
+    val base0 = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val base = bound.map(b => base0.filter(col("c_custkey") < b)).getOrElse(base0)
+    base.select(col("c_custkey").as("id"), col("c_name").as("nm"),
+      concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("blk"))
+  }
+
+  /** DuckDB CTEs: sub-block replay + blocked fuzzy-match pairs,
+    * optionally key-bounded — the exact arithmetic of [[subBlocked]]
+    * (`//` is DuckDB integer division; ids are positive, so `%` agrees
+    * with Spark's). */
   private def matchCte(bound: Option[Int]): String = {
-    val slice = bound.map(b => s"AND a.c_custkey < $b AND b.c_custkey < $b").getOrElse("")
-    s"""m AS (
+    val slice = bound.map(b => s"WHERE c_custkey < $b").getOrElse("")
+    s"""er_r0 AS (
+       |  SELECT c_custkey, c_name,
+       |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS blk
+       |  FROM customer $slice
+       |), er_bs AS (
+       |  SELECT blk, count(*) AS bn FROM er_r0 GROUP BY blk
+       |), er_rs AS (
+       |  SELECT r.c_custkey, r.c_name,
+       |    CASE WHEN b.bn <= $ErMaxBlock THEN r.blk
+       |         ELSE r.blk || '#' || CAST(r.c_custkey %
+       |           ((b.bn + ${ErMaxBlock - 1}) // $ErMaxBlock) AS VARCHAR)
+       |    END AS blk2
+       |  FROM er_r0 r JOIN er_bs b USING (blk)
+       |), m AS (
        |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
        |    levenshtein(a.c_name, b.c_name) AS dist
-       |  FROM customer a JOIN customer b
-       |    ON a.c_nationkey = b.c_nationkey
-       |    AND a.c_mktsegment = b.c_mktsegment
-       |    AND a.c_custkey < b.c_custkey $slice
+       |  FROM er_rs a JOIN er_rs b
+       |    ON a.blk2 = b.blk2 AND a.c_custkey < b.c_custkey
        |  WHERE levenshtein(a.c_name, b.c_name) <= 2
        |)""".stripMargin
   }
@@ -57,17 +123,21 @@ object ResolutionQueries {
     * recursive-CTE oracle stays cheap; the unbounded match itself is
     * verified by q_er_fuzzy_match. */
   private[graft] def matchPairs(s: SparkSession, d: String,
-                                bound: Option[Int]): DataFrame = {
-    val base0 = Tables.customer(s, d)
-      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-    val base = bound.map(b => base0.filter(col("c_custkey") < b)).getOrElse(base0)
+                                bound: Option[Int]): DataFrame =
+    matchPairsFrom(s, demographicRows(s, d, bound), ErMaxBlock)
+
+  /** Blocked banded-levenshtein match over an (id, nm, blk) frame with
+    * the hot-block guard applied. Pure plan construction. */
+  private[graft] def matchPairsFrom(s: SparkSession, rows: DataFrame,
+                                    maxBlock: Int): DataFrame = {
+    val sb = subBlocked(rows, maxBlock)
     // spread the probe side: the whole customer table is one parquet
     // split at bench scale, and the blocked match would otherwise run
     // its levenshtein loop as a single task
-    val a = base.toDF("cust_a", "name_a", "nat", "seg")
+    val a = sb.toDF("cust_a", "name_a", "blk2")
       .repartition(s.sparkContext.defaultParallelism, col("cust_a"))
-    val b = base.toDF("cust_b", "name_b", "nat", "seg")
-    a.join(b, Seq("nat", "seg"))
+    val b = sb.toDF("cust_b", "name_b", "blk2")
+    a.join(b, Seq("blk2"))
       .filter(col("cust_a") < col("cust_b"))
       // 3-arg banded variant: O(threshold·n) early-exit DP per pair
       // (vs the full O(n²) table), -1 when the band is exceeded —
@@ -165,39 +235,58 @@ object ResolutionQueries {
     * pass by pass while cost stays Σ (per-pass block sizes)² — the
     * same additive-recall shape as the LSH band union in
     * [[DedupQueries]]. */
+  /** The suffix blocking frame (last 3 name characters) of the second
+    * multiblock pass. */
+  private[graft] def suffixRows(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("id"),
+      col("c_name").as("nm"), substring(col("c_name"), -3, 3).as("blk"))
+
+  /** DuckDB sub-block replay for one blocking pass: `<p>_rs` holds
+    * (c_custkey, c_name, blk2) with [[subBlocked]]'s guard applied. */
+  private def subCte(p: String, blkSql: String): String =
+    s"""${p}_r0 AS (
+       |  SELECT c_custkey, c_name, $blkSql AS blk FROM customer
+       |), ${p}_bs AS (
+       |  SELECT blk, count(*) AS bn FROM ${p}_r0 GROUP BY blk
+       |), ${p}_rs AS (
+       |  SELECT r.c_custkey, r.c_name,
+       |    CASE WHEN b.bn <= $ErMaxBlock THEN r.blk
+       |         ELSE r.blk || '#' || CAST(r.c_custkey %
+       |           ((b.bn + ${ErMaxBlock - 1}) // $ErMaxBlock) AS VARCHAR)
+       |    END AS blk2
+       |  FROM ${p}_r0 r JOIN ${p}_bs b USING (blk)
+       |)""".stripMargin
+
+  /** One guarded candidate pass over an (id, nm, blk) frame. */
+  private def candPass(s: SparkSession, rows: DataFrame): DataFrame = {
+    val sb = subBlocked(rows, ErMaxBlock)
+    val a = sb.toDF("cust_a", "name_a", "blk2")
+      .repartition(s.sparkContext.defaultParallelism,
+                   col("cust_a")) // spread the probe side (see matchPairs)
+    val b = sb.toDF("cust_b", "name_b", "blk2")
+    a.join(b, Seq("blk2")).filter(col("cust_a") < col("cust_b"))
+      .select("cust_a", "cust_b", "name_a", "name_b")
+  }
+
   val multiBlock = Q(
     "q_er_multiblock",
-    """WITH cand AS (
-      |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-      |    a.c_name AS name_a, b.c_name AS name_b
-      |  FROM customer a JOIN customer b
-      |    ON a.c_nationkey = b.c_nationkey
-      |    AND a.c_mktsegment = b.c_mktsegment
-      |    AND a.c_custkey < b.c_custkey
-      |  UNION
-      |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
-      |  FROM customer a JOIN customer b
-      |    ON right(a.c_name, 3) = right(b.c_name, 3)
-      |    AND a.c_custkey < b.c_custkey
-      |)
-      |SELECT cust_a, cust_b, levenshtein(name_a, name_b) AS dist
-      |FROM cand WHERE levenshtein(name_a, name_b) <= 2
-      |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
-    val base = Tables.customer(s, d)
-      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-    def pass(blockCols: DataFrame => DataFrame): DataFrame = {
-      val a = blockCols(base).toDF("cust_a", "name_a", "blk")
-        .repartition(s.sparkContext.defaultParallelism,
-                     col("cust_a")) // spread the probe side (see matchPairs)
-      val b = blockCols(base).toDF("cust_b", "name_b", "blk")
-      a.join(b, Seq("blk")).filter(col("cust_a") < col("cust_b"))
-        .select("cust_a", "cust_b", "name_a", "name_b")
-    }
-    val demographic = pass(df => df.select(col("c_custkey"), col("c_name"),
-      concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("blk")))
-    val suffix = pass(df => df.select(col("c_custkey"), col("c_name"),
-      substring(col("c_name"), -3, 3).as("blk")))
-    demographic.union(suffix).distinct()
+    s"""WITH ${subCte("d", "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")},
+       |${subCte("sf", "right(c_name, 3)")},
+       |cand AS (
+       |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       |    a.c_name AS name_a, b.c_name AS name_b
+       |  FROM d_rs a JOIN d_rs b
+       |    ON a.blk2 = b.blk2 AND a.c_custkey < b.c_custkey
+       |  UNION
+       |  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+       |  FROM sf_rs a JOIN sf_rs b
+       |    ON a.blk2 = b.blk2 AND a.c_custkey < b.c_custkey
+       |)
+       |SELECT cust_a, cust_b, levenshtein(name_a, name_b) AS dist
+       |FROM cand WHERE levenshtein(name_a, name_b) <= 2
+       |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
+    candPass(s, demographicRows(s, d, None))
+      .union(candPass(s, suffixRows(s, d))).distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
       .filter(col("dist") >= 0) // banded early-exit DP (see matchPairs)
       .select("cust_a", "cust_b", "dist")
