@@ -143,6 +143,7 @@ object SparkEntry {
     ChunkingQueries.chunkOverlap,
     ChunkingQueries.lengthBuckets,
     ChunkingQueries.bpePairs,
+    ChunkingQueries.bpeMergesQ,
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,
     WarehouseQueries.zorderKey,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions.tokens
@@ -91,6 +92,143 @@ object ChunkingQueries {
       .select(col("w").substr(col("i"), lit(2)).as("pair"), col("wn"))
       .groupBy("pair").agg(sum(col("wn")).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
+  // -------------------------------------------------------------------
+  // Full BPE merge loop (round-8 verdict item 4): q_bpe_pairs computes
+  // the FIRST merge's statistic; this is the trainer that iterates it.
+  // -------------------------------------------------------------------
+
+  /** Number of unrolled merge supersteps the trainer runs. */
+  final val BpeMerges = 10
+
+  /** Symbol separator for the merge state (U+001F unit separator — not
+    * whitespace, so it never appears inside a whitespace token; a corpus
+    * that DID embed it would corrupt both engines identically). Each
+    * symbol is individually wrapped (`␟sym␟`), so one greedy
+    * left-to-right merge of pair (a, b) is literally
+    * `replace(state, '␟a␟␟b␟', '␟ab␟')`: back-to-back occurrences share
+    * no characters and standard resume-after-replacement semantics give
+    * exactly BPE's non-overlapping left-to-right scan — identical in
+    * Spark and DuckDB, so the oracle replays the whole loop. */
+  private[graft] final val BpeSep = "\u001f"
+
+  /** Initial merge state of a word: every character wrapped. */
+  private[graft] def bpeWrap(w: Column): Column =
+    array_join(
+      transform(sequence(lit(1), length(w)),
+        i => concat(lit(BpeSep), w.substr(i, lit(1)), lit(BpeSep))), "")
+
+  /** One greedy merge of (pa, pb) applied to a wrapped state. */
+  private[graft] def bpeApplyMerge(syms: Column, pa: Column, pb: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val sep = lit(BpeSep)
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.StringReplace(
+      GraftBridge.expression(syms),
+      GraftBridge.expression(concat(sep, pa, sep, sep, pb, sep)),
+      GraftBridge.expression(concat(sep, pa, pb, sep))))
+  }
+
+  /** Wrapped state back to its symbol array. */
+  private[graft] def bpeSymbols(syms: Column): Column =
+    split(trim(syms, BpeSep), BpeSep + BpeSep)
+
+  /** The trained merge table (step, pair_a, pair_b, merged, n) as a
+    * persisted [[graft.sources.IndexCatalog]] artifact — BPE training is
+    * train-once/serve-many exactly like the IVF quantizer.
+    *
+    * Each superstep: pair counts over the current vocabulary state
+    * (explode bounded by word length, hash-agg at pair-vocabulary size),
+    * deterministic argmax (max count, then lexicographic pair), merge
+    * applied via one codegen'd string replace. The state is
+    * MATERIALIZED per step (vocabulary-sized parquet): the frame feeds
+    * both the argmax and the next state, and an unmaterialized chain
+    * would re-execute its lineage exponentially in the step count —
+    * the same reason iterative k-means materializes between rounds. No
+    * driver-side data; the merge decision stays a 1-row broadcast
+    * frame. */
+  private[graft] def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"bpe_merges_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(ChunkingQueries.getClass, Tables.getClass,
+          graft.functions.TextFunctions.getClass)) { dir =>
+      var vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        .select(col("w"), col("wn"), bpeWrap(col("w")).as("syms"))
+      for (step <- 1 to BpeMerges) {
+        vocab.write.mode("overwrite").parquet(s"$dir/state_$step")
+        val st = s.read.parquet(s"$dir/state_$step")
+        val pairs = st
+          .select(col("wn"), bpeSymbols(col("syms")).as("a"))
+          .filter(size(col("a")) >= 2) // sequence(0, -1) would descend
+          .select(col("wn"), col("a"),
+            explode(sequence(lit(0), size(col("a")) - 2)).as("i"))
+          .select(col("wn"), expr("a[i]").as("pa"), expr("a[i+1]").as("pb"))
+        pairs.groupBy("pa", "pb").agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+          .withColumn("step", lit(step.toLong))
+          .write.mode("overwrite").parquet(s"$dir/merge_$step")
+        val best = s.read.parquet(s"$dir/merge_$step").select("pa", "pb")
+        vocab = st.crossJoin(broadcast(best))
+          .withColumn("syms", bpeApplyMerge(col("syms"), col("pa"), col("pb")))
+          .select("w", "wn", "syms")
+      }
+      (1 to BpeMerges).map(i => s.read.parquet(s"$dir/merge_$i"))
+        .reduce(_ unionByName _)
+        .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"),
+                concat(col("pa"), col("pb")).as("merged"), col("n"))
+        .write.mode("overwrite").parquet(s"$dir/merges")
+    }
+    s.read.parquet(s"$dir/merges")
+  }
+
+  /** The DuckDB replay of the whole loop, unrolled: v0 is the wrapped
+    * vocabulary, step CTEs (p/b/v) mirror pair-count → argmax → replace
+    * exactly (list indexing is 1-based there, 0-based in Spark). */
+  private def bpeOracle: String = {
+    val sep = "chr(31)"
+    val steps = (1 to BpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT v.wn, v.a[i] AS pa, v.a[i + 1] AS pb
+         |  FROM (SELECT wn, string_split(trim(syms, $sep), $sep || $sep) AS a
+         |        FROM v${k - 1}) v,
+         |       unnest(range(1, len(a))) AS u(i)
+         |), b$k AS (
+         |  SELECT pa, pb, CAST(sum(wn) AS BIGINT) AS n, $k AS step
+         |  FROM p$k GROUP BY pa, pb ORDER BY n DESC, pa, pb LIMIT 1
+         |), v$k AS (
+         |  SELECT w, wn,
+         |    replace(syms, $sep || pa || $sep || $sep || pb || $sep,
+         |            $sep || pa || pb || $sep) AS syms
+         |  FROM v${k - 1} CROSS JOIN b$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT w, count(*) AS wn FROM (
+       |    SELECT unnest($W) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |), v0 AS (
+       |  SELECT w, wn,
+       |    array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> $sep || substr(w, i, 1) || $sep), '') AS syms
+       |  FROM wc
+       |),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, pa AS pair_a, pb AS pair_b,
+       |  pa || pb AS merged, n
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The trained merge sequence, served from the artifact. */
+  val bpeMergesQ = Q("q_bpe_merges", bpeOracle) { (s, d) =>
+    bpeMergeTable(s, d)
+      .select("step", "pair_a", "pair_b", "merged", "n")
+      .orderBy("step")
   }
 
   /** Bucket width for the length profile: 16 tokens. */

@@ -38,5 +38,6 @@ object IndexBuilds {
     "idx_sem2_pairs"    -> ((s, d) => { DedupQueries.semPairs2(s, d); () }),
     "idx_knn"           -> ((s, d) => { SimilarityQueries.knnEdges(s, d); () }),
     "idx_inverted"      -> ((s, d) => { TextQueries.invertedIndex(s, d); () }),
-    "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }))
+    "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }),
+    "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }))
 }

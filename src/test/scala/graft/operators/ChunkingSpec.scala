@@ -54,6 +54,57 @@ class ChunkingSpec extends SparkSpec {
     assert(byStart(0L).endsWith("w64") && byStart(48L).startsWith("w49"))
   }
 
+  test("bpe merge is greedy left-to-right non-overlapping") {
+    import org.apache.spark.sql.functions._
+    // wrap -> merge (a,b) -> unwrap, over the adversarial shapes
+    val out = Seq("abab", "aaa", "bab", "ab", "a", "ba")
+      .toDF("w")
+      .select(col("w"), ChunkingQueries.bpeSymbols(
+        ChunkingQueries.bpeApplyMerge(
+          ChunkingQueries.bpeWrap(col("w")), lit("a"), lit("b"))).as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abab") == Seq("ab", "ab"), "back-to-back pairs both merge")
+    assert(out("aaa") == Seq("a", "a", "a"), "no (a,b) occurrence -> untouched")
+    assert(out("bab") == Seq("b", "ab"))
+    assert(out("ab") == Seq("ab"))
+    assert(out("a") == Seq("a"))
+    assert(out("ba") == Seq("b", "a"))
+    // greedy (a,a) on runs: leftmost pair wins, scan resumes after it
+    val aa = Seq("aaa", "aaaa", "aaaaa").toDF("w")
+      .select(col("w"), ChunkingQueries.bpeSymbols(
+        ChunkingQueries.bpeApplyMerge(
+          ChunkingQueries.bpeWrap(col("w")), lit("a"), lit("a"))).as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(aa("aaa") == Seq("aa", "a"))
+    assert(aa("aaaa") == Seq("aa", "aa"))
+    assert(aa("aaaaa") == Seq("aa", "aa", "a"))
+  }
+
+  test("bpe merge table: deterministic merges on a hand-built corpus") {
+    // corpus: "low low low lower lowest"-style — classic BPE example
+    writeDocs(Seq("low low low", "lower lower", "lowest"))
+    val p = new org.apache.hadoop.fs.Path("/tmp/graft_catalog")
+    sys.props("graft.catalog.rebuild") = "1"
+    try {
+      val merges = ChunkingQueries.bpeMergeTable(spark, dir)
+        .orderBy("step")
+        .select("step", "pair_a", "pair_b", "merged", "n")
+        .as[(Long, String, String, String, Long)].collect()
+      // the corpus EXHAUSTS after 6 merges (every word one symbol), so
+      // later steps produce no merge row — the natural stop condition
+      assert(merges.map(m => (m._1, m._4, m._5)).toSeq == Seq(
+        (1L, "lo", 6L),     // "lo"/"ow" tie at 6 -> lexicographic lo
+        (2L, "low", 6L),    // (lo, w)
+        (3L, "lowe", 3L),   // (low, e): 3 beats (e, r): 2
+        (4L, "lower", 2L),
+        (5L, "lowes", 1L),  // (lowe,s)/(lowes,t)/... tie at 1 -> lex
+        (6L, "lowest", 1L)))
+      assert(merges(0)._2 == "l" && merges(0)._3 == "o")
+      assert(merges(2)._2 == "low" && merges(2)._3 == "e",
+        "merged symbols build on earlier merges (the iterated part)")
+    } finally sys.props.remove("graft.catalog.rebuild")
+  }
+
   test("length buckets: integral bucketing and pad-to-longest accounting") {
     writeDocs(Seq(word(3), word(15), word(16), word(20), word(31)))
     // lengths 3,15 -> bucket 0 (max 15); 16,20,31 -> bucket 1 (max 31)
