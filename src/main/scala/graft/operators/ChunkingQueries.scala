@@ -231,6 +231,74 @@ object ChunkingQueries {
       .orderBy("step")
   }
 
+  /** Chunk-level dedup linkage (round-8 verdict item 5): a document-pair
+    * duplication hit traced to CHUNK granularity — for every verified
+    * near-dup pair in the persisted LSH artifact, each training window
+    * of `doc_a` scored by how much of it also appears in `doc_b`
+    * (distinct word-3-gram containment, the contamination metric at the
+    * RAG/training-window grain). `dup_pct` = 100·|grams(chunk) ∩
+    * shingles(doc_b)| ÷ |grams(chunk)|, floor-integer; chunks with no
+    * 3-gram (under 3 tokens) are excluded.
+    *
+    * Scale shape: NO new training — pairs come from the persisted
+    * artifact; chunking + gram sets are computed only for pair-listed
+    * documents (semi-join pushdown), so cost is |pairs| × chunks/doc,
+    * never corpus². The oracle replays the full LSH chain
+    * ([[DedupQueries.lshCtes]] verbatim) plus the chunk grid. */
+  val chunkDedup = Q(
+    "q_chunk_dedup",
+    s"""WITH ${DedupQueries.lshCtes},
+       |chunks0 AS (
+       |  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+       |    w[u.s + 1 : u.s + $ChunkSize] AS cw
+       |  FROM (SELECT doc_id, $W AS w FROM documents) t,
+       |       unnest(range(0, len(w), $ChunkStride)) AS u(s)
+       |  WHERE doc_id IN (SELECT doc_a FROM vpairs)
+       |), chunks AS (
+       |  SELECT doc_id, start,
+       |    list_distinct([array_to_string(cw[i:i+2], ' ')
+       |                    for i in range(1, len(cw) - 1)]) AS cg
+       |  FROM chunks0
+       |)
+       |SELECT p.doc_a, p.doc_b, c.start,
+       |  CAST(len(c.cg) AS BIGINT) AS n_grams,
+       |  CAST((100 * len(list_intersect(c.cg, sb.ss))) // len(c.cg)
+       |       AS BIGINT) AS dup_pct
+       |FROM vpairs p
+       |JOIN chunks c ON c.doc_id = p.doc_a
+       |JOIN sh sb ON sb.doc_id = p.doc_b
+       |WHERE len(c.cg) > 0
+       |ORDER BY doc_a, doc_b, start""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.wordShingles
+    val pairs = DedupQueries.lshPairs(s, d).select("doc_a", "doc_b")
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val chunks = docs
+      .join(pairs.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride)))
+          .as("start0"),
+        col("w"))
+      .select(col("doc_id").as("doc_a"), col("start0").cast("long").as("start"),
+        array_distinct(wordShingles(
+          slice(col("w"), col("start0") + 1, lit(ChunkSize)), 3)).as("cg"))
+      .filter(size(col("cg")) > 0)
+    val partnerSh = docs
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id").as("doc_b"),
+        array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    pairs
+      .join(chunks, Seq("doc_a"))
+      .join(partnerSh, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("start"),
+        size(col("cg")).cast("long").as("n_grams"),
+        (size(array_intersect(col("cg"), col("ss"))) * 100).as("ninter100"),
+        size(col("cg")).as("ng"))
+      .withColumn("dup_pct", expr("ninter100 div ng").cast("long"))
+      .select("doc_a", "doc_b", "start", "n_grams", "dup_pct")
+      .orderBy("doc_a", "doc_b", "start")
+  }
+
   /** Bucket width for the length profile: 16 tokens. */
   final val BucketWidth = 16
 
