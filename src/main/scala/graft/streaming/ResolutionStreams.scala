@@ -12,7 +12,12 @@ import graft.sources.UpsertBucketedSink
   * (levenshtein ≤ 2) against the ACCUMULATED block index, so a record
   * links to every earlier record it matches the moment it arrives —
   * the always-current Customer360 linkage a nightly batch can only
-  * approximate. Batch twin: `q_er_fuzzy_match`.
+  * approximate. BOTH batch blocking passes stream: the demographic key
+  * and the name-suffix key each contribute pass-tagged block rows
+  * (`d|…` / `s|…` — tags keep the key spaces disjoint, so a cross-pass
+  * key collision can never invent a candidate the batch run lacks), and
+  * the match dedups on the pair exactly like the batch union. Batch
+  * twin: `q_er_multiblock` (recall INCLUDING the suffix-pass matches).
   *
   * Per-batch cost is |delta| × matching block widths: the block key is
   * one scalar expression on the arriving row (nothing corpus-sized is
@@ -20,8 +25,8 @@ import graft.sources.UpsertBucketedSink
   * and the stored block index is read, not re-derived. State mirrors
   * the LSH stream:
   *
-  *  - `custTable` (cust_id, name, blk): records seen so far, a keyed
-  *    merge ([[UpsertBucketedSink]]);
+  *  - `custTable` (cust_id, name): records seen so far, a keyed
+  *    merge ([[UpsertBucketedSink]]), one row per record;
   *  - `pairTable` (cust_a, cust_b, dist): matched pairs, keyed by the
   *    pair;
   *  - `blockDir`: the persisted block index (blk, cust_id, name),
@@ -36,18 +41,32 @@ import graft.sources.UpsertBucketedSink
   * Unlike greedy corpus ingest there is no keep/drop decision here, so
   * stream and nightly batch agree EXACTLY (no greedy divergence class):
   * the accumulated pair set equals the batch run over the same records
-  * regardless of arrival order. */
+  * regardless of arrival order — below the batch hot-block cap. The
+  * batch passes sub-block oversized blocks
+  * ([[graft.operators.ResolutionQueries.subBlocked]]); the stream pairs
+  * within raw blocks (a sub-block id depends on the FINAL block size,
+  * unknowable mid-stream), so an above-cap block keeps its early pairs
+  * where a guarded batch rebuild would slice them — the linkage analog
+  * of the documented greedy/nightly divergence, absent below the cap. */
 object ResolutionStreams {
 
   /** Demographic block key — must match `q_er_fuzzy_match`'s. */
   private def blk(nat: org.apache.spark.sql.Column,
                   seg: org.apache.spark.sql.Column) = concat_ws("|", nat, seg)
 
-  /** (blk, cust_id, name) block-index rows of a record slice. */
-  private[streaming] def blockRowsOf(records: DataFrame): DataFrame =
-    records.select(
-      blk(col("c_nationkey"), col("c_mktsegment")).as("blk"),
-      col("c_custkey").as("cust_id"), col("c_name").as("name"))
+  /** (blk, cust_id, name) block-index rows of a record slice: TWO
+    * pass-tagged rows per record — the demographic key and the
+    * name-suffix key of `q_er_multiblock`'s second pass. */
+  private[streaming] def blockRowsOf(records: DataFrame): DataFrame = {
+    val base = records.select(
+      col("c_custkey").as("cust_id"), col("c_name").as("name"),
+      blk(col("c_nationkey"), col("c_mktsegment")).as("dblk"))
+    base.select(concat(lit("d|"), col("dblk")).as("blk"),
+        col("cust_id"), col("name"))
+      .unionByName(base.select(
+        concat(lit("s|"), substring(col("name"), -3, 3)).as("blk"),
+        col("cust_id"), col("name")))
+  }
 
   /** Incremental match plan: delta block rows against (stored ∪ delta),
     * levenshtein ≤ 2, canonical (min, max) pair orientation. Pure plan
@@ -91,7 +110,7 @@ object ResolutionStreams {
                    buckets: Int = 8): Unit = {
     val s = batch.sparkSession
     val deltaRows = blockRowsOf(batch)
-    val deltaIds = deltaRows.select("cust_id")
+    val deltaIds = batch.select(col("c_custkey").as("cust_id"))
     // replay-safety: a re-applied batch's rows leave the base slice
     val baseRows = readBlocks(s, blockDir, deltaRows)
       .join(deltaIds, Seq("cust_id"), "left_anti")
@@ -101,8 +120,11 @@ object ResolutionStreams {
     // each record enters the stored block index exactly once: the
     // partition is keyed by batchId, so a replay rewrites it in place
     deltaRows.write.mode("overwrite").parquet(s"$blockDir/ingest_batch=$batchId")
+    // the RECORD table stays one row per record (the block index holds
+    // two pass-tagged rows; merging those on cust_id would drop one)
     UpsertBucketedSink(buckets, Seq("cust_id"), "cust_id")
-      .write(deltaRows, custTable)
+      .write(batch.select(col("c_custkey").as("cust_id"),
+        col("c_name").as("name")), custTable)
   }
 
   /** Continuous wiring: a stream of customer records applied

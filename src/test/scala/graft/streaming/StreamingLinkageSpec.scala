@@ -6,11 +6,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Stream/batch parity for entity resolution: customer records arriving
   * in micro-batches through [[ResolutionStreams.linkageStream]] must
-  * accumulate EXACTLY the `q_er_fuzzy_match` pair set — including pairs
-  * whose two records arrived in different micro-batches — and replaying
-  * a micro-batch (restart recovery) must change no table. There is no
-  * keep/drop decision in linkage, so parity is exact by construction,
-  * not merely below a divergence class. */
+  * accumulate EXACTLY the `q_er_multiblock` pair set — BOTH blocking
+  * passes (demographic + name suffix), including pairs whose two
+  * records arrived in different micro-batches — and replaying a
+  * micro-batch (restart recovery) must change no table. There is no
+  * keep/drop decision in linkage, so parity is exact by construction
+  * (below the batch hot-block cap, which this corpus sits under). */
 class StreamingLinkageSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,21 +22,50 @@ class StreamingLinkageSpec extends SparkSpec {
   private def cleanup(): Unit = {
     Seq(custT, pairT, s"${custT}_upsert_staging", s"${pairT}_upsert_staging")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    val p = new org.apache.hadoop.fs.Path(blkD)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Seq(blkD, corpusDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   private def pairKey(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)
 
-  test("micro-batched linkage accumulates the batch match-pair set") {
+  /** sf0.001 customers + synthetic records whose lev≤2 partners share
+    * only the name SUFFIX (differing digit early in the number, nations
+    * apart) — at this SF the natural numbers differ only in their last
+    * 3 digits, so the suffix pass would otherwise sit idle. */
+  private val corpusDir = "/tmp/graft_sl_corpus"
+
+  private def writeCorpus(): Unit = {
+    val synthetic = Seq(
+      (9001L, "Customer#000917777", 1, "AUTOMOBILE"),
+      (9002L, "Customer#000927777", 2, "BUILDING"),   // lev 1 vs 9001, sfx 777
+      (9003L, "Customer#000816666", 3, "FURNITURE"),
+      (9004L, "Customer#000836666", 4, "HOUSEHOLD"),  // lev 1 vs 9003, sfx 666
+      (9005L, "Customer#000745555", 5, "MACHINERY"),
+      (9006L, "Customer#000785555", 6, "AUTOMOBILE")) // lev 1 vs 9005, sfx 555
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .unionByName(synthetic)
+      .write.mode("overwrite").parquet(s"$corpusDir/customer.parquet")
+  }
+
+  test("micro-batched linkage accumulates the batch multiblock pair set") {
     cleanup()
-    val cust = Tables.customer(spark, sf0001)
+    writeCorpus()
+    val cust = Tables.customer(spark, corpusDir)
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
 
-    val expected = ResolutionQueries.matchPairs(spark, sf0001, None)
+    val expected = ResolutionQueries.multiBlock.run(spark, corpusDir)
       .collect().map(pairKey).toSet
-    assert(expected.nonEmpty, "sf0.001 should produce fuzzy matches")
+    val demographicOnly = ResolutionQueries.matchPairs(spark, corpusDir, None)
+      .collect().map(pairKey).toSet
+    assert(expected.nonEmpty, "the corpus should produce fuzzy matches")
+    assert((expected -- demographicOnly).nonEmpty,
+      "the suffix pass should add matches the demographic key misses — " +
+        "otherwise this parity test does not exercise it")
 
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Int, String)]
@@ -53,10 +83,12 @@ class StreamingLinkageSpec extends SparkSpec {
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
       assert(spark.table(custT).count() == all.length,
         "record table should hold every streamed record exactly once")
-      // the stored block index covers every record exactly once
+      // the stored block index covers every record exactly once PER PASS
       val blocks = spark.read.parquet(blkD)
-      assert(blocks.count() == all.length)
+      assert(blocks.count() == 2L * all.length)
       assert(blocks.select("cust_id").distinct().count() == all.length)
+      assert(blocks.filter(org.apache.spark.sql.functions.col("blk")
+        .startsWith("s|")).count() == all.length)
 
       // replay the last micro-batch with ITS batch id (what a restarted
       // stream re-applies): keyed merges and the per-batch block
