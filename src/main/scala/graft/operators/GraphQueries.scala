@@ -39,7 +39,19 @@ object GraphQueries {
   val prBase: Long = prScale * 15 / 100 // (1-d) mass, d = 0.85
   val prIters = 3
 
-  private def oneIter(edges: DataFrame, deg: DataFrame, ranks: DataFrame): DataFrame = {
+  /** One PageRank superstep. Skew posture (pinned by
+    * PagerankSkewGuardSpec): a hot IN-degree vertex never concentrates a
+    * reduce task, because the in-sum aggregation's partial (map-side)
+    * combine collapses the hot key to one row per map partition before
+    * the exchange. A hot OUT-degree (source) key would skew the
+    * contribution join — AQE's skew split structurally cannot fire
+    * inside this co-partitioned multi-join (the rule matches only a
+    * join over two bare shuffle reads), but the production input bounds
+    * out-degree at k by construction (kNN top-3 per node, asserted
+    * against the artifact); a generic unbounded-out-degree graph should
+    * route its contribution join through [[Salting.saltedJoin]], whose
+    * superstep equivalence the spec proves. */
+  private[graft] def oneIter(edges: DataFrame, deg: DataFrame, ranks: DataFrame): DataFrame = {
     val contrib = edges
       .join(deg, Seq("vec_a"))
       .join(ranks.withColumnRenamed("vec_id", "vec_a"), Seq("vec_a"))
