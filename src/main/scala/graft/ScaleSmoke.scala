@@ -102,6 +102,26 @@ object ScaleSmoke {
     }
     sys.props.remove("graft.catalog.rebuild")
 
+    // ---- embedding band-geometry dial (round-8 verdict item 3) ----
+    // candidate-pair count vs corpus size per (planes, bandBits): the
+    // measured tradeoff behind DedupQueries.embGeometry. The 2-bit rows
+    // document the quadratic shape the corpus-scaled rule replaces.
+    val dialSettings = Seq((16, 2), (32, 4), (48, 6))
+    val dial = Seq(("1x", src), ("10x", out)).flatMap { case (tag, dd) =>
+      val v = operators.DedupQueries.embeddingVectors(spark, dd).cache()
+      try {
+        val n = v.count()
+        dialSettings.map { case (p, b) =>
+          val t0 = System.nanoTime()
+          val cand = operators.DedupQueries.embeddingCandidates(v, p, b).count()
+          val pairs = operators.DedupQueries.embeddingPairsFrom(v, p, b).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"""{"corpus":"$tag","n_vecs":$n,"planes":$p,"bits":$b,""" +
+            s""""cand":$cand,"pairs":$pairs,"sec":${math.rint(sec * 1000) / 1000}}"""
+        }
+      } finally v.unpersist()
+    }
+
     // ---- serve pass over the artifact-backed families ----
     val serveNames = Seq(
       "q_dedup_minhash_lsh", "q_dedup_resolve", "q_dedup_cross_source",
@@ -137,6 +157,7 @@ object ScaleSmoke {
       s""""n_vecs":$nVecs,"index_build_sec":$buildTotal,""" +
       s""""serve_sec":$serveTotal,"n_serve":${serve.count(_._2.isDefined)},""" +
       s""""builds":${obj(builds)},"queries":${obj(serve)},""" +
+      s""""emb_dial":${dial.mkString("[", ",", "]")},""" +
       s""""failed":$failed,"src":"$src"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_SMOKE.json"), json.getBytes("UTF-8"))

@@ -725,6 +725,31 @@ object DedupQueries {
       .select("vec_id", "embedding")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** Target expected (band, key) bucket width for the embedding LSH —
+    * the [[LshMaxBucket]] discipline applied to GEOMETRY: a band key of
+    * `bandBits` bits has only 2^bandBits values, so bucket width grows
+    * linearly with the corpus and the candidate join quadratically
+    * unless the key space grows too (the round-8 scale-smoke finding:
+    * the fixed 2-bit keys made idx_emb_pairs 37% of the 10× build). */
+  private[graft] final val EmbTargetBucket = 500
+
+  /** Corpus-scaled band geometry: 8 bands always; bits per band grow as
+    * log2(n / [[EmbTargetBucket]]) so the EXPECTED bucket width stays
+    * ~[[EmbTargetBucket]] at any corpus size. For n ≤ 4·[[EmbTargetBucket]]
+    * (2000 vectors — which covers every oracle-checked SF AND the sf0.1
+    * bench corpus) this lands exactly on the fixed (16 planes, 2 bits)
+    * the DuckDB `embCtes` replays — the oracle geometry IS the small-n
+    * regime of the rule. Recall contract: wider
+    * keys reject more borderline (≈0.45-cosine) pairs per band while
+    * true near-dups (≥0.8, the production regime) still collide;
+    * ScaleSmoke's `emb_dial` section MEASURES candidates/pairs/seconds
+    * per setting rather than guessing. */
+  private[graft] def embGeometry(n: Long): (Int, Int) = {
+    val bits = math.max(2, math.ceil(
+      math.log(n.toDouble / EmbTargetBucket) / math.log(2)).toInt)
+    (8 * bits, bits)
+  }
+
   /** The embedding pair-generation plan over a vector frame: fused
     * map-only hyperplane sign bands → (band, key, vec_id)-only candidate
     * join → exact codegen'd cosine verify at 0.45 via plain equi-joins
@@ -732,19 +757,29 @@ object DedupQueries {
     * a static hint on it is the round-2 "guaranteed OOM at 100 TB"
     * shape. AQE broadcasts the candidate side when it measures small).
     * Pure plan construction for the builder AND the hygiene sweep. */
-  private[graft] def embeddingPairsFrom(v: DataFrame): DataFrame = {
+  /** The candidate half of [[embeddingPairsFrom]] — exposed so the
+    * scale smoke can report the candidate-count-vs-corpus-size curve
+    * per geometry setting. */
+  private[graft] def embeddingCandidates(v: DataFrame, planes: Int,
+                                         bandBits: Int): DataFrame = {
     // fused map-only signatures, one row per band
     val bands = v.select(
       col("vec_id"),
-      posexplode(graft.plans.HyperplaneBands.hyperplaneBands(col("embedding"), 16, 2))
+      posexplode(graft.plans.HyperplaneBands.hyperplaneBands(
+        col("embedding"), planes, bandBits))
         .as(Seq("band", "key")))
     val a = bands.select(col("vec_id").as("vec_a"), col("band"), col("key"))
     val b = bands.select(col("vec_id").as("vec_b"), col("band"), col("key"))
     // key-only candidate join — embeddings never travel through it
-    val cand = a.join(b, Seq("band", "key"))
+    a.join(b, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
+  }
+
+  private[graft] def embeddingPairsFrom(v: DataFrame, planes: Int = 16,
+                                        bandBits: Int = 2): DataFrame = {
+    val cand = embeddingCandidates(v, planes, bandBits)
     val va = v.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val vb = v.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cand
@@ -761,11 +796,16 @@ object DedupQueries {
   private[graft] def embPairs(s: SparkSession, d: String): DataFrame = {
     val dir = IndexCatalog.ensure(s, s"emb_pairs_${IndexCatalog.tag(d)}", inputs = Seq(d),
                                   owners = embOwners) { dir =>
-      // vector frame read 3x within the one materializing pass
-      // (bands + both verify sides): cache, write, unpersist
+      // vector frame read 4x within the one materializing pass (count +
+      // bands + both verify sides): cache, write, unpersist
       val v = embeddingVectors(s, d).cache()
-      try embeddingPairsFrom(v).write.mode("overwrite").parquet(s"$dir/pairs")
-      finally v.unpersist()
+      try {
+        // corpus-scaled geometry; equals the oracle's (16, 2) at every
+        // SF the correctness gate runs (see embGeometry)
+        val (planes, bits) = embGeometry(v.count())
+        embeddingPairsFrom(v, planes, bits)
+          .write.mode("overwrite").parquet(s"$dir/pairs")
+      } finally v.unpersist()
     }
     s.read.parquet(s"$dir/pairs")
   }

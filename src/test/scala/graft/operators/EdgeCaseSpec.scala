@@ -86,4 +86,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(asn.count() == graft.Tables.embeddings(spark, sf0001).count())
     spark.catalog.clearCache()
   }
+
+  test("embGeometry: oracle regime below 4x target bucket, log-scaled above") {
+    import DedupQueries.embGeometry
+    // every oracle-checked SF and the sf0.1 bench corpus (<= 2000 vecs)
+    // land on the fixed oracle geometry
+    for (n <- Seq(1L, 200L, 2000L)) assert(embGeometry(n) == (16, 2))
+    // beyond: bits grow as ceil(log2(n / 500)), 8 bands always
+    assert(embGeometry(4000L) == (24, 3))
+    assert(embGeometry(20000L) == (48, 6))   // the 10x smoke corpus
+    assert(embGeometry(2000000L) == (96, 12))
+    // expected bucket width stays ~target: n / 2^bits <= target
+    for (n <- Seq(4000L, 20000L, 2000000L)) {
+      val (_, bits) = embGeometry(n)
+      assert(n.toDouble / (1 << bits) <= DedupQueries.EmbTargetBucket)
+    }
+  }
 }

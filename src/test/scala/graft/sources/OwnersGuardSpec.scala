@@ -35,8 +35,11 @@ class OwnersGuardSpec extends AnyFunSuite {
     *  - IndexCatalog: the lifecycle machinery itself — it computes keys,
     *    manifests and fingerprints but never the artifact contents; a
     *    format change is versioned by its own manifest compatibility;
+    *  - GraftBridge: the pure Column ⇄ Expression converter — no data
+    *    semantics, just Spark-4 visibility plumbing;
     *  - SparkSpec/test helpers never appear in main sources. */
-  private val exempt = Set("graft.sources.IndexCatalog")
+  private val exempt = Set("graft.sources.IndexCatalog",
+    "org.apache.spark.sql.GraftBridge")
 
   private def readAll(p: Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
