@@ -144,6 +144,7 @@ object SparkEntry {
     ChunkingQueries.lengthBuckets,
     ChunkingQueries.bpePairs,
     ChunkingQueries.bpeMergesQ,
+    ChunkingQueries.bpeTokenize,
     ChunkingQueries.chunkDedup,
     // warehouse maintenance + data layout
     WarehouseQueries.scd2,

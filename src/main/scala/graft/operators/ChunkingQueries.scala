@@ -147,9 +147,9 @@ object ChunkingQueries {
     * the same reason iterative k-means materializes between rounds. No
     * driver-side data; the merge decision stays a 1-row broadcast
     * frame. */
-  private[graft] def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
+  private def bpeArtifactDir(s: SparkSession, d: String): String = {
     import graft.sources.IndexCatalog
-    val dir = IndexCatalog.ensure(s, s"bpe_merges_${IndexCatalog.tag(d)}",
+    IndexCatalog.ensure(s, s"bpe_merges_${IndexCatalog.tag(d)}",
         inputs = Seq(d),
         owners = Seq(ChunkingQueries.getClass, Tables.getClass,
           graft.functions.TextFunctions.getClass)) { dir =>
@@ -171,24 +171,46 @@ object ChunkingQueries {
           .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
           .withColumn("step", lit(step.toLong))
           .write.mode("overwrite").parquet(s"$dir/merge_$step")
+        // sentinel guard: when the corpus EXHAUSTS (no pair left), the
+        // raw best frame is empty and a bare cross join would wipe the
+        // state; the ('','') sentinel's pattern (4 separators in a row)
+        // can never occur in a state of non-empty symbols, so applying
+        // it is a no-op merge. The oracle replays the same guard (bg_k)
         val best = s.read.parquet(s"$dir/merge_$step").select("pa", "pb")
-        vocab = st.crossJoin(broadcast(best))
+        val guarded = best.withColumn("pri", lit(0))
+          .unionByName(s.range(1).select(
+            lit("").as("pa"), lit("").as("pb"), lit(1).as("pri")))
+          .orderBy("pri").limit(1).select("pa", "pb")
+        vocab = st.crossJoin(broadcast(guarded))
           .withColumn("syms", bpeApplyMerge(col("syms"), col("pa"), col("pb")))
           .select("w", "wn", "syms")
       }
+      // the trained TOKENIZER: final per-word segmentation + token count
+      vocab.select(col("w"), col("wn"),
+          size(bpeSymbols(col("syms"))).cast("long").as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$dir/vocab")
       (1 to BpeMerges).map(i => s.read.parquet(s"$dir/merge_$i"))
         .reduce(_ unionByName _)
         .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"),
                 concat(col("pa"), col("pb")).as("merged"), col("n"))
         .write.mode("overwrite").parquet(s"$dir/merges")
     }
-    s.read.parquet(s"$dir/merges")
   }
 
+  /** The trained merge table, served from the artifact. */
+  private[graft] def bpeMergeTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${bpeArtifactDir(s, d)}/merges")
+
+  /** Per-word segmentation of the trained tokenizer (w, wn, n_tokens),
+    * served from the same artifact as [[bpeMergeTable]]. */
+  private[graft] def bpeVocab(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${bpeArtifactDir(s, d)}/vocab")
+
   /** The DuckDB replay of the whole loop, unrolled: v0 is the wrapped
-    * vocabulary, step CTEs (p/b/v) mirror pair-count → argmax → replace
-    * exactly (list indexing is 1-based there, 0-based in Spark). */
-  private def bpeOracle: String = {
+    * vocabulary, step CTEs (p/b/bg/v) mirror pair-count → argmax →
+    * sentinel guard → replace exactly (list indexing is 1-based there,
+    * 0-based in Spark). Shared by the merges and tokenize oracles. */
+  private def bpeCtes: String = {
     val sep = "chr(31)"
     val steps = (1 to BpeMerges).map { k =>
       s"""p$k AS (
@@ -199,16 +221,19 @@ object ChunkingQueries {
          |), b$k AS (
          |  SELECT pa, pb, CAST(sum(wn) AS BIGINT) AS n, $k AS step
          |  FROM p$k GROUP BY pa, pb ORDER BY n DESC, pa, pb LIMIT 1
+         |), bg$k AS (
+         |  SELECT pa, pb FROM (
+         |    SELECT pa, pb, 0 AS pri FROM b$k
+         |    UNION ALL SELECT '', '', 1)
+         |  ORDER BY pri LIMIT 1
          |), v$k AS (
          |  SELECT w, wn,
          |    replace(syms, $sep || pa || $sep || $sep || pb || $sep,
          |            $sep || pa || pb || $sep) AS syms
-         |  FROM v${k - 1} CROSS JOIN b$k
+         |  FROM v${k - 1} CROSS JOIN bg$k
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges).map(k => s"SELECT * FROM b$k")
-      .mkString(" UNION ALL ")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT w, count(*) AS wn FROM (
        |    SELECT unnest($W) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w
@@ -218,17 +243,55 @@ object ChunkingQueries {
        |      i -> $sep || substr(w, i, 1) || $sep), '') AS syms
        |  FROM wc
        |),
-       |$steps
-       |SELECT CAST(step AS BIGINT) AS step, pa AS pair_a, pb AS pair_b,
-       |  pa || pb AS merged, n
-       |FROM ($union) ORDER BY step""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** The trained merge sequence, served from the artifact. */
-  val bpeMergesQ = Q("q_bpe_merges", bpeOracle) { (s, d) =>
+  val bpeMergesQ = Q(
+    "q_bpe_merges",
+    s"""WITH $bpeCtes
+       |SELECT CAST(step AS BIGINT) AS step, pa AS pair_a, pb AS pair_b,
+       |  pa || pb AS merged, n
+       |FROM (${(1 to BpeMerges).map(k => s"SELECT * FROM b$k")
+                 .mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin) { (s, d) =>
     bpeMergeTable(s, d)
       .select("step", "pair_a", "pair_b", "merged", "n")
       .orderBy("step")
+  }
+
+  /** The trained tokenizer APPLIED: every corpus word segmented by the
+    * learned merges, rolled up per source — word occurrences, BPE
+    * tokens, and the tokens-per-1000-words compression the mixture/
+    * packing stages budget with. The join is vocabulary-sized (AQE
+    * broadcasts it onto the word stream); the oracle replays the whole
+    * training loop ([[bpeCtes]]) and then the application. */
+  val bpeTokenize = Q(
+    "q_bpe_tokenize",
+    s"""WITH $bpeCtes,
+       |tok AS (
+       |  SELECT w, CAST(len(string_split(trim(syms, chr(31)),
+       |    chr(31) || chr(31))) AS BIGINT) AS n_tok
+       |  FROM v$BpeMerges
+       |), dw AS (
+       |  SELECT source, unnest($W) AS w FROM documents
+       |)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST((1000 * sum(t.n_tok)) // count(*) AS BIGINT) AS tokens_per_kword
+       |FROM (SELECT source, w FROM dw WHERE w <> '') d
+       |JOIN tok t USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val vocab = bpeVocab(s, d).select("w", "n_tokens")
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(vocab, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_tokens")).as("n_bpe_tokens"),
+           expr("(1000 * sum(n_tokens)) div count(1)").as("tokens_per_kword"))
+      .orderBy("source")
   }
 
   /** Chunk-level dedup linkage (round-8 verdict item 5): a document-pair

@@ -102,6 +102,18 @@ class ChunkingSpec extends SparkSpec {
       assert(merges(0)._2 == "l" && merges(0)._3 == "o")
       assert(merges(2)._2 == "low" && merges(2)._3 == "e",
         "merged symbols build on earlier merges (the iterated part)")
+      // EXHAUSTION is survived by the sentinel guard: the final vocab
+      // still holds every word, each fully merged to one token
+      val vocab = ChunkingQueries.bpeVocab(spark, dir)
+        .as[(String, Long, Long)].collect()
+        .map { case (w, wn, nt) => w -> ((wn, nt)) }.toMap
+      assert(vocab.keySet == Set("low", "lower", "lowest"))
+      assert(vocab.values.forall(_._2 == 1L),
+        s"fully-merged words should be single tokens: $vocab")
+      // and the tokenizer application reflects it: 6 words -> 6 tokens
+      val tok = ChunkingQueries.bpeTokenize.run(spark, dir).collect()
+      assert(tok.length == 1 && tok.head.getLong(1) == 6L &&
+        tok.head.getLong(2) == 6L && tok.head.getLong(3) == 1000L)
     } finally sys.props.remove("graft.catalog.rebuild")
   }
 
