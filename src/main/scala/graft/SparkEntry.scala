@@ -128,6 +128,10 @@ object SparkEntry {
     TextQueries.nearSearch,
     TextQueries.surprisal,
     TextQueries.collocations,
+    LangModelQueries.lmBigram,
+    LangModelQueries.sourceDivergence,
+    LangModelQueries.trainedLangId,
+    RetrievalQueries.hybridRrf,
     SampleQueries.hashSample,
     SampleQueries.stratifiedSample,
     SampleQueries.weightedSample,

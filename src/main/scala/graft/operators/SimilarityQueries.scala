@@ -20,7 +20,7 @@ import graft.plans.CosineSimilarity.cosineSim
   */
 object SimilarityQueries {
 
-  private val cosSql =
+  private[operators] val cosSql =
     """list_dot_product(q.e, c.e)
       |    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))""".stripMargin
 

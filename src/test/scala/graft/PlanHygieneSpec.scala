@@ -38,7 +38,15 @@ class PlanHygieneSpec extends SparkSpec {
     "q_gapfill_daily", "q_rolling_7day",
     // ONE-row bigram-total normalizer frame broadcast onto the
     // vocabulary-sized survivor set (q_mixture_weights pattern)
-    "q_text_collocations")
+    "q_text_collocations",
+    // ONE-row corpus-total normalizer frame broadcast onto the
+    // (source, token) agg (q_mixture_weights pattern)
+    "q_source_divergence",
+    // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
+    // crossed onto the distinct-token frame: the vote grid is
+    // vocab × |langs| BY DESIGN — bounded by the label alphabet,
+    // never by corpus size
+    "q_trained_langid")
 
   /** Queries whose CONSTRUCTION already runs Spark jobs — iterative
     * training/resolution (IVF k-means, connected components), eager
@@ -66,6 +74,10 @@ class PlanHygieneSpec extends SparkSpec {
     // cross join broadcasts the artifact's ONE-row collection-stats
     // frame — bounded by construction, the q_ann_int8 pattern
     "q_text_search", "q_text_bm25", "q_text_phrase",
+    // serves from BOTH persisted artifacts (inverted index + IVF);
+    // its two cross joins broadcast the index's ONE-row stats frame
+    // (the q_text_bm25 pattern); leg shapes are k-bounded windows
+    "q_hybrid_rrf",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
