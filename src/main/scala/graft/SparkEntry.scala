@@ -144,6 +144,8 @@ object SparkEntry {
     CorpusQueries.packShards,
     CorpusQueries.piiScrub,
     CorpusQueries.curationFunnel,
+    CorpusQueries.splitLeakfree,
+    CorpusQueries.tokenBudget,
     ChunkingQueries.chunkOverlap,
     ChunkingQueries.lengthBuckets,
     ChunkingQueries.bpePairs,

@@ -409,4 +409,114 @@ object CorpusQueries {
         .orderBy("c_custkey")
     }
   }
+
+  /** Leakage-free train/val/test split — the dedup-aware fix to
+    * `q_split_assign`: two near-duplicate documents must never straddle
+    * the train/test boundary (that's evaluation contamination by
+    * construction), so every document in an LSH duplicate CLUSTER is
+    * assigned by hashing its cluster's canonical id instead of its own.
+    * Consumes the persisted [[DedupQueries.lshKeepList]] cluster labels
+    * — no re-clustering in this plan; singleton documents keep the
+    * baseline md5-gate assignment bit-for-bit. `n_moved` counts the
+    * documents whose split CHANGED under cluster hashing — the measured
+    * leakage the naive split would have shipped.
+    *
+    * Scale: one left equi-join of the corpus against the keep-list
+    * artifact + per-row hashing + one hash-agg; linear, shuffle-on-key.
+    * The oracle replays the LSH pipeline and the same transitive
+    * closure as `q_dedup_resolve`, then both gate hashes. */
+  val splitLeakfree = Q(
+    "q_split_leakfree",
+    s"""WITH RECURSIVE ${DedupQueries.lshCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), cl AS (SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, CAST(len($W) AS BIGINT) AS toks,
+       |    CASE WHEN substr(md5('split|' || CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'
+       |         THEN 'train'
+       |         WHEN substr(md5('split|' || CAST(d.doc_id AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val' ELSE 'test' END AS own_split,
+       |    CASE WHEN substr(md5('split|' ||
+       |             CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 2) < 'cd'
+       |         THEN 'train'
+       |         WHEN substr(md5('split|' ||
+       |             CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |)
+       |SELECT split, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(CASE WHEN split <> own_split THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved
+       |FROM asg GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    def gate(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("split|"), c.cast("string"))), 1, 2)
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(gate(c) < "cd", "train").when(gate(c) < "e6", "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("toks"))
+      .join(DedupQueries.lshKeepList(s, d).select("doc_id", "cluster"),
+        Seq("doc_id"), "left")
+      .withColumn("own_split", splitOf(col("doc_id")))
+      .withColumn("split", splitOf(coalesce(col("cluster"), col("doc_id"))))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("ws_tokens"),
+        sum(when(col("split") =!= col("own_split"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy("split")
+  }
+
+  /** Per-source token-budget sampling — the "data recipe" primitive: cap
+    * every source at the SAME share of the corpus (total_tokens div 40,
+    * i.e. half the uniform 1/20 share — a budget that BINDS on every
+    * source) by walking its documents in a deterministic md5-gated order
+    * and keeping the prefix whose running token sum fits. Equal budgets
+    * are the fully-flattened mixture; a temperature recipe swaps the
+    * per-source constant for `q_mixture_weights`' ppm share of the
+    * global budget — the mechanism (hash order + partitioned running
+    * sum + prefix cut) is identical.
+    *
+    * Scale: the running sum is a window PARTITIONED BY source — each
+    * source packs independently in parallel (the `q_pack_shards` rule:
+    * no global-sort single reducer), the budget is a 1-row aggregate
+    * broadcast onto the scan (the `q_mixture_weights` normalizer-frame
+    * idiom), and the hash order makes the kept prefix reproducible
+    * under any partitioning. */
+  val tokenBudget = Q(
+    "q_token_budget",
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS toks,
+       |    md5('sample|' || CAST(doc_id AS VARCHAR)) AS gate
+       |  FROM documents
+       |), tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t_total FROM t),
+       |c AS (
+       |  SELECT source, toks, tot.t_total,
+       |    sum(toks) OVER (PARTITION BY source ORDER BY gate, doc_id
+       |                    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t CROSS JOIN tot
+       |)
+       |SELECT source, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS kept_tokens
+       |FROM c WHERE cum <= t_total // 40 GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        md5(concat(lit("sample|"), col("doc_id").cast("string"))).as("gate"))
+    val tot = t.agg(sum(col("toks")).as("t_total"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy("source").orderBy("gate", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= expr("t_total div 40"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"))
+      .orderBy("source")
+  }
 }

@@ -42,6 +42,9 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row corpus-total normalizer frame broadcast onto the
     // (source, token) agg (q_mixture_weights pattern)
     "q_source_divergence",
+    // ONE-row global-budget frame broadcast onto the scan
+    // (q_mixture_weights pattern)
+    "q_token_budget",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
@@ -86,7 +89,11 @@ class PlanHygieneSpec extends SparkSpec {
     // loop, run once per corpus via IndexCatalog); the underlying
     // blocked match-join shape IS plan-swept via q_er_fuzzy_match
     // (same self-join, unbounded)
-    "q_er_clusters", "q_er_golden")
+    "q_er_clusters", "q_er_golden",
+    // consumes the lsh keep-list artifact (cluster labels); the LSH
+    // pair-generation shape is swept via builderPlans, the query's own
+    // plan is one left equi-join + hash-agg
+    "q_split_leakfree")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
