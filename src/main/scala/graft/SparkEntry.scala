@@ -85,6 +85,7 @@ object SparkEntry {
     DedupQueries.simhashBuckets,
     DedupQueries.simhashPairs,
     DedupQueries.jaccardAllPairs,
+    DedupQueries.lshRecall,
     DedupQueries.containmentPairs,
     DedupQueries.corpusCuration,
     DedupQueries.embeddingPairs,

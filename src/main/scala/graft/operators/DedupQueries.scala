@@ -633,6 +633,46 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Measured recall of the banded MinHash-LSH pipeline against the
+    * exact all-pairs Jaccard baseline on the bounded 500-doc subset —
+    * the text-side twin of `q_ann_recall`/`q_dedup_semantic_recall`:
+    * every approximate tier in the engine ships with its measured
+    * recall, not a claimed one. Both sides verify at J ≥ 0.5 over the
+    * SAME shingle sets, so the LSH pairs are a strict subset of the
+    * exact pairs and the single recall number is the whole story
+    * (misses = <2 of 8 band collisions, or a capped hot bucket).
+    * Serves the LSH side from the persisted pair artifact; the exact
+    * side is the documented bounded baseline (doc_id < 500 by
+    * contract — at scale there IS no exact side, which is why the
+    * gauge runs on the bounded slice). */
+  val lshRecall = Q(
+    "q_dedup_lsh_recall",
+    s"""WITH $lshCtes,
+       |ex AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id AND a.doc_id < 500 AND b.doc_id < 500
+       |  WHERE len(list_intersect(a.ss, b.ss)) * 1.0
+       |      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
+       |), hit AS (
+       |  SELECT e.doc_a, v.doc_a AS got
+       |  FROM ex e LEFT JOIN vpairs v
+       |    ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+       |)
+       |SELECT count(*) AS n_exact, count(got) AS n_found,
+       |  count(got) * 1.0 / count(*) AS recall
+       |FROM hit""".stripMargin) { (s, d) =>
+    val exact = jaccardAllPairs.run(s, d).select("doc_a", "doc_b")
+    val lsh = lshPairs(s, d)
+      .select(col("doc_a").as("la"), col("doc_b").as("lb"))
+    exact
+      .join(lsh, col("doc_a") === col("la") && col("doc_b") === col("lb"),
+        "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("la")).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** ASYMMETRIC near-containment pairs — the duplication dimension
     * symmetric Jaccard misses: a short document quoted inside a long
     * one has |∩|/|A| ≈ 1 while Jaccard ≈ |A|/|B| stays low. Reports

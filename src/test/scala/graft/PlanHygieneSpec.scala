@@ -70,6 +70,10 @@ class PlanHygieneSpec extends SparkSpec {
     // assignments); the pair-generation shape is swept via
     // builderPlans("sem_pairs"), and the recall gauge additionally
     // composes the documented bounded exact baseline
+    // recall gauge: consumes the lsh pair artifact AND composes the
+    // documented bounded exact baseline (same pattern as the semantic
+    // recall gauges below)
+    "q_dedup_lsh_recall",
     "q_dedup_semantic", "q_dedup_semantic2", "q_dedup_semantic_recall",
     "q_dedup_semantic2_recall", "q_dedup_semantic_resolve",
     // serve from the bucketed inverted-index artifact; the postings
