@@ -285,11 +285,20 @@ object ResolutionQueries {
        |SELECT cust_a, cust_b, levenshtein(name_a, name_b) AS dist
        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
        |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
-    candPass(s, demographicRows(s, d, None))
-      .union(candPass(s, suffixRows(s, d))).distinct()
+    // levenshtein + threshold run INSIDE each pass, before the
+    // union-distinct: dist is a function of the pair, so deduping
+    // (cust_a, cust_b, dist) is result-identical to deduping raw
+    // candidates — but the exchange carries 3 ints instead of two name
+    // strings, and the ≤2 filter drops ~99% of candidates before any
+    // shuffle. A pair blocked by BOTH passes re-computes its banded
+    // levenshtein (O(threshold·n) early-exit DP) instead of shipping
+    // names — the cheaper side of that trade at any scale.
+    def scored(cand: DataFrame): DataFrame = cand
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
       .filter(col("dist") >= 0) // banded early-exit DP (see matchPairs)
       .select("cust_a", "cust_b", "dist")
+    scored(candPass(s, demographicRows(s, d, None)))
+      .union(scored(candPass(s, suffixRows(s, d)))).distinct()
       .orderBy("cust_a", "cust_b")
   }
 
