@@ -268,6 +268,52 @@ object CorpusQueries {
       .orderBy("source", "shard")
   }
 
+  /** Curriculum-ordered shard packing: documents sorted EASY → HARD by a
+    * deterministic difficulty score (mean word length in milli-chars —
+    * the classic readability proxy, exact integer arithmetic), then
+    * packed into token-budget shards in that global order, so shard k is
+    * strictly easier than shard k+1 — the schedule a curriculum-learning
+    * run feeds the trainer. Per-shard summary keeps the result
+    * shard-count-sized; monotone non-overlapping [min_score, max_score]
+    * ranges across shards are the checkable curriculum invariant.
+    *
+    * Scale shape: [[ShardPacking.packOrdered]] — a RANGE-bucketed
+    * two-level prefix sum (the [[packShards]] decomposition with the
+    * hash gate swapped for `score div width`), so no window partition
+    * ever holds more than one score-bucket of one corpus slice and the
+    * global sort the naive plan needs never happens. The oracle pins the
+    * whole decomposition with one plain windowed sum over
+    * (score, doc_id). */
+  val packCurriculum = Q(
+    "q_pack_curriculum",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS toks,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) * 1000 // len(w)
+       |         AS BIGINT) AS score
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), c AS (
+       |  SELECT doc_id, toks, score,
+       |    coalesce(sum(toks) OVER (ORDER BY score, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT CAST(cum_before // 2000 AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+       |  min(score) AS min_score, max(score) AS max_score
+       |FROM c GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("toks"),
+        expr("""aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))
+                 * 1000 div size(w)""").as("score"))
+    ShardPacking.packOrdered(t, budget = 2000, bucketWidth = 1000)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("shard")
+  }
+
   /** The full curation funnel with per-stage accounting: raw →
     * quality-gated → benchmark-decontaminated → near-dup-deduplicated,
     * reporting surviving docs and tokens AT EACH STAGE — the loss

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 
@@ -258,6 +259,89 @@ object GraphQueries {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a").as("u"), col("vec_b").as("v"), col("cosine"))
       .orderBy("u", "v")
+  }
+
+  /** Synchronous label-propagation supersteps. */
+  val lpIters = 3
+
+  /** One label-propagation superstep over a symmetric (m, x) adjacency:
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — the deterministic variant of
+    * classic LPA (async random-order LPA is irreproducible; synchronous
+    * min-tiebreak is a pure function of the graph, so the DuckDB oracle
+    * replays it exactly). Three keyed operations: the label lookup join
+    * (on the neighbor id), the (node, label) count — partial combine
+    * collapses a hot label before the exchange — and the per-node
+    * argmax (max-count window + min-label agg, both node-keyed). */
+  private[graft] def lpIter(adj: DataFrame, labels: DataFrame): DataFrame = {
+    val nl = adj
+      .join(labels.select(col("vec_id").as("x"), col("lbl")), Seq("x"))
+      .groupBy("m", "lbl").agg(count(lit(1)).as("c"))
+    val mx = nl.groupBy("m").agg(max(col("c")).as("mc"))
+    nl.join(mx, Seq("m")).filter(col("c") === col("mc"))
+      .groupBy("m").agg(min(col("lbl")).as("lbl"))
+      .select(col("m").as("vec_id"), col("lbl"))
+  }
+
+  /** Construction shape of [[communities]] over any canonical
+    * undirected `u < v` edge frame (factored for GraphOpsSpec, which
+    * pins the propagation on a handcrafted two-clique bridge graph). */
+  private[graft] def communitiesFrom(und: DataFrame): DataFrame = {
+    val adj = und.select(col("u").as("m"), col("v").as("x"))
+      .union(und.select(col("v").as("m"), col("u").as("x")))
+    val l0 = adj.select(col("m").as("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("lbl"))
+    val lk = (1 to lpIters).foldLeft(l0)((l, _) => lpIter(adj, l))
+    lk.withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+      .orderBy("vec_id")
+  }
+
+  /** Community detection by synchronous label propagation over the
+    * MUTUAL-kNN graph — the topic/near-duplicate grouping pass a corpus
+    * build runs between pairwise dedup (connected components over
+    * verified match pairs) and global clustering (IVF cells): mutual
+    * edges are the precision-filtered similarity graph, and LPA finds
+    * its dense regions without training anything. Nodes with no mutual
+    * edge have no evidence of community membership and are not listed
+    * (documented contract, same as singleton handling in `q_er_golden`).
+    *
+    * Scale shape: the graph is served from the persisted kNN artifact;
+    * each of the [[lpIters]] supersteps is edge-sized work on keyed
+    * exchanges (see [[lpIter]]); labels are node-sized. Nothing is
+    * quadratic and nothing touches the driver — the superstep loop is
+    * plan construction only, one DAG end to end, exactly the
+    * [[pagerank]] posture. */
+  val communities = Q(
+    "q_graph_communities",
+    s"""WITH ${SimilarityQueries.knnEdgesCtes},
+       |mund AS (
+       |  SELECT f.vec_a AS u, f.vec_b AS v
+       |  FROM knn f JOIN knn r ON r.vec_a = f.vec_b AND r.vec_b = f.vec_a
+       |  WHERE f.vec_a < f.vec_b),
+       |ladj AS (SELECT u AS m, v AS x FROM mund
+       |         UNION ALL SELECT v, u FROM mund),
+       |l0 AS (SELECT DISTINCT m AS vec_id, m AS lbl FROM ladj),
+       |${(1 to lpIters).map { i =>
+         s"""l$i AS (
+            |  SELECT m AS vec_id, min(lbl) AS lbl FROM (
+            |    SELECT m, lbl, c, max(c) OVER (PARTITION BY m) AS mc FROM (
+            |      SELECT a.m, r.lbl, count(*) AS c
+            |      FROM ladj a JOIN l${i - 1} r ON r.vec_id = a.x
+            |      GROUP BY a.m, r.lbl))
+            |  WHERE c = mc GROUP BY m)""".stripMargin
+       }.mkString(",\n")}
+       |SELECT vec_id, community, csize FROM (
+       |  SELECT vec_id, lbl AS community,
+       |    count(*) OVER (PARTITION BY lbl) AS csize
+       |  FROM l$lpIters)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    communitiesFrom(undirected(
+      SimilarityQueries.knnEdges(s, d).join(
+        SimilarityQueries.knnEdges(s, d)
+          .select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")),
+        Seq("vec_a", "vec_b"))))
   }
 
   val pagerank = Q(

@@ -89,4 +89,48 @@ object ShardPacking {
       .withColumn("shard", expr(s"cum_before div $budget"))
       .drop("local_before", "bucket_offset")
   }
+
+  /** Curriculum (globally score-ordered) packing: `cum_before` over the
+    * single global order (score, doc_id) — the shard assignment a
+    * curriculum-learning schedule wants, where shard k is strictly
+    * easier than shard k+1. Same two-level decomposition as [[pack]],
+    * with the hash sub-bucket replaced by a RANGE bucket
+    * (`score div bucketWidth`): the outer bucket is monotone in score,
+    * so (bucket, score, doc_id) order IS (score, doc_id) order, and the
+    * oracle pins the whole decomposition with one plain windowed sum.
+    *
+    * Bucket offsets: the per-bucket totals frame is ≤ scoreRange/width
+    * rows — bounded by the score DOMAIN, not the corpus — but a prefix
+    * sum over it with an unpartitioned window (or a constant partition
+    * key) is the one shape PlanHygieneSpec bans outright. Instead the
+    * totals collapse to ONE row (`sort_array(collect_list(...))`), the
+    * running sum is a `transform`+`aggregate` over the in-row array
+    * (O(B²) expression work over B ≤ a few dozen), and the offsets
+    * re-attach by a broadcast equi-join on the bucket key. No window
+    * touches anything wider than a bucket partition.
+    *
+    * `df` must carry BIGINT `doc_id`, `toks`, and `score` columns. */
+  def packOrdered(df: DataFrame, budget: Int, bucketWidth: Int): DataFrame = {
+    val withB = df.withColumn("pack_bucket", expr(s"score div $bucketWidth"))
+    val wLocal = Window.partitionBy("pack_bucket").orderBy("score", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn(
+      "local_before", coalesce(sum("toks").over(wLocal), lit(0L)))
+    val offsets = withB
+      .groupBy("pack_bucket").agg(sum("toks").as("bt"))
+      .agg(sort_array(collect_list(struct(col("pack_bucket"), col("bt"))))
+        .as("bs"))
+      .select(explode(expr(
+        """transform(bs, (x, i) -> named_struct(
+          |  'pack_bucket', x.pack_bucket,
+          |  'bucket_offset', aggregate(slice(bs, 1, i), CAST(0 AS BIGINT),
+          |                             (a, y) -> a + y.bt)))""".stripMargin))
+        .as("o"))
+      .select(col("o.pack_bucket").as("pack_bucket"),
+              col("o.bucket_offset").as("bucket_offset"))
+    local.join(broadcast(offsets), Seq("pack_bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .drop("local_before", "bucket_offset")
+  }
 }

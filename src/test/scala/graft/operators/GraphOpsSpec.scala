@@ -46,6 +46,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 5L, 1L), (3L, 5L, 1L), (4L, 5L, 1L)))
   }
 
+  test("communitiesFrom separates two triangles across a bridge") {
+    // Two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4.
+    // Hand-traced synchronous min-tiebreak LPA over 3 supersteps:
+    //   l1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   l2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   l3: 1→1 2→1 3→1 4→3 5→3 6→3
+    // — each triangle converges to its own label; the bridge does not
+    // merge them.
+    val bridge = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)
+    ).toDF("u", "v")
+    val got = GraphQueries.communitiesFrom(bridge)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+  }
+
   test("undirected canonicalizes and dedups a directed edge set") {
     val directed = Seq((2L, 1L), (1L, 2L), (3L, 9L)).toDF("vec_a", "vec_b")
     val got = GraphQueries.undirected(directed)

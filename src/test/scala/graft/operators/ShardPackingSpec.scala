@@ -56,6 +56,46 @@ class ShardPackingSpec extends SparkSpec {
       "skewed two-level packing diverged from the single-window reference")
   }
 
+  /** The curriculum reference: ONE unpartitioned window in
+    * (score, doc_id) order — the semantics packOrdered decomposes. */
+  private def referenceOrdered(df: org.apache.spark.sql.DataFrame, budget: Int) = {
+    val w = Window.orderBy("score", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum("toks").over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .select(col("doc_id"), col("cum_before"), col("shard"))
+  }
+
+  test("range-bucketed curriculum pack equals the global ordered cumsum") {
+    // scores spread over ~8 buckets at width 50; ties at every score
+    val docs = spark.range(5000)
+      .select(col("id").as("doc_id"),
+        (col("id") % 400).as("score"),
+        (col("id") % 23 + 3).as("toks"))
+    val got = ShardPacking.packOrdered(docs, budget = 500, bucketWidth = 50)
+      .select("doc_id", "cum_before", "shard")
+    val want = referenceOrdered(docs, budget = 500)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "curriculum packing diverged from the global-window reference")
+  }
+
+  test("curriculum shards have monotone non-overlapping score ranges") {
+    val docs = spark.range(3000)
+      .select(col("id").as("doc_id"),
+        (col("id") % 700 + 100).as("score"),
+        lit(7L).as("toks"))
+    val ranges = ShardPacking.packOrdered(docs, budget = 1000, bucketWidth = 100)
+      .groupBy("shard")
+      .agg(min("score").as("lo"), max("score").as("hi"))
+      .orderBy("shard")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi0), (lo1, _)) =>
+        assert(hi0 <= lo1, s"shard ranges overlap: hi=$hi0 > next lo=$lo1")
+      case _ =>
+    }
+  }
+
   test("the offsets frame joins back as a broadcast, not a shuffle") {
     val t = Tables.documents(spark, sf0001)
       .select(col("source"), col("doc_id"),
