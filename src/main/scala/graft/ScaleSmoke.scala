@@ -129,9 +129,11 @@ object ScaleSmoke {
       "q_dedup_semantic2", "q_dedup_incremental",
       "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq", "q_ann_filtered",
       "q_ann_cells", "q_knn_graph", "q_pagerank", "q_graph_triangles",
-      "q_er_clusters", "q_er_golden",
+      "q_graph_communities",
+      "q_er_clusters", "q_er_golden", "q_er_multiblock",
       "q_text_bm25", "q_text_phrase", "q_text_near", "q_text_search",
-      "q_tfidf_terms", "q_text_contamination", "q_corpus_curation")
+      "q_tfidf_terms", "q_text_contamination", "q_corpus_curation",
+      "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

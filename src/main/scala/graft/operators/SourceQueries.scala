@@ -31,4 +31,29 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(col("TotalDuration")).as("total_dur"))
       .orderBy("log_date", "app_name")
   }
+
+  private val csvDays = Seq("20220401", "20220402")
+  private val csvPaths = csvDays.map(d => s"/root/repo/data/csv/$d.csv")
+
+  /** The CSV source surface: day-file warehouse dumps read in ONE
+    * declared-schema scan ([[Sources.csvExports]] — no inference pass,
+    * no per-day union loop), date from the file name, quoted embedded
+    * commas parsed per RFC 4180. The oracle reads the same files via
+    * DuckDB's read_csv with the same declared columns. */
+  val csvMultiday = Q(
+    "q_s9_csv_multiday",
+    s"""SELECT CAST(strptime(regexp_extract(filename, '(\\d{8})[^/]*$$', 1), '%Y%m%d') AS DATE) AS log_date,
+       |  app_name, count(*) AS n, CAST(SUM(duration) AS BIGINT) AS total_dur
+       |FROM read_csv([${csvPaths.map(p => s"'$p'").mkString(", ")}],
+       |  header=true, filename=true,
+       |  columns={'contract': 'VARCHAR', 'app_name': 'VARCHAR',
+       |           'duration': 'BIGINT'})
+       |GROUP BY 1, 2 ORDER BY log_date, app_name""".stripMargin) { (s, _) =>
+    // sfDir-independent: the CSV surface has its own checked-in fixture
+    Sources.csvExports(s, csvPaths,
+        "contract STRING, app_name STRING, duration BIGINT")
+      .groupBy(col("log_date"), col("app_name"))
+      .agg(count(lit(1)).as("n"), sum(col("duration")).as("total_dur"))
+      .orderBy("log_date", "app_name")
+  }
 }

@@ -79,6 +79,22 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(paths: _*)
 
+  /** Day-file CSV exports (the warehouse-dump shape: one RFC-4180 CSV
+    * per day with a header row): one declared-schema read over all day
+    * files — no inference pass, which at scale would cost a full extra
+    * scan per job — with `log_date` stamped from the file name exactly
+    * like [[interactionLogs]]. Quoted fields (embedded commas) parse per
+    * RFC 4180 on both the Spark and DuckDB sides. */
+  def csvExports(spark: SparkSession, paths: Seq[String],
+                 schemaDdl: String): DataFrame =
+    spark.read
+      .schema(schemaDdl)
+      .option("header", "true")
+      .csv(paths: _*)
+      .withColumn("log_date",
+        to_date(regexp_extract(input_file_name(), "(\\d{8})[^/]*$", 1),
+                "yyyyMMdd"))
+
   /** Parallel JDBC source — the read side of the warehouse round trip
     * ([[JdbcSink]] is the write side). `partition = (column, lo, hi,
     * n)` splits the pull into n range-bounded concurrent cursors on a

@@ -52,4 +52,35 @@ class SourceRobustnessSpec extends SparkSpec {
     assert(parallel.count() == 100)
     assert(parallel.agg(sum("id")).collect()(0).getLong(0) == 5050L)
   }
+
+  test("CSV day-file source: declared schema, RFC-4180 quotes, filename date") {
+    val rows = Sources.csvExports(spark,
+      Seq("/root/repo/data/csv/20220401.csv", "/root/repo/data/csv/20220402.csv"),
+      "contract STRING, app_name STRING, duration BIGINT")
+    assert(rows.count() == 23) // 12 + 11 data rows, headers skipped
+    // quoted embedded comma stays ONE field
+    assert(rows.filter(col("app_name") === "VOD, PREMIUM").count() == 2)
+    // log_date from the file name, one value per day file
+    val dates = rows.select("log_date").distinct()
+      .as[java.sql.Date].collect().map(_.toString).sorted
+    assert(dates.toSeq == Seq("2022-04-01", "2022-04-02"))
+    // declared schema ⇒ typed column with no inference scan
+    assert(rows.schema("duration").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("ORC round-trips the documents slice with pushdown at the scan") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("docs")
+    val src = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars")
+    src.write.mode("overwrite").orc(dir.toString)
+    val back = spark.read.orc(dir.toString)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "ORC round trip changed the data")
+    // predicate reaches the ORC scan (same contract as parquet S2)
+    val plan = back.filter(col("doc_id") < 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"filter not pushed to the ORC scan:\n$plan")
+  }
 }
