@@ -272,14 +272,17 @@ object GraphQueries {
     * replays it exactly). Three keyed operations: the label lookup join
     * (on the neighbor id), the (node, label) count — partial combine
     * collapses a hot label before the exchange — and the per-node
-    * argmax (max-count window + min-label agg, both node-keyed). */
+    * argmax as ONE rank-1 window in (count desc, label asc) order
+    * (2 keyed exchanges per superstep, not the 4 a max-join-min
+    * formulation costs; the window partition is a node's DISTINCT
+    * neighbor-label set, bounded by its degree). */
   private[graft] def lpIter(adj: DataFrame, labels: DataFrame): DataFrame = {
     val nl = adj
       .join(labels.select(col("vec_id").as("x"), col("lbl")), Seq("x"))
       .groupBy("m", "lbl").agg(count(lit(1)).as("c"))
-    val mx = nl.groupBy("m").agg(max(col("c")).as("mc"))
-    nl.join(mx, Seq("m")).filter(col("c") === col("mc"))
-      .groupBy("m").agg(min(col("lbl")).as("lbl"))
+    val w = Window.partitionBy("m").orderBy(col("c").desc, col("lbl"))
+    nl.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
       .select(col("m").as("vec_id"), col("lbl"))
   }
 
@@ -325,12 +328,14 @@ object GraphQueries {
        |l0 AS (SELECT DISTINCT m AS vec_id, m AS lbl FROM ladj),
        |${(1 to lpIters).map { i =>
          s"""l$i AS (
-            |  SELECT m AS vec_id, min(lbl) AS lbl FROM (
-            |    SELECT m, lbl, c, max(c) OVER (PARTITION BY m) AS mc FROM (
+            |  SELECT m AS vec_id, lbl FROM (
+            |    SELECT m, lbl,
+            |      row_number() OVER (PARTITION BY m ORDER BY c DESC, lbl) AS rk
+            |    FROM (
             |      SELECT a.m, r.lbl, count(*) AS c
             |      FROM ladj a JOIN l${i - 1} r ON r.vec_id = a.x
             |      GROUP BY a.m, r.lbl))
-            |  WHERE c = mc GROUP BY m)""".stripMargin
+            |  WHERE rk = 1)""".stripMargin
        }.mkString(",\n")}
        |SELECT vec_id, community, csize FROM (
        |  SELECT vec_id, lbl AS community,
