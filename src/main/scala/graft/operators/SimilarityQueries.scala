@@ -568,6 +568,55 @@ object SimilarityQueries {
     * candidate shuffle already produced. */
   val knnK = 3
 
+  /** Hard-negative mining for contrastive training — per query vector,
+    * the top-5 MOST similar candidates that are NOT near-duplicates:
+    * same cell-pruned candidate generation as `q_ann_ivf`, with the
+    * semantic-dup threshold (cosine ≥ 0.45, the `q_dedup_semantic`
+    * verify bound) EXCLUDING positives before ranking, so what ranks is
+    * exactly the "close but different" band an embedding trainer wants
+    * as negatives (a random negative is trivially separable; the hard
+    * ones live just under the duplicate threshold).
+    *
+    * Scale shape: identical to filtered ANN — the persisted
+    * [[IvfIndex]] prunes candidates to the query's cell, the threshold
+    * filter runs on the scored candidate stream before the rank-1..5
+    * window, and the query batch is the bounded broadcast side. Zero
+    * training; at 100 TB this is one cell-pruned scan per query batch. */
+  val hardNegatives = Q(
+    "q_hard_negatives",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)}
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      $cosSql AS cosine
+       |    FROM (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)
+       |          WHERE v.vec_id < 10) q
+       |    JOIN (SELECT v.vec_id, asn.cell, v.e FROM v JOIN asn USING (vec_id)) c
+       |      ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+       |  WHERE cosine < 0.45
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val asn = IvfIndex.assignments(s, d, ivfK, ivfIters)
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+      .join(asn, Seq("vec_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cell").as("ql"),
+                col("embedding").as("eq")))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("cell").as("cl"),
+                     col("embedding").as("ec")),
+            col("cl") === col("ql") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("eq"), col("ec")))
+      .filter(col("cosine") < 0.45)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** The kNN edge-set CTEs (`knn(vec_a, rank, vec_b, cosine)`), shared
     * between [[knnGraph]]'s oracle and every oracle that walks the
     * graph (e.g. [[GraphQueries.pagerank]]). */
