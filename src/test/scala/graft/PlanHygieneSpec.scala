@@ -85,6 +85,10 @@ class PlanHygieneSpec extends SparkSpec {
     // its two cross joins broadcast the index's ONE-row stats frame
     // (the q_text_bm25 pattern); leg shapes are k-bounded windows
     "q_hybrid_rrf",
+    // the hybrid's MRR gauge: same artifact-served legs, plus the
+    // documented bounded-query-batch brute-force exact-NN baseline
+    // (the q_ann_bruteforce shape — 5·n by construction, not n²)
+    "q_retrieval_mrr",
     "q_freq_items",
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
