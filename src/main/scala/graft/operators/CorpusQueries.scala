@@ -471,6 +471,93 @@ object CorpusQueries {
     * artifact + per-row hashing + one hash-agg; linear, shuffle-on-key.
     * The oracle replays the LSH pipeline and the same transitive
     * closure as `q_dedup_resolve`, then both gate hashes. */
+  /** The corpus DATA CARD — one datasheet row per source, the summary a
+    * dataset release ships ("Datasheets for Datasets"-shaped): volume
+    * (docs, tokens, integer tokens-per-doc), language profile (majority
+    * lang + its ppm share, deterministic mode), near-duplicate loss
+    * (docs the LSH keep-list drops), and the leakage-free split census
+    * (train/val/test doc counts under the cluster-keyed gate of
+    * `q_split_leakfree`). Everything composes PERSISTED artifacts — the
+    * keep-list is read, not re-resolved — plus one corpus scan.
+    *
+    * Scale shape: one scan + one left equi-join against the keep-list +
+    * two source-keyed hash-aggs + a |sources|-row rank-1 window. The
+    * oracle replays the LSH chain + transitive closure (the
+    * `q_split_leakfree` pattern) plus the mode window. */
+  val corpusDatacard = Q(
+    "q_corpus_datacard",
+    s"""WITH RECURSIVE ${DedupQueries.lshCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), cl AS (SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id),
+       |base AS (
+       |  SELECT d.source, d.doc_id, d.lang, CAST(len($W) AS BIGINT) AS toks,
+       |    coalesce(cl.cluster = d.doc_id OR cl.cluster IS NULL, true) AS keep,
+       |    CASE WHEN substr(md5('split|' ||
+       |             CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 2) < 'cd'
+       |         THEN 'train'
+       |         WHEN substr(md5('split|' ||
+       |             CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 1, 2) < 'e6'
+       |         THEN 'val' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(toks) // count(*) AS BIGINT) AS toks_per_doc,
+       |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_dropped,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM base GROUP BY source
+       |), lt AS (
+       |  SELECT source, lang AS top_lang, n AS top_lang_n FROM (
+       |    SELECT source, lang, count(*) AS n, row_number() OVER (
+       |      PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+       |    FROM base GROUP BY source, lang) WHERE rk = 1
+       |)
+       |SELECT p.source, p.n_docs, p.n_tokens, p.toks_per_doc,
+       |  l.top_lang, CAST(l.top_lang_n * 1000000 // p.n_docs AS BIGINT)
+       |    AS top_lang_ppm,
+       |  p.n_dup_dropped, p.n_train, p.n_val, p.n_test
+       |FROM per p JOIN lt l USING (source)
+       |ORDER BY p.source""".stripMargin) { (s, d) =>
+    def gate(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("split|"), c.cast("string"))), 1, 2)
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .join(DedupQueries.lshKeepList(s, d).select("doc_id", "cluster", "keep"),
+        Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(true)))
+      .withColumn("g", gate(coalesce(col("cluster"), col("doc_id"))))
+      .withColumn("split",
+        when(col("g") < "cd", "train").when(col("g") < "e6", "val")
+          .otherwise("test"))
+    val per = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_dropped"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .withColumn("toks_per_doc", expr("n_tokens div n_docs"))
+    val lt = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("tln"))
+    per.join(lt, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("toks_per_doc"), col("top_lang"),
+        expr("tln * 1000000 div n_docs").as("top_lang_ppm"),
+        col("n_dup_dropped"), col("n_train"), col("n_val"), col("n_test"))
+      .orderBy("source")
+  }
+
   val splitLeakfree = Q(
     "q_split_leakfree",
     s"""WITH RECURSIVE ${DedupQueries.lshCtes},

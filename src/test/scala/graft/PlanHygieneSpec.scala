@@ -101,7 +101,9 @@ class PlanHygieneSpec extends SparkSpec {
     // consumes the lsh keep-list artifact (cluster labels); the LSH
     // pair-generation shape is swept via builderPlans, the query's own
     // plan is one left equi-join + hash-agg
-    "q_split_leakfree")
+    "q_split_leakfree",
+    // same keep-list artifact consumption as q_split_leakfree
+    "q_corpus_datacard")
 
   test("no registered query plans a cartesian or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
