@@ -66,6 +66,11 @@ class GraphOpsSpec extends SparkSpec {
       (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
   }
 
+  test("communitiesFrom on an empty edge set returns empty, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(GraphQueries.communitiesFrom(empty).count() == 0)
+  }
+
   test("undirected canonicalizes and dedups a directed edge set") {
     val directed = Seq((2L, 1L), (1L, 2L), (3L, 9L)).toDF("vec_a", "vec_b")
     val got = GraphQueries.undirected(directed)

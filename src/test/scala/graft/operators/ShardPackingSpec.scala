@@ -96,6 +96,14 @@ class ShardPackingSpec extends SparkSpec {
     }
   }
 
+  test("packOrdered on an empty frame returns empty, not a crash") {
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("score"),
+        col("id").as("toks"))
+    assert(ShardPacking.packOrdered(empty, budget = 100, bucketWidth = 10)
+      .count() == 0)
+  }
+
   test("the offsets frame joins back as a broadcast, not a shuffle") {
     val t = Tables.documents(spark, sf0001)
       .select(col("source"), col("doc_id"),
