@@ -98,6 +98,10 @@ class PlanHygieneSpec extends SparkSpec {
     // blocked match-join shape IS plan-swept via q_er_fuzzy_match
     // (same self-join, unbounded)
     "q_er_clusters", "q_er_golden",
+    // serves from the communities artifact (LPA run once per corpus via
+    // IndexCatalog); the superstep plan shape is pinned by GraphOpsSpec
+    // over handcrafted graphs
+    "q_graph_communities",
     // consumes the lsh keep-list artifact (cluster labels); the LSH
     // pair-generation shape is swept via builderPlans, the query's own
     // plan is one left equi-join + hash-agg
