@@ -25,6 +25,15 @@ import graft.multimodal.Multimodal.{Decoder, MediaMeta}
   * computable in DuckDB. */
 object ImageCodec {
 
+  // In-memory ImageInputStreams: ImageIO's DEFAULT wraps every
+  // InputStream decode in a FileCacheImageInputStream — each per-row
+  // decode spills the payload through a temp FILE, so decode cost rides
+  // the host's ambient disk load (the 2-3x multimodal bench swings of
+  // rounds 8-9). Payloads here are small in-memory byte arrays; the
+  // memory cache is strictly better. JVM-wide, set once per class load
+  // (executors initialize it on first task touching this object).
+  ImageIO.setUseCache(false)
+
   /** Deterministic single-color synthetic PNG for a document id:
     * width = 16 + id % 32, height = 16 + id % 24, fill color =
     * (id * 2654435761) % 2^24 (Knuth multiplicative hash — replayable

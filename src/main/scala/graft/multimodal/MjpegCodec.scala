@@ -22,6 +22,10 @@ import javax.imageio.ImageIO
   * (the [[ImageCodec]] totality rule). */
 object MjpegCodec {
 
+  // Same rule as [[ImageCodec]]: never let a per-frame JPEG decode
+  // spill through ImageIO's default temp-FILE stream cache.
+  ImageIO.setUseCache(false)
+
   final case class FrameRow(
       doc_id: Long, frame_idx: Int, width: Int, height: Int, ok: Boolean)
 
