@@ -55,6 +55,73 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Deterministic GRADIENT synthetic PNG (same dims as
+    * [[syntheticPng]]): gray(x, y) = (id + x + y) % 256 in all three
+    * channels — NON-constant pixels, so downstream feature extraction
+    * is a real reduction over the whole raster rather than a one-pixel
+    * read, while every pixel stays closed-form for the oracle. */
+  def syntheticGradientPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + (id % 24).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Whole-raster grayscale features of one image. */
+  final case class FeatRow(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      mean_gray_milli: Long,
+      min_gray: Int,
+      max_gray: Int)
+
+  /** Whole-raster grayscale feature extraction — decode, then a real
+    * w×h pixel loop (long sum + min + max of the blue channel; the
+    * gradient is gray so any channel serves). PNG losslessness makes
+    * the mean/min/max exactly the closed-form grid the oracle computes.
+    * Corrupt payloads → the -1 sentinel row (same totality contract as
+    * [[decodeRow]]). */
+  def featureRow(id: Long, payload: Array[Byte]): FeatRow = {
+    val decoded =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    decoded match {
+      case None => FeatRow(id, -1, -1, -1L, -1, -1)
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = img.getRGB(x, y) & 0xff
+            sum += g
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            x += 1
+          }
+          y += 1
+        }
+        FeatRow(id, w, h, sum * 1000L / (w.toLong * h), mn, mx)
+    }
+  }
+
   /** One decoded image row: real dimensions, the (0,0) pixel's channels,
     * and the dimensions of a genuinely resized thumbnail. */
   final case class ImgRow(

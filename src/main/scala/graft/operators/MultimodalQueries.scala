@@ -52,6 +52,48 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL image FEATURE extraction: doc_id < 500 → deterministic
+    * gradient PNG ([[graft.multimodal.ImageCodec.syntheticGradientPng]]
+    * — non-constant raster) → partition-local decode + a genuine w×h
+    * pixel reduction (mean/min/max gray). The feature pass a multimodal
+    * corpus build runs between decode and filtering — and because the
+    * gradient is closed-form and PNG lossless, the oracle computes the
+    * same reduction over an integer grid (`range(w) × range(h)`),
+    * making the real pixel loop hash-verifiable end to end. */
+  val imageFeatures = Q(
+    "q_mm_img_features",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |    CAST(16 + doc_id % 24 AS INTEGER) AS height
+      |  FROM documents WHERE doc_id < 500
+      |), px AS (
+      |  SELECT doc_id, width, height,
+      |    (doc_id + x.x + y.y) % 256 AS gray
+      |  FROM g, unnest(range(0, width)) AS x(x), unnest(range(0, height)) AS y(y)
+      |)
+      |SELECT doc_id, width, height,
+      |  CAST(sum(gray) * 1000 // (width * height) AS BIGINT) AS mean_gray_milli,
+      |  CAST(min(gray) AS INTEGER) AS min_gray,
+      |  CAST(max(gray) AS INTEGER) AS max_gray
+      |FROM px GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // encode AND decode inside the partition (the q_mm_imageio
+        // lifecycle); the pixel reduction never leaves the task
+        ids.map { id =>
+          graft.multimodal.ImageCodec.featureRow(
+            id, graft.multimodal.ImageCodec.syntheticGradientPng(id))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** REAL audio decode through `javax.sound.sampled` (JDK built-in WAV
     * codec): doc_id < 500 → deterministic synthetic 16-bit PCM WAV →
     * partition-local header+stream decode. Lossless PCM makes every

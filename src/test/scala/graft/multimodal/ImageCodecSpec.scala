@@ -29,6 +29,24 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("gradient PNG features equal an independent grid computation") {
+    for (id <- Seq(0L, 1L, 200L, 255L, 499L)) {
+      val row = ImageCodec.featureRow(id, ImageCodec.syntheticGradientPng(id))
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      val grid = for (x <- 0 until w; y <- 0 until h)
+        yield ((id + x + y) % 256).toInt
+      assert(row.width == w && row.height == h)
+      assert(row.mean_gray_milli == grid.map(_.toLong).sum * 1000L / (w.toLong * h))
+      assert(row.min_gray == grid.min && row.max_gray == grid.max)
+    }
+  }
+
+  test("featureRow is total on garbage") {
+    val row = ImageCodec.featureRow(5L, Array[Byte](9, 9, 9))
+    assert(row.width == -1 && row.mean_gray_milli == -1L && row.max_gray == -1)
+  }
+
   test("corrupt and non-image payloads yield sentinel rows, never throw") {
     val junk = Array[Byte](1, 2, 3, 4, 5)
     val truncated = ImageCodec.syntheticPng(7L).take(20)
