@@ -314,6 +314,70 @@ object CorpusQueries {
       .orderBy("shard")
   }
 
+  /** GPT-style context-window sequence packing: every document's tokens
+    * are laid into ONE global stream (deterministic (bucket, doc_id)
+    * concat order) and the stream is chunked into fixed L=512-token
+    * training sequences, documents crossing sequence boundaries — the
+    * standard concat-and-chunk loader (attention masks re-separate docs
+    * at train time). The manifest here is the per-sequence composition:
+    * how many documents contribute tokens, how many sit FULLY inside
+    * (never split), and the token fill — every sequence but the final
+    * one must hold exactly L tokens, the invariant PackSequencesSpec
+    * pins.
+    *
+    * Scale shape: the global token offset comes from
+    * [[ShardPacking.packGlobal]] (hash-bucketed two-level prefix sum —
+    * no corpus-wide window, no global sort), the boundary-span explode
+    * fans each document out to `toks/L + 1` rows (tiny), and the
+    * per-sequence rollup is one hash-agg on `seq`. The oracle replays
+    * the identical permutation with one plain windowed sum. */
+  val packSequences = Q(
+    "q_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($W) AS BIGINT) AS toks,
+       |    ${ShardPacking.bucketSql("doc_id")} AS pack_bucket
+       |  FROM documents WHERE len($W) > 0
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(coalesce(sum(toks) OVER (ORDER BY pack_bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM t
+       |), spans AS (
+       |  SELECT doc_id, toks, cum_before,
+       |    unnest(range(cum_before // 512, (cum_before + toks - 1) // 512 + 1))
+       |      AS seq
+       |  FROM c
+       |)
+       |SELECT seq, count(*) AS n_docs,
+       |  CAST(sum(least(512 * (seq + 1), cum_before + toks)
+       |           - greatest(512 * seq, cum_before)) AS BIGINT) AS toks,
+       |  CAST(sum(CASE WHEN cum_before >= 512 * seq
+       |                 AND cum_before + toks <= 512 * (seq + 1)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM spans GROUP BY seq ORDER BY seq""".stripMargin) { (s, d) =>
+    val L = 512L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+    ShardPacking.packGlobal(t)
+      .select(col("doc_id"), col("toks"), col("cum_before"),
+        explode(sequence(
+          expr(s"cum_before div $L"),
+          expr(s"(cum_before + toks - 1) div $L"))).as("seq"))
+      .groupBy(col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(lit(L) * (col("seq") + 1), col("cum_before") + col("toks"))
+          - greatest(lit(L) * col("seq"), col("cum_before"))).as("toks"),
+        sum(when(col("cum_before") >= lit(L) * col("seq") &&
+                 col("cum_before") + col("toks") <= lit(L) * (col("seq") + 1),
+            1L).otherwise(0L)).as("n_full_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("seq")
+  }
+
   /** The full curation funnel with per-stage accounting: raw →
     * quality-gated → benchmark-decontaminated → near-dup-deduplicated,
     * reporting surviving docs and tokens AT EACH STAGE — the loss

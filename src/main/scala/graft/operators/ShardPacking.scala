@@ -116,7 +116,41 @@ object ShardPacking {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withB.withColumn(
       "local_before", coalesce(sum("toks").over(wLocal), lit(0L)))
-    val offsets = withB
+    local.join(broadcast(collapsedBucketOffsets(withB)), Seq("pack_bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .drop("local_before", "bucket_offset")
+  }
+
+  /** Global concat-order token offsets: `cum_before` over the single
+    * global (pack_bucket, doc_id) permutation — the token-stream
+    * position GPT-style sequence packing chunks by. Same hash
+    * sub-bucket gate as [[pack]] (rerun-stable, oracle-replayable as
+    * one plain windowed sum over `ORDER BY pack_bucket, doc_id`), same
+    * one-collected-row offset collapse as [[packOrdered]] — no window
+    * wider than one of the 16^bucketChars buckets, no constant
+    * partition key. `df` must carry `doc_id` and a BIGINT `toks`
+    * column; adds `pack_bucket` and `cum_before`. */
+  def packGlobal(df: DataFrame, bucketChars: Int = 1): DataFrame = {
+    val withB = df.withColumn("pack_bucket", bucketOf(col("doc_id"), bucketChars))
+    val wLocal = Window.partitionBy("pack_bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withB.withColumn(
+      "local_before", coalesce(sum("toks").over(wLocal), lit(0L)))
+    local.join(broadcast(collapsedBucketOffsets(withB)), Seq("pack_bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
+      .drop("local_before", "bucket_offset")
+  }
+
+  /** Per-bucket totals prefix-summed with NO corpus-wide window: the
+    * totals collapse to ONE collected row (bucket-count-sized by
+    * construction), the running sum is in-row array arithmetic (O(B²)
+    * over B buckets), and the offsets re-attach by broadcast equi-join.
+    * Bucket order is `sort_array`'s struct order on `pack_bucket` —
+    * numeric for range buckets, lexicographic for the fixed-width hex
+    * gate — i.e. the same order the cumsum windows use. */
+  private def collapsedBucketOffsets(withB: DataFrame): DataFrame =
+    withB
       .groupBy("pack_bucket").agg(sum("toks").as("bt"))
       .agg(sort_array(collect_list(struct(col("pack_bucket"), col("bt"))))
         .as("bs"))
@@ -128,9 +162,4 @@ object ShardPacking {
         .as("o"))
       .select(col("o.pack_bucket").as("pack_bucket"),
               col("o.bucket_offset").as("bucket_offset"))
-    local.join(broadcast(offsets), Seq("pack_bucket"))
-      .withColumn("cum_before", col("bucket_offset") + col("local_before"))
-      .withColumn("shard", expr(s"cum_before div $budget"))
-      .drop("local_before", "bucket_offset")
-  }
 }
