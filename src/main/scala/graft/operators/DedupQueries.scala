@@ -429,6 +429,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** The dedup ENSEMBLE verdict: every release pipeline runs several
+    * dedup passes and a document's fate is the union of their drops —
+    * this query emits the per-document final decision with the gate
+    * that sealed it, precedence exact > lexical (MinHash-LSH) >
+    * semantic (SemDeDup cells): the cheapest gate that fires gets the
+    * attribution, mirroring the order a staged pipeline actually
+    * evaluates them in (each later, costlier pass only sees survivors).
+    *
+    * Serving composes the PERSISTED [[lshKeepList]] and [[semKeepList]]
+    * artifacts (nothing re-pairs) plus one exact hash-agg over the
+    * corpus; vec_id indexes the same corpus as doc_id (one embedding
+    * per document). At 100 TB: one map-side hash + groupBy for exact,
+    * two artifact equi-joins — corpus-linear, no pair generation. */
+  val ensembleVerdict = Q(
+    "q_dedup_verdict",
+    s"""WITH RECURSIVE $lshCtes,
+       |$semCtes,
+       |ledges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |), lwalk(id, reach) AS (
+       |  SELECT src, src FROM ledges
+       |  UNION
+       |  SELECT w.id, e.dst FROM lwalk w JOIN ledges e ON e.src = w.reach
+       |), ldrop AS (
+       |  SELECT id FROM lwalk GROUP BY id HAVING id <> min(reach)
+       |), sedges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM sempairs
+       |  UNION SELECT vec_b, vec_a FROM sempairs
+       |), swalk(id, reach) AS (
+       |  SELECT src, src FROM sedges
+       |  UNION
+       |  SELECT w.id, e.dst FROM swalk w JOIN sedges e ON e.src = w.reach
+       |), sdrop AS (
+       |  SELECT id FROM swalk GROUP BY id HAVING id <> min(reach)
+       |), ex AS (
+       |  SELECT doc_id,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+       |  FROM documents
+       |), exmin AS (SELECT h, min(doc_id) AS keep_id FROM ex GROUP BY h)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.doc_id <> m.keep_id THEN '1_exact'
+       |       WHEN e.doc_id IN (SELECT id FROM ldrop) THEN '2_lexical'
+       |       WHEN e.doc_id IN (SELECT id FROM sdrop) THEN '3_semantic'
+       |       ELSE '0_kept' END AS verdict
+       |FROM ex e JOIN exmin m USING (h)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), md5(normalized(col("text"))).as("h"))
+    val exKeep = ex.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val lex = lshKeepList(s, d)
+      .select(col("doc_id"), (!col("keep")).as("lex_dup"))
+    val sem = semKeepList(s, d)
+      .select(col("doc_id"), (!col("keep")).as("sem_dup"))
+    ex.join(exKeep, "h")
+      .join(lex, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "1_exact")
+          .when(coalesce(col("lex_dup"), lit(false)), "2_lexical")
+          .when(coalesce(col("sem_dup"), lit(false)), "3_semantic")
+          .otherwise("0_kept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Shared DuckDB CTE: 16-bit string-rendered SimHash per document. */
   private val simhashCte =
     """sig AS (
