@@ -716,4 +716,93 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"))
       .orderBy("source")
   }
+
+  /** Temperature-mixture SAMPLING — [[mixtureWeights]] actually applied:
+    * a T = total/4 token budget splits across sources by the α = 3/4
+    * ppm shares (integer arithmetic, `T · share_ppm // 1e6`), and each
+    * source keeps its md5-gate-ordered document prefix up to its own
+    * target — the flattening draw itself, where dominant sources get
+    * truncated hard and small sources saturate (keep everything, the
+    * `saturated` flag). Per-source report: kept docs/tokens vs target
+    * vs available.
+    *
+    * Scale shape: the weights frame is |sources|-row (broadcast), the
+    * cum window is PARTITIONED by source ordered by the hash gate —
+    * same bounded-window discipline as [[tokenBudget]]; nothing
+    * corpus-wide but one hash-agg and the one-row total. At the 80%-
+    * crawl skew the crawl partition is the corpus — the window is the
+    * [[ShardPacking.pack]] two-level decomposition's candidate if that
+    * ever dominates; at a cum-PREFIX gate the window never materializes
+    * more than running state per partition. */
+  val mixtureSample = Q(
+    "q_mixture_sample",
+    s"""WITH src AS (
+       |  SELECT source, CAST(sum(len($W)) AS BIGINT) AS src_toks
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, src_toks, sqrt(src_toks * sqrt(src_toks)) AS wt FROM src
+       |), tw AS (
+       |  SELECT *, list_reduce(
+       |    list(wt) OVER (ORDER BY source
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING
+       |                   AND UNBOUNDED FOLLOWING),
+       |    (a, b) -> a + b) AS totw
+       |  FROM w
+       |), tgt AS (
+       |  SELECT source, src_toks,
+       |    (SELECT CAST(sum(src_toks) AS BIGINT) FROM src) // 4
+       |      * CAST(floor(1000000 * wt / totw) AS BIGINT) // 1000000 AS target
+       |  FROM tw
+       |), t AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS toks,
+       |    md5('sample|' || CAST(doc_id AS VARCHAR)) AS gate
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, toks,
+       |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY gate, doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT c.source, count(*) AS n_kept,
+       |  CAST(sum(c.toks) AS BIGINT) AS kept_tokens,
+       |  g.target AS target_tokens, g.src_toks AS available_tokens,
+       |  g.target >= g.src_toks AS saturated
+       |FROM c JOIN tgt g ON g.source = c.source
+       |WHERE c.cum <= g.target
+       |GROUP BY c.source, g.target, g.src_toks
+       |ORDER BY c.source""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text")))).cast("long").as("src_toks"))
+      .withColumn("wt", sqrt(col("src_toks") * sqrt(col("src_toks"))))
+    // one-row totals (grand token count + fixed-order weight fold)
+    // broadcast onto the |sources|-row frame — the mixtureWeights idiom
+    val tot = src.agg(
+      sum(col("src_toks")).as("t_total"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"), col("wt")))),
+          x => x("wt")),
+        lit(0.0), (acc, x) => acc + x).as("totw"))
+    val tgt = src.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        floor(lit(1000000) * col("wt") / col("totw")).cast("long"))
+      .select(col("source"), col("src_toks"),
+        expr("(t_total div 4) * share_ppm div 1000000").as("target"))
+    val c = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        md5(concat(lit("sample|"), col("doc_id").cast("string"))).as("gate"))
+      .withColumn("cum", sum(col("toks")).over(
+        Window.partitionBy("source").orderBy("gate", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    c.join(broadcast(tgt), Seq("source"))
+      .filter(col("cum") <= col("target"))
+      .groupBy(col("source"), col("target"), col("src_toks"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"))
+      .select(col("source"), col("n_kept"), col("kept_tokens"),
+        col("target").as("target_tokens"), col("src_toks").as("available_tokens"),
+        (col("target") >= col("src_toks")).as("saturated"))
+      .orderBy("source")
+  }
 }
