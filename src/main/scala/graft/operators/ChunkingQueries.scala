@@ -294,6 +294,70 @@ object ChunkingQueries {
       .orderBy("source")
   }
 
+  /** Trained-tokenizer sequence packing — the end-to-end bridge from
+    * tokenizer training to the loader manifest: per-document token
+    * counts come from the TRAINED BPE vocabulary artifact (not the
+    * whitespace proxy [[graft.operators.CorpusQueries.packSequences]]
+    * budgets with), then the same concat-and-chunk into fixed 512-token
+    * sequences over the global [[ShardPacking.packGlobal]] offset. The
+    * counting join is vocabulary-sized (AQE broadcasts it onto the
+    * word stream); the rest is the packSequences plan. The oracle
+    * replays the full training loop, the application, and the
+    * identical permutation as one windowed sum. */
+  val packSequencesBpe = Q(
+    "q_pack_sequences_bpe",
+    s"""WITH $bpeCtes,
+       |tok AS (
+       |  SELECT w, CAST(len(string_split(trim(syms, chr(31)),
+       |    chr(31) || chr(31))) AS BIGINT) AS n_tok
+       |  FROM v$BpeMerges
+       |), dt AS (
+       |  SELECT doc_id, CAST(sum(t.n_tok) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, unnest($W) AS w FROM documents) d
+       |  JOIN tok t USING (w) WHERE d.w <> ''
+       |  GROUP BY doc_id
+       |), t AS (
+       |  SELECT doc_id, toks,
+       |    ${ShardPacking.bucketSql("doc_id")} AS pack_bucket
+       |  FROM dt WHERE toks > 0
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(coalesce(sum(toks) OVER (ORDER BY pack_bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM t
+       |), spans AS (
+       |  SELECT doc_id, toks, cum_before,
+       |    unnest(range(cum_before // 512, (cum_before + toks - 1) // 512 + 1))
+       |      AS seq
+       |  FROM c
+       |)
+       |SELECT seq, count(*) AS n_docs,
+       |  CAST(sum(least(512 * (seq + 1), cum_before + toks)
+       |           - greatest(512 * seq, cum_before)) AS BIGINT) AS toks,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM spans GROUP BY seq ORDER BY seq""".stripMargin) { (s, d) =>
+    val L = 512L
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(bpeVocab(s, d).select("w", "n_tokens"), Seq("w"))
+      .groupBy("doc_id").agg(sum("n_tokens").as("toks"))
+      .filter(col("toks") > 0)
+    ShardPacking.packGlobal(t)
+      .select(col("doc_id"), col("toks"), col("cum_before"),
+        explode(sequence(
+          expr(s"cum_before div $L"),
+          expr(s"(cum_before + toks - 1) div $L"))).as("seq"))
+      .groupBy(col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(lit(L) * (col("seq") + 1), col("cum_before") + col("toks"))
+          - greatest(lit(L) * col("seq"), col("cum_before"))).as("toks"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("seq")
+  }
+
   /** Chunk-level dedup linkage (round-8 verdict item 5): a document-pair
     * duplication hit traced to CHUNK granularity — for every verified
     * near-dup pair in the persisted LSH artifact, each training window

@@ -63,6 +63,21 @@ class PackSequencesSpec extends SparkSpec {
       s"chunked token count $packed != corpus token count $total")
   }
 
+  test("BPE-packed sequences conserve the trained tokenizer's token count") {
+    val counted = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(ChunkingQueries.bpeVocab(spark, sf0001).select("w", "n_tokens"), Seq("w"))
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val seqs = ChunkingQueries.packSequencesBpe.run(spark, sf0001)
+      .select("toks").collect().map(_.getLong(0))
+    assert(seqs.sum == counted,
+      s"BPE chunk total ${seqs.sum} != tokenizer count $counted")
+    assert(seqs.dropRight(1).forall(_ == 512L),
+      "a non-final BPE sequence is not exactly 512 tokens")
+  }
+
   test("a document longer than L spans multiple sequences, fully accounted") {
     // 3 docs: 100, 1300 (spans >= 3 sequences at L=512), 50 tokens
     val docs = spark.range(3).select(col("id").as("doc_id"),
