@@ -133,7 +133,9 @@ object ScaleSmoke {
       "q_er_clusters", "q_er_golden", "q_er_multiblock",
       "q_text_bm25", "q_text_phrase", "q_text_near", "q_text_search",
       "q_tfidf_terms", "q_text_contamination", "q_corpus_curation",
-      "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum")
+      "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum",
+      "q_pack_sequences", "q_pack_sequences_bpe", "q_dedup_verdict",
+      "q_mixture_sample")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -122,6 +122,49 @@ object ImageCodec {
     }
   }
 
+  /** One perceptual-hash row: the 64-bit average-hash rendered as a
+    * 64-char bit string ('' for undecodable payloads). */
+  final case class PhashRow(doc_id: Long, phash: String)
+
+  /** 64-bit perceptual average-hash (aHash) over the REAL decoded
+    * raster: 8×8 block means (blocks `ci = x*8/w`, `cj = y*8/h` — every
+    * block non-empty for w,h ≥ 8), integer milli-means, threshold =
+    * floor-mean of the 64 cells, bit = cell above threshold, rendered
+    * in (cj, ci) order. Brightness-invariant by construction (the
+    * threshold is the image's own mean), which is the point: two
+    * images differing only by exposure hash identically. All integer
+    * arithmetic so the oracle replays it over the closed-form grid.
+    * Corrupt payloads → empty-string sentinel, same totality contract
+    * as [[featureRow]]. */
+  def aHashRow(id: Long, payload: Array[Byte]): PhashRow = {
+    val decoded =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    decoded match {
+      case None => PhashRow(id, "")
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cj = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val k = cj * 8 + x * 8 / w
+            sums(k) += img.getRGB(x, y) & 0xff
+            cnts(k) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cm = Array.tabulate(64)(k => sums(k) * 1000L / cnts(k))
+        val thr = cm.sum / 64
+        PhashRow(id, cm.map(v => if (v > thr) '1' else '0').mkString)
+    }
+  }
+
   /** One decoded image row: real dimensions, the (0,0) pixel's channels,
     * and the dimensions of a genuinely resized thumbnail. */
   final case class ImgRow(

@@ -94,6 +94,62 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash image dedup — the multimodal twin of the text
+    * dedup family: each gradient PNG is decoded partition-locally and
+    * average-hashed ([[graft.multimodal.ImageCodec.aHashRow]]: 8×8
+    * block means, image-mean threshold, 64-bit signature), then exact
+    * hash grouping marks the keeper per perceptual cluster. The hash is
+    * brightness-invariant, so the non-wrapping linear-ramp images
+    * collapse to geometry-only signatures and ids sharing (w, h) mod
+    * geometry dedup together — real clusters, not singletons. Scale
+    * shape: map-side decode+hash, one hash-agg, broadcast join-back —
+    * the exact-dedup plan with a decoded-pixel key. The oracle replays
+    * block means, threshold, and bit string over the closed-form grid
+    * in pure integer arithmetic. */
+  val imagePhash = Q(
+    "q_mm_img_phash",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS INTEGER) AS w,
+      |    CAST(16 + doc_id % 24 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id < 500
+      |), px AS (
+      |  SELECT doc_id, w, h, x.x, y.y, (doc_id + x.x + y.y) % 256 AS gray
+      |  FROM g, unnest(range(0, w)) AS x(x), unnest(range(0, h)) AS y(y)
+      |), cells AS (
+      |  SELECT doc_id, (y * 8) // h AS cj, (x * 8) // w AS ci,
+      |    CAST(sum(gray) * 1000 // count(*) AS BIGINT) AS cm
+      |  FROM px GROUP BY doc_id, cj, ci
+      |), thr AS (
+      |  SELECT doc_id, CAST(sum(cm) // 64 AS BIGINT) AS t
+      |  FROM cells GROUP BY doc_id
+      |), hash AS (
+      |  SELECT c.doc_id,
+      |    string_agg(CASE WHEN cm > t THEN '1' ELSE '0' END, ''
+      |               ORDER BY cj, ci) AS phash
+      |  FROM cells c JOIN thr USING (doc_id) GROUP BY c.doc_id
+      |)
+      |SELECT doc_id, phash,
+      |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+      |FROM hash ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          graft.multimodal.ImageCodec.aHashRow(
+            id, graft.multimodal.ImageCodec.syntheticGradientPng(id))
+        }
+      }
+      .toDF()
+    val mins = hashes.groupBy("phash").agg(min("doc_id").as("m"))
+    hashes.join(mins, Seq("phash"))
+      .select(col("doc_id"), col("phash"),
+        (col("doc_id") === col("m")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** REAL audio decode through `javax.sound.sampled` (JDK built-in WAV
     * codec): doc_id < 500 → deterministic synthetic 16-bit PCM WAV →
     * partition-local header+stream decode. Lossless PCM makes every

@@ -59,6 +59,31 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("aHash is brightness-invariant and structure-sensitive") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(w: Int, h: Int)(gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // same ramp at two exposures -> identical hash (threshold is the
+    // image's own mean); inverted ramp -> different hash
+    val ramp = ImageCodec.aHashRow(0, png(40, 30)((x, y) => x + y)).phash
+    val bright = ImageCodec.aHashRow(1, png(40, 30)((x, y) => x + y + 60)).phash
+    val inverted = ImageCodec.aHashRow(2, png(40, 30)((x, y) => 180 - x - y)).phash
+    assert(ramp.length == 64 && ramp.count(_ == '1') > 0 && ramp.count(_ == '0') > 0)
+    assert(ramp == bright, "exposure shift changed the perceptual hash")
+    assert(ramp != inverted, "structurally different images collided")
+    // totality: garbage payload yields the sentinel, not a throw
+    assert(ImageCodec.aHashRow(3, Array[Byte](1, 2, 3)).phash == "")
+  }
+
   test("ImageIoDecoder drops into decodeAll's partition-local lifecycle") {
     val payloads = spark.range(40)
       .as[Long]
