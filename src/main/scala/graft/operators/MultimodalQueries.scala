@@ -106,9 +106,12 @@ object MultimodalQueries {
     * the exact-dedup plan with a decoded-pixel key. The oracle replays
     * block means, threshold, and bit string over the closed-form grid
     * in pure integer arithmetic. */
-  val imagePhash = Q(
-    "q_mm_img_phash",
-    """WITH g AS (
+  /** DuckDB replay of the aHash pipeline over the closed-form gradient
+    * grid: block milli-means → image-mean threshold → 64-char bit
+    * string, in pure integer arithmetic. Shared by the phash dedup and
+    * the Hamming near-dup queries. */
+  private val imgPhashCtes =
+    """g AS (
       |  SELECT doc_id,
       |    CAST(16 + doc_id % 32 AS INTEGER) AS w,
       |    CAST(16 + doc_id % 24 AS INTEGER) AS h
@@ -128,12 +131,12 @@ object MultimodalQueries {
       |    string_agg(CASE WHEN cm > t THEN '1' ELSE '0' END, ''
       |               ORDER BY cj, ci) AS phash
       |  FROM cells c JOIN thr USING (doc_id) GROUP BY c.doc_id
-      |)
-      |SELECT doc_id, phash,
-      |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
-      |FROM hash ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |)""".stripMargin
+
+  /** The per-image aHash frame, decoded and hashed partition-locally. */
+  private def phashFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    val hashes = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(col("doc_id") < 500)
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
@@ -143,11 +146,87 @@ object MultimodalQueries {
         }
       }
       .toDF()
+  }
+
+  val imagePhash = Q(
+    "q_mm_img_phash",
+    s"""WITH $imgPhashCtes
+      |SELECT doc_id, phash,
+      |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+      |FROM hash ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hashes = phashFrame(s, d)
     val mins = hashes.groupBy("phash").agg(min("doc_id").as("m"))
     hashes.join(mins, Seq("phash"))
       .select(col("doc_id"), col("phash"),
         (col("doc_id") === col("m")).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Near-duplicate IMAGE pairs: Hamming distance 1–3 between distinct
+    * perceptual hashes, found by the pigeonhole band join the text
+    * SimHash path uses — 4 bands of 16 bits, distance ≤ 3 guarantees
+    * band agreement — never all-pairs. Candidates join over one
+    * CLUSTER REPRESENTATIVE per distinct hash (min doc_id), so exact
+    * dups (q_mm_img_phash's job) neither inflate the buckets nor
+    * reappear as pairs; band buckets above the cap are excluded with
+    * the [[graft.operators.DedupQueries]] discipline, replayed in the
+    * oracle. At 100 TB: decode+hash map-side, distinct-hash reduce,
+    * band-bucket shuffle bounded at cap² — the text near-dup plan with
+    * a decoded-pixel signature. */
+  val imageNearDup = Q(
+    "q_mm_img_neardup",
+    s"""WITH $imgPhashCtes,
+      |reps AS (
+      |  SELECT min(doc_id) AS doc_id, phash FROM hash GROUP BY phash
+      |), bands AS (
+      |  SELECT doc_id, b.b, substr(phash, b.b * 16 + 1, 16) AS bits
+      |  FROM reps, unnest(range(0, 4)) AS b(b)
+      |), okb AS (
+      |  SELECT b, bits FROM bands GROUP BY b, bits
+      |  HAVING count(*) <= 64
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT bands.* FROM bands JOIN okb USING (b, bits)) a
+      |  JOIN (SELECT bands.* FROM bands JOIN okb USING (b, bits)) b
+      |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum([CASE WHEN ha.phash[j] <> hb.phash[j] THEN 1 ELSE 0 END
+      |                   for j in range(1, 65)]) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN reps ha ON ha.doc_id = doc_a
+      |  JOIN reps hb ON hb.doc_id = doc_b
+      |) WHERE hamming BETWEEN 1 AND 3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val reps = phashFrame(s, d)
+      .groupBy("phash").agg(min("doc_id").as("doc_id"))
+    val bands = (0 until 4)
+      .map(b => reps.select(col("doc_id"), lit(b).as("b"),
+        substring(col("phash"), b * 16 + 1, 16).as("bits")))
+      .reduce(_ unionByName _)
+    val okb = bands.groupBy("b", "bits")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64)
+      .select("b", "bits")
+    val bounded = bands.join(okb, Seq("b", "bits"))
+    val cand = bounded.select(col("doc_id").as("doc_a"), col("b"), col("bits"))
+      .join(bounded.select(col("doc_id").as("doc_b"), col("b"), col("bits")),
+        Seq("b", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val hamming = (1 to 64).map(j =>
+      when(substring(col("ha"), j, 1) =!= substring(col("hb"), j, 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(reps.select(col("doc_id").as("doc_a"), col("phash").as("ha")),
+        Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("phash").as("hb")),
+        Seq("doc_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming").between(1L, 3L))
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** REAL audio decode through `javax.sound.sampled` (JDK built-in WAV

@@ -45,6 +45,10 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
     "q_token_budget",
+    // ONE-row totals frame (grand tokens + fixed-order weight fold)
+    // crossed onto the |sources|-row weights frame; the per-doc join
+    // is a broadcast equi-join on source (q_token_budget pattern)
+    "q_mixture_sample",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
