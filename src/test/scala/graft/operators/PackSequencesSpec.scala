@@ -78,6 +78,15 @@ class PackSequencesSpec extends SparkSpec {
       "a non-final BPE sequence is not exactly 512 tokens")
   }
 
+  test("packGlobal's offsets re-attach as a broadcast, not a shuffle") {
+    val plan = ShardPacking.packGlobal(corpusToks)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets join is not a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$plan")
+  }
+
   test("a document longer than L spans multiple sequences, fully accounted") {
     // 3 docs: 100, 1300 (spans >= 3 sequences at L=512), 50 tokens
     val docs = spark.range(3).select(col("id").as("doc_id"),
