@@ -199,30 +199,31 @@ object MultimodalQueries {
       |  JOIN reps hb ON hb.doc_id = doc_b
       |) WHERE hamming BETWEEN 1 AND 3
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // ONE banded frame (posexplode of the 4 substrings — codegen'd, no
+    // 4-way union re-planning the decode+hash stage per band) carrying
+    // the full hash through, so candidate pairs emerge with both
+    // signatures attached and no join-back to the hash frame exists.
     val reps = phashFrame(s, d)
       .groupBy("phash").agg(min("doc_id").as("doc_id"))
-    val bands = (0 until 4)
-      .map(b => reps.select(col("doc_id"), lit(b).as("b"),
-        substring(col("phash"), b * 16 + 1, 16).as("bits")))
-      .reduce(_ unionByName _)
+    val bands = reps.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("phash"), b * 16 + 1, 16)): _*)).as(Seq("b", "bits")))
     val okb = bands.groupBy("b", "bits")
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= 64)
       .select("b", "bits")
     val bounded = bands.join(okb, Seq("b", "bits"))
-    val cand = bounded.select(col("doc_id").as("doc_a"), col("b"), col("bits"))
-      .join(bounded.select(col("doc_id").as("doc_b"), col("b"), col("bits")),
-        Seq("b", "bits"))
+    val cand = bounded
+      .select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("b"), col("bits"))
+      .join(bounded.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("b"), col("bits")), Seq("b", "bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "ha", "hb")
       .distinct()
     val hamming = (1 to 64).map(j =>
       when(substring(col("ha"), j, 1) =!= substring(col("hb"), j, 1), 1L)
         .otherwise(0L)).reduce(_ + _)
     cand
-      .join(reps.select(col("doc_id").as("doc_a"), col("phash").as("ha")),
-        Seq("doc_a"))
-      .join(reps.select(col("doc_id").as("doc_b"), col("phash").as("hb")),
-        Seq("doc_b"))
       .withColumn("hamming", hamming)
       .filter(col("hamming").between(1L, 3L))
       .select("doc_a", "doc_b", "hamming")
