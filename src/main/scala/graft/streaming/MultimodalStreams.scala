@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+/** Streaming perceptual-hash ingest — the multimodal twin of
+  * [[DedupStreams]]: image payloads arrive in micro-batches, each is
+  * decoded and average-hashed ONCE, partition-locally, on arrival
+  * ([[graft.multimodal.ImageCodec.aHashRow]]), and the signature enters
+  * a persisted hash index partitioned by ingest batch. The dedup
+  * verdict is a VIEW over the accumulated index (keep = min doc_id per
+  * hash), so a keeper decision is never final-on-arrival: a smaller
+  * doc id surfacing in a later crawl batch retroactively wins its
+  * cluster, exactly as the batch pass `q_mm_img_phash` would decide —
+  * StreamingPhashDedupSpec pins that parity under out-of-order
+  * arrival.
+  *
+  * Replay safety: each micro-batch overwrites its OWN
+  * `ingest_batch=<id>` partition, so a re-applied batch (restart
+  * recovery) rewrites identical rows in place — no append duplication,
+  * no dependence on the streaming checkpoint for correctness. Corrupt
+  * payloads hash to the '' sentinel and stay in the index as an audit
+  * trail but never join a verdict cluster. */
+object MultimodalStreams {
+
+  /** Decode + hash one batch of (doc_id, payload) rows — the only
+    * place pixels are touched; everything downstream is signatures. */
+  private[streaming] def hashRowsOf(batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        graft.multimodal.ImageCodec.aHashRow(id, payload)
+      })
+      .toDF()
+  }
+
+  /** One micro-batch application, exposed apart from the stream wiring
+    * so tests can replay a batch (same `batchId`) directly. */
+  def processBatch(batch: DataFrame, batchId: Long, hashDir: String): Unit =
+    hashRowsOf(batch)
+      .write.mode("overwrite").parquet(s"$hashDir/ingest_batch=$batchId")
+
+  /** Continuous wiring: a stream of (doc_id, payload) images applied
+    * micro-batch by micro-batch through [[processBatch]]. */
+  def phashIngestStream(images: DataFrame, hashDir: String): DataStreamWriter[Row] =
+    images.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processBatch(batch, batchId, hashDir)
+      }
+
+  /** The dedup verdict over everything ingested so far: keep = min
+    * doc_id per hash — the same decision rule as the batch
+    * `q_mm_img_phash`, over the same signature function, minus the
+    * corrupt-payload sentinel rows. The window partitions on the hash
+    * (bounded cluster widths), never corpus-wide. */
+  def verdicts(s: SparkSession, hashDir: String): DataFrame = {
+    val p = new Path(hashDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p) && fs.listStatus(p).nonEmpty,
+      s"no ingested hash index at $hashDir")
+    s.read.parquet(hashDir)
+      .filter(col("phash") =!= "")
+      .select(col("doc_id"), col("phash"),
+        (col("doc_id") === min("doc_id").over(
+          Window.partitionBy("phash"))).as("keep"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.MultimodalQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream/batch parity for perceptual-hash image dedup: images arriving
+  * in micro-batches — OUT of doc_id order, so later batches carry
+  * smaller ids that retroactively win their clusters — must yield
+  * exactly the batch `q_mm_img_phash` verdict set; replaying a
+  * micro-batch must change nothing; corrupt payloads must neither
+  * throw nor join a verdict cluster. */
+class StreamingPhashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hashD = "/tmp/graft_sphash_idx"
+
+  private def cleanup(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(hashD)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("out-of-order micro-batched ingest equals the batch verdicts") {
+    cleanup()
+    val expected = MultimodalQueries.imagePhash.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val images = mem.toDF().toDF("doc_id")
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.multimodal.ImageCodec.syntheticGradientPng(id))))
+      .toDF("doc_id", "payload")
+    val q = MultimodalStreams.phashIngestStream(images, hashD).start()
+    try {
+      // high ids first: every later batch undercuts earlier keepers
+      mem.addData(300L until 500L: _*); q.processAllAvailable()
+      mem.addData(100L until 300L: _*); q.processAllAvailable()
+      mem.addData(0L until 100L: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = MultimodalStreams.verdicts(spark, hashD)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(got == expected, "streamed verdicts diverge from the batch pass")
+  }
+
+  test("replaying a micro-batch is idempotent; corrupt payloads excluded") {
+    // replay: re-apply batch 1's slice under the same batch id
+    val before = MultimodalStreams.verdicts(spark, hashD)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val replay = spark.range(100, 300)
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.multimodal.ImageCodec.syntheticGradientPng(id))))
+      .toDF("doc_id", "payload")
+    MultimodalStreams.processBatch(replay, batchId = 1L, hashD)
+    val after = MultimodalStreams.verdicts(spark, hashD)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(after == before, "replayed batch changed the verdict set")
+
+    // corrupt payload: ingests as the sentinel, never joins a cluster
+    val garbage = Seq((9999L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    MultimodalStreams.processBatch(garbage, batchId = 99L, hashD)
+    val v = MultimodalStreams.verdicts(spark, hashD)
+    assert(v.filter(v("doc_id") === 9999L).count() == 0,
+      "corrupt payload surfaced in the verdicts")
+    assert(v.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet == before, "garbage ingest disturbed the verdict set")
+  }
+}
