@@ -78,6 +78,12 @@ class PackSequencesSpec extends SparkSpec {
       "a non-final BPE sequence is not exactly 512 tokens")
   }
 
+  test("packGlobal on an empty frame returns empty, not a crash") {
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("toks"))
+    assert(ShardPacking.packGlobal(empty).count() == 0)
+  }
+
   test("packGlobal's offsets re-attach as a broadcast, not a shuffle") {
     val plan = ShardPacking.packGlobal(corpusToks)
       .queryExecution.sparkPlan.toString
