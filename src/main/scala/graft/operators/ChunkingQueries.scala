@@ -410,19 +410,35 @@ object ChunkingQueries {
         array_distinct(wordShingles(
           slice(col("w"), col("start0") + 1, lit(ChunkSize)), 3)).as("cg"))
       .filter(size(col("cg")) > 0)
-    val partnerSh = docs
+    // Distributed set intersection: grams explode on BOTH sides and
+    // meet in a shuffle equi-join on (doc_b, gram) AFTER the pair join
+    // bounds the fan-out (gram-first would be corpus-quadratic on
+    // boilerplate grams). A per-row `array_intersect(cg, ss)` builds a
+    // |ss|-element hash set for every (pair × chunk) row — ~2× slower
+    // at the 10× smoke where replica cliques multiply the pair count;
+    // here the partner's gram rows materialize once per doc_b and the
+    // intersection is a counted join. Chunks with no shared gram
+    // re-enter with the left join (dup_pct = 0 rows are part of the
+    // contract). Both sides are distinct gram SETS, so count(*) per
+    // (pair, chunk) IS the set-intersection size.
+    val partnerGrams = docs
       .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
       .select(col("doc_id").as("doc_b"),
-        array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+        explode(array_distinct(wordShingles(tokens(col("text")), 3))).as("g"))
+    val chunkMeta = chunks.select(col("doc_a"), col("start"),
+      size(col("cg")).cast("long").as("n_grams"))
+    val matches = pairs
+      .join(chunks.select(col("doc_a"), col("start"), explode(col("cg")).as("g")),
+        Seq("doc_a"))
+      .join(partnerGrams, Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b", "start")
+      .agg(count(lit(1)).as("ninter"))
     pairs
-      .join(chunks, Seq("doc_a"))
-      .join(partnerSh, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("start"),
-        size(col("cg")).cast("long").as("n_grams"),
-        (size(array_intersect(col("cg"), col("ss"))) * 100).as("ninter100"),
-        size(col("cg")).as("ng"))
-      .withColumn("dup_pct", expr("ninter100 div ng").cast("long"))
-      .select("doc_a", "doc_b", "start", "n_grams", "dup_pct")
+      .join(chunkMeta, Seq("doc_a"))
+      .join(matches, Seq("doc_a", "doc_b", "start"), "left")
+      .select(col("doc_a"), col("doc_b"), col("start"), col("n_grams"),
+        expr("(100 * coalesce(ninter, 0L)) div n_grams").cast("long")
+          .as("dup_pct"))
       .orderBy("doc_a", "doc_b", "start")
   }
 
