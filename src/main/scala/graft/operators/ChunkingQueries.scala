@@ -337,25 +337,13 @@ object ChunkingQueries {
        |           - greatest(512 * seq, cum_before)) AS BIGINT) AS toks,
        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM spans GROUP BY seq ORDER BY seq""".stripMargin) { (s, d) =>
-    val L = 512L
     val t = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .join(bpeVocab(s, d).select("w", "n_tokens"), Seq("w"))
       .groupBy("doc_id").agg(sum("n_tokens").as("toks"))
       .filter(col("toks") > 0)
-    ShardPacking.packGlobal(t)
-      .select(col("doc_id"), col("toks"), col("cum_before"),
-        explode(sequence(
-          expr(s"cum_before div $L"),
-          expr(s"(cum_before + toks - 1) div $L"))).as("seq"))
-      .groupBy(col("seq"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(least(lit(L) * (col("seq") + 1), col("cum_before") + col("toks"))
-          - greatest(lit(L) * col("seq"), col("cum_before"))).as("toks"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("seq")
+    ShardPacking.chunkSequences(t, L = 512L).drop("n_full_docs")
   }
 
   /** Chunk-level dedup linkage (round-8 verdict item 5): a document-pair

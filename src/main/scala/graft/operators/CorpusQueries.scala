@@ -357,25 +357,10 @@ object CorpusQueries {
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM spans GROUP BY seq ORDER BY seq""".stripMargin) { (s, d) =>
-    val L = 512L
     val t = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("toks"))
       .filter(col("toks") > 0)
-    ShardPacking.packGlobal(t)
-      .select(col("doc_id"), col("toks"), col("cum_before"),
-        explode(sequence(
-          expr(s"cum_before div $L"),
-          expr(s"(cum_before + toks - 1) div $L"))).as("seq"))
-      .groupBy(col("seq"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(least(lit(L) * (col("seq") + 1), col("cum_before") + col("toks"))
-          - greatest(lit(L) * col("seq"), col("cum_before"))).as("toks"),
-        sum(when(col("cum_before") >= lit(L) * col("seq") &&
-                 col("cum_before") + col("toks") <= lit(L) * (col("seq") + 1),
-            1L).otherwise(0L)).as("n_full_docs"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("seq")
+    ShardPacking.chunkSequences(t, L = 512L)
   }
 
   /** The full curation funnel with per-stage accounting: raw →

@@ -142,6 +142,31 @@ object ShardPacking {
       .drop("local_before", "bucket_offset")
   }
 
+  /** Concat-and-chunk sequence rollup over [[packGlobal]] offsets: each
+    * document fans out to the `L`-token sequences it spans (`toks/L + 1`
+    * rows — tiny) and one hash-agg on `seq` produces the loader
+    * manifest: contributing docs, fully-contained docs, token fill
+    * (exactly L everywhere but the final sequence), id range. Shared by
+    * `q_pack_sequences`, `q_pack_sequences_bpe`, and the corpus
+    * pipeline's train-split loader stage. `df` must carry `doc_id` and
+    * a POSITIVE BIGINT `toks` column. */
+  def chunkSequences(df: DataFrame, L: Long): DataFrame =
+    packGlobal(df)
+      .select(col("doc_id"), col("toks"), col("cum_before"),
+        explode(sequence(
+          expr(s"cum_before div $L"),
+          expr(s"(cum_before + toks - 1) div $L"))).as("seq"))
+      .groupBy(col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(lit(L) * (col("seq") + 1), col("cum_before") + col("toks"))
+          - greatest(lit(L) * col("seq"), col("cum_before"))).as("toks"),
+        sum(when(col("cum_before") >= lit(L) * col("seq") &&
+                 col("cum_before") + col("toks") <= lit(L) * (col("seq") + 1),
+            1L).otherwise(0L)).as("n_full_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("seq")
+
   /** Per-bucket totals prefix-summed with NO corpus-wide window: the
     * totals collapse to ONE collected row (bucket-count-sized by
     * construction), the running sum is in-row array arithmetic (O(B²)

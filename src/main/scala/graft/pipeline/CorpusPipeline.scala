@@ -70,6 +70,28 @@ object CorpusPipeline {
     spark.read.parquet(s"$outDir/manifest")
   }
 
+  /** The TRAIN split's loader manifest — the build's final stage: the
+    * surviving train documents laid into one global token stream and
+    * chunked into fixed L-token training sequences
+    * ([[graft.operators.ShardPacking.chunkSequences]]; every sequence
+    * but the last holds exactly L tokens, documents cross boundaries,
+    * attention masks re-separate them at train time). Consumes the
+    * written manifest so the sequence set is exactly the curated
+    * survivors — CorpusPipelineSpec pins token conservation against the
+    * manifest's own train totals. */
+  def sequences(spark: SparkSession, manifestDf: DataFrame, L: Long = 512L): DataFrame =
+    graft.operators.ShardPacking.chunkSequences(
+      manifestDf.filter(col("split") === "train")
+        .select("doc_id", "toks").filter(col("toks") > 0), L)
+
+  /** Write the train-split sequence manifest next to the doc manifest. */
+  def writeSequences(spark: SparkSession, manifestDf: DataFrame,
+                     outDir: String, L: Long = 512L): DataFrame = {
+    sequences(spark, manifestDf, L)
+      .write.mode("overwrite").parquet(s"$outDir/sequences")
+    spark.read.parquet(s"$outDir/sequences")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/graft_corpus_out")
@@ -88,6 +110,9 @@ object CorpusPipeline {
     m.groupBy("split").agg(count(lit(1)).as("n_docs"),
       sum("toks").as("tokens"), countDistinct(col("source"), col("shard")).as("n_shards"))
       .orderBy("split").show(truncate = false)
+    val seqs = writeSequences(spark, m, outDir)
+    seqs.agg(count(lit(1)).as("n_sequences"), sum("toks").as("train_tokens"),
+      sum("n_full_docs").as("unsplit_docs")).show(truncate = false)
     spark.stop()
   }
 }

@@ -51,4 +51,29 @@ class CorpusPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.collectLeaves().mkString("\n")
     assert(!scan.contains("split=train"), s"split pruning failed:\n$scan")
   }
+
+  test("the sequence stage conserves the train split's tokens exactly") {
+    val m = CorpusPipeline.manifest(spark, sf0001).cache()
+    try {
+      val trainToks = m.filter(col("split") === "train")
+        .agg(sum("toks")).collect()(0).getLong(0)
+      val seqs = CorpusPipeline.sequences(spark, m)
+        .collect().sortBy(_.getLong(0))
+      assert(seqs.map(_.getLong(2)).sum == trainToks,
+        "sequence token total != train split token total")
+      // loader contract: exact 512 fill everywhere but the tail,
+      // contiguous ids from 0
+      seqs.dropRight(1).foreach(r => assert(r.getLong(2) == 512L))
+      seqs.map(_.getLong(0)).zipWithIndex.foreach { case (s, i) =>
+        assert(s == i, "sequence ids not contiguous")
+      }
+      // only train docs contribute: id range within the train slice
+      val trainIds = m.filter(col("split") === "train")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      seqs.foreach { r =>
+        assert(trainIds(r.getLong(4)) && trainIds(r.getLong(5)),
+          "a sequence references a non-train document")
+      }
+    } finally m.unpersist()
+  }
 }
