@@ -135,4 +135,34 @@ object SampleQueries {
       .select("source", "doc_id")
       .orderBy("source", "doc_id")
   }
+
+  /** Cluster-balanced (diversity) sampling: exactly k = 5 vectors per
+    * LEARNED cluster, chosen by md5 order — uniform over SEMANTIC space
+    * rather than over sources (topic-balancing a skewed corpus,
+    * diverse eval-set construction, prototype selection). Strata come
+    * from the persisted [[IvfIndex]] assignments — no training
+    * in-plan, the artifact-lifecycle discipline — and each window
+    * partitions on one cell, so nothing is corpus-wide. The oracle
+    * replays the k-means training to the same assignments, then the
+    * same windowed draw. */
+  val perClusterSample = Q(
+    "q_sample_per_cluster",
+    s"""WITH ${IvfQuantizer.oracleCtes(SimilarityQueries.ivfK,
+                                       SimilarityQueries.ivfIters)}
+       |SELECT cell, vec_id FROM (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5('csamp|' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM asn
+       |) WHERE rk <= 5 ORDER BY cell, vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(concat(lit("csamp|"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    IvfIndex.assignments(s, d, SimilarityQueries.ivfK, SimilarityQueries.ivfIters)
+      .select(col("cell"), col("vec_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 5)
+      .select("cell", "vec_id")
+      .orderBy("cell", "vec_id")
+  }
 }
