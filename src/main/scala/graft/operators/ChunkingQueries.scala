@@ -294,6 +294,87 @@ object ChunkingQueries {
       .orderBy("source")
   }
 
+  /** Chunk-level benchmark-contamination masking — the "mask, don't
+    * drop" alternative to document-level decontamination: a document
+    * sharing one eval 5-gram loses ONE 64-token window, not its whole
+    * text. Each contaminated document's chunks are scored by how many
+    * of their word-5-grams appear in the persisted bench-gram artifact
+    * ([[graft.operators.CorpusQueries.benchGrams]]); downstream loaders
+    * zero the loss on chunks with hits and keep the rest. Chunks are
+    * computed ONLY for documents the doc-level check already flagged
+    * (semi-join pruned — at 100 TB the flagged set is tiny), grams
+    * meet the bench set in a counted equi-join (the q_chunk_dedup
+    * shape; the bench side is eval-suite-sized and AQE-broadcast), and
+    * clean chunks of flagged docs re-enter via the left join. */
+  val chunkContamination = Q(
+    "q_chunk_contamination",
+    s"""WITH g5 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+       |                          for i in range(1, len(w) - 3)])) AS g
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |), bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 97 = 0),
+       |flagged AS (
+       |  SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (g)
+       |  WHERE g5.doc_id % 97 <> 0
+       |), chunks0 AS (
+       |  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+       |    w[u.s + 1 : u.s + $ChunkSize] AS cw
+       |  FROM (SELECT doc_id, $W AS w FROM documents) t,
+       |       unnest(range(0, len(w), $ChunkStride)) AS u(s)
+       |  WHERE doc_id IN (SELECT doc_id FROM flagged)
+       |), chunks AS (
+       |  SELECT doc_id, start,
+       |    list_distinct([array_to_string(cw[i:i+4], ' ')
+       |                    for i in range(1, len(cw) - 3)]) AS cg
+       |  FROM chunks0
+       |), hits AS (
+       |  SELECT c.doc_id, c.start, count(*) AS n_shared
+       |  FROM (SELECT doc_id, start, unnest(cg) AS g FROM chunks) c
+       |  JOIN bench USING (g) GROUP BY c.doc_id, c.start
+       |)
+       |SELECT c.doc_id, c.start,
+       |  CAST(len(c.cg) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(h.n_shared, 0) > 0 AS masked
+       |FROM chunks c
+       |LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.start = c.start
+       |WHERE len(c.cg) > 0
+       |ORDER BY c.doc_id, c.start""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.wordShingles
+    val bench = CorpusQueries.benchGrams(s, d)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val flagged = docs
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(tokens(col("text")), 5))).as("g"))
+      .join(bench, Seq("g"))
+      .select("doc_id").distinct()
+    val chunks = docs
+      .join(flagged, Seq("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(ChunkStride)))
+          .as("start0"),
+        col("w"))
+      .select(col("doc_id"), col("start0").cast("long").as("start"),
+        array_distinct(wordShingles(
+          slice(col("w"), col("start0") + 1, lit(ChunkSize)), 5)).as("cg"))
+      .filter(size(col("cg")) > 0)
+    val hits = chunks
+      .select(col("doc_id"), col("start"), explode(col("cg")).as("g"))
+      .join(bench, Seq("g"))
+      .groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("n_shared"))
+    chunks
+      .join(hits, Seq("doc_id", "start"), "left")
+      .select(col("doc_id"), col("start"),
+        size(col("cg")).cast("long").as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("masked"))
+      .orderBy("doc_id", "start")
+  }
+
   /** Trained-tokenizer sequence packing — the end-to-end bridge from
     * tokenizer training to the loader manifest: per-document token
     * counts come from the TRAINED BPE vocabulary artifact (not the
