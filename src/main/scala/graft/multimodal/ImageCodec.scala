@@ -134,14 +134,19 @@ object ImageCodec {
     * threshold is the image's own mean), which is the point: two
     * images differing only by exposure hash identically. All integer
     * arithmetic so the oracle replays it over the closed-form grid.
-    * Corrupt payloads → empty-string sentinel, same totality contract
-    * as [[featureRow]]. */
+    * Totality: corrupt payloads AND decodable images smaller than the
+    * 8×8 block grid (e.g. a 1×1 tracking pixel — some blocks would be
+    * empty, no meaningful 64-bit signature exists) both degrade to the
+    * empty-string sentinel instead of throwing; one odd payload must
+    * not kill a streaming ingest task. */
   def aHashRow(id: Long, payload: Array[Byte]): PhashRow = {
     val decoded =
       try Option(ImageIO.read(new ByteArrayInputStream(payload)))
       catch { case _: Exception => None }
     decoded match {
       case None => PhashRow(id, "")
+      case Some(img) if img.getWidth < 8 || img.getHeight < 8 =>
+        PhashRow(id, "")
       case Some(img) =>
         val w = img.getWidth
         val h = img.getHeight

@@ -748,14 +748,18 @@ object CorpusQueries {
        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM t
        |)
-       |SELECT c.source, count(*) AS n_kept,
-       |  CAST(sum(c.toks) AS BIGINT) AS kept_tokens,
+       |SELECT g.source,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
        |  g.target AS target_tokens, g.src_toks AS available_tokens,
        |  g.target >= g.src_toks AS saturated
-       |FROM c JOIN tgt g ON g.source = c.source
-       |WHERE c.cum <= g.target
-       |GROUP BY c.source, g.target, g.src_toks
-       |ORDER BY c.source""".stripMargin) { (s, d) =>
+       |FROM tgt g LEFT JOIN (
+       |  SELECT c.source, count(*) AS n_kept,
+       |    CAST(sum(c.toks) AS BIGINT) AS kept_tokens
+       |  FROM c JOIN tgt ON tgt.source = c.source
+       |  WHERE c.cum <= tgt.target GROUP BY c.source
+       |) k ON k.source = g.source
+       |ORDER BY g.source""".stripMargin) { (s, d) =>
     val src = Tables.documents(s, d)
       .groupBy("source")
       .agg(sum(size(tokens(col("text")))).cast("long").as("src_toks"))
@@ -781,11 +785,18 @@ object CorpusQueries {
       .withColumn("cum", sum(col("toks")).over(
         Window.partitionBy("source").orderBy("gate", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    c.join(broadcast(tgt), Seq("source"))
+    // a source whose first gate-ordered doc alone exceeds its target
+    // keeps NOTHING — it must still report (n_kept = 0), so the report
+    // aggregates from the targets frame with a left join, never losing
+    // a source to the prefix filter
+    val kept = c.join(broadcast(tgt), Seq("source"))
       .filter(col("cum") <= col("target"))
-      .groupBy(col("source"), col("target"), col("src_toks"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("kept_tokens"))
-      .select(col("source"), col("n_kept"), col("kept_tokens"),
+    tgt.join(kept, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         col("target").as("target_tokens"), col("src_toks").as("available_tokens"),
         (col("target") >= col("src_toks")).as("saturated"))
       .orderBy("source")

@@ -433,9 +433,12 @@ object DedupQueries {
     * dedup passes and a document's fate is the union of their drops —
     * this query emits the per-document final decision with the gate
     * that sealed it, precedence exact > lexical (MinHash-LSH) >
-    * semantic (SemDeDup cells): the cheapest gate that fires gets the
-    * attribution, mirroring the order a staged pipeline actually
-    * evaluates them in (each later, costlier pass only sees survivors).
+    * semantic (SemDeDup cells): the cheapest gate that fired gets the
+    * attribution. All three gates are evaluated INDEPENDENTLY over the
+    * full corpus (the fold assigns blame, it does not re-run later
+    * passes on earlier survivors — a truly staged pipeline could elect
+    * different cluster keepers; per-stage drop-rate pricing belongs to
+    * `q_curation_funnel`).
     *
     * Serving composes the PERSISTED [[lshKeepList]] and [[semKeepList]]
     * artifacts (nothing re-pairs) plus one exact hash-agg over the

@@ -79,7 +79,7 @@ object CorpusPipeline {
     * written manifest so the sequence set is exactly the curated
     * survivors — CorpusPipelineSpec pins token conservation against the
     * manifest's own train totals. */
-  def sequences(spark: SparkSession, manifestDf: DataFrame, L: Long = 512L): DataFrame =
+  def sequences(manifestDf: DataFrame, L: Long = 512L): DataFrame =
     graft.operators.ShardPacking.chunkSequences(
       manifestDf.filter(col("split") === "train")
         .select("doc_id", "toks").filter(col("toks") > 0), L)
@@ -87,7 +87,7 @@ object CorpusPipeline {
   /** Write the train-split sequence manifest next to the doc manifest. */
   def writeSequences(spark: SparkSession, manifestDf: DataFrame,
                      outDir: String, L: Long = 512L): DataFrame = {
-    sequences(spark, manifestDf, L)
+    sequences(manifestDf, L)
       .write.mode("overwrite").parquet(s"$outDir/sequences")
     spark.read.parquet(s"$outDir/sequences")
   }

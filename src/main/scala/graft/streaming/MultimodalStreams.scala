@@ -57,15 +57,21 @@ object MultimodalStreams {
   /** The dedup verdict over everything ingested so far: keep = min
     * doc_id per hash — the same decision rule as the batch
     * `q_mm_img_phash`, over the same signature function, minus the
-    * corrupt-payload sentinel rows. The window partitions on the hash
-    * (bounded cluster widths), never corpus-wide. */
+    * corrupt-payload sentinel rows. A doc_id re-ingested in a LATER
+    * batch (crawl re-fetch — distinct from the same-batch restart
+    * replay, which rewrites its partition in place) keeps only its
+    * newest signature: one verdict row per document, last writer wins.
+    * Both windows partition on bounded keys (doc_id, hash cluster),
+    * never corpus-wide. */
   def verdicts(s: SparkSession, hashDir: String): DataFrame = {
     val p = new Path(hashDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(p) && fs.listStatus(p).nonEmpty,
       s"no ingested hash index at $hashDir")
     s.read.parquet(hashDir)
-      .filter(col("phash") =!= "")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("ingest_batch").desc)))
+      .filter(col("rk") === 1 && col("phash") =!= "")
       .select(col("doc_id"), col("phash"),
         (col("doc_id") === min("doc_id").over(
           Window.partitionBy("phash"))).as("keep"))

@@ -82,6 +82,11 @@ class ImageCodecSpec extends SparkSpec {
     assert(ramp != inverted, "structurally different images collided")
     // totality: garbage payload yields the sentinel, not a throw
     assert(ImageCodec.aHashRow(3, Array[Byte](1, 2, 3)).phash == "")
+    // totality: a VALID image smaller than the 8x8 block grid (1x1
+    // tracking pixel, 4x4 icon) also degrades to the sentinel — empty
+    // blocks would otherwise divide by zero mid-stream
+    assert(ImageCodec.aHashRow(4, png(1, 1)((_, _) => 128)).phash == "")
+    assert(ImageCodec.aHashRow(5, png(4, 12)((x, y) => x + y)).phash == "")
   }
 
   test("ImageIoDecoder drops into decodeAll's partition-local lifecycle") {

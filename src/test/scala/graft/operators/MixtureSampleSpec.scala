@@ -48,10 +48,12 @@ class MixtureSampleSpec extends SparkSpec {
       assert(n == 2 && toks == 80L, s"$s must keep everything: $n docs $toks toks")
     }
 
-    // prefix gate: kept tokens never exceed target (or the whole source)
-    got.foreach { case (s, (_, toks, target, avail, _)) =>
-      assert(toks <= math.min(target, avail) || toks <= target,
-        s"$s kept beyond its target: $toks vs $target")
+    // prefix gate: kept tokens never exceed the target, and never the
+    // source itself — a saturated source keeps exactly its whole mass
+    got.foreach { case (s, (_, toks, target, avail, sat)) =>
+      assert(toks <= target, s"$s kept beyond its target: $toks vs $target")
+      assert(toks <= avail, s"$s kept more than it has: $toks vs $avail")
+      if (sat) assert(toks == avail, s"$s saturated but kept $toks of $avail")
     }
   }
 }

@@ -57,7 +57,7 @@ class CorpusPipelineSpec extends SparkSpec {
     try {
       val trainToks = m.filter(col("split") === "train")
         .agg(sum("toks")).collect()(0).getLong(0)
-      val seqs = CorpusPipeline.sequences(spark, m)
+      val seqs = CorpusPipeline.sequences(m)
         .collect().sortBy(_.getLong(0))
       assert(seqs.map(_.getLong(2)).sum == trainToks,
         "sequence token total != train split token total")

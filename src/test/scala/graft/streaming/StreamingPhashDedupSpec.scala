@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.operators.MultimodalQueries
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Stream/batch parity for perceptual-hash image dedup: images arriving
   * in micro-batches — OUT of doc_id order, so later batches carry
@@ -45,16 +46,25 @@ class StreamingPhashDedupSpec extends SparkSpec {
     assert(got == expected, "streamed verdicts diverge from the batch pass")
   }
 
+  /** Direct (stream-wiring-free) ingest of an id range as one batch. */
+  private def ingest(range: Range, batchId: Long): Unit =
+    MultimodalStreams.processBatch(
+      spark.range(range.start, range.end).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.ImageCodec.syntheticGradientPng(id))))
+        .toDF("doc_id", "payload"),
+      batchId, hashD)
+
   test("replaying a micro-batch is idempotent; corrupt payloads excluded") {
-    // replay: re-apply batch 1's slice under the same batch id
+    cleanup() // self-contained: build the index via direct batch applies
+    ingest(0 until 250, batchId = 0L)
+    ingest(250 until 500, batchId = 1L)
     val before = MultimodalStreams.verdicts(spark, hashD)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
-    val replay = spark.range(100, 300)
-      .as[Long]
-      .mapPartitions(_.map(id =>
-        (id, graft.multimodal.ImageCodec.syntheticGradientPng(id))))
-      .toDF("doc_id", "payload")
-    MultimodalStreams.processBatch(replay, batchId = 1L, hashD)
+    assert(before.size == 500)
+
+    // replay: re-apply batch 1's slice under the same batch id
+    ingest(250 until 500, batchId = 1L)
     val after = MultimodalStreams.verdicts(spark, hashD)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
     assert(after == before, "replayed batch changed the verdict set")
@@ -68,5 +78,26 @@ class StreamingPhashDedupSpec extends SparkSpec {
       "corrupt payload surfaced in the verdicts")
     assert(v.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
       .toSet == before, "garbage ingest disturbed the verdict set")
+  }
+
+  test("a doc re-ingested in a later batch keeps one row, newest signature") {
+    cleanup()
+    ingest(0 until 100, batchId = 0L)
+    // doc 42 re-fetched in a later crawl batch with DIFFERENT pixels
+    // (simulated by another id's payload): last writer must win, and
+    // exactly one verdict row must exist for it
+    val refetch = Seq(
+      (42L, graft.multimodal.ImageCodec.syntheticGradientPng(7L)))
+      .toDF("doc_id", "payload")
+    MultimodalStreams.processBatch(refetch, batchId = 5L, hashD)
+    val rows = MultimodalStreams.verdicts(spark, hashD)
+      .filter(col("doc_id") === 42L)
+      .collect().map(r => (r.getString(1), r.getBoolean(2)))
+    assert(rows.length == 1, s"expected one verdict row, got ${rows.length}")
+    val want = graft.multimodal.ImageCodec.aHashRow(
+      42L, graft.multimodal.ImageCodec.syntheticGradientPng(7L)).phash
+    assert(rows(0)._1 == want, "re-ingest did not take the newest signature")
+    // total stays one row per distinct doc
+    assert(MultimodalStreams.verdicts(spark, hashD).count() == 100)
   }
 }
