@@ -135,7 +135,7 @@ object ScaleSmoke {
       "q_tfidf_terms", "q_text_contamination", "q_corpus_curation",
       "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum",
       "q_pack_sequences", "q_pack_sequences_bpe", "q_dedup_verdict",
-      "q_mixture_sample", "q_sample_per_cluster")
+      "q_mixture_sample", "q_sample_per_cluster", "q_chunk_contamination")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
