@@ -45,4 +45,23 @@ class NullRobustnessSpec extends SparkSpec {
     val chunks = ChunkingQueries.chunkOverlap.run(spark, dir).collect()
     assert(chunks.nonEmpty)
   }
+
+  test("IVF training survives null and empty embedding cells") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val good = (0L until 20L).map(i =>
+      Row(i, Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f - 0.5f)))
+    val rows = good ++ Seq(Row(20L, null), Row(21L, Array.empty[Float]))
+    val vectors = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), Option(r.get(1)).map(_.asInstanceOf[Array[Float]].toSeq).orNull))),
+      schema)
+    val trained = IvfQuantizer.trainVectors(vectors, k = 4, iters = 1)
+    val asn = IvfQuantizer.cellsOf(trained, 1).select("vec_id").distinct().collect()
+    // every WELL-FORMED vector lands in a cell; degenerate cells don't throw
+    assert(asn.length >= 20, s"only ${asn.length} vectors assigned")
+  }
 }
