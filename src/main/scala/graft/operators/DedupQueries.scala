@@ -1035,6 +1035,7 @@ object DedupQueries {
           .select(col("vec_id"), (col("label") + 1).as("cell"))),
       embeddingVectors(s, d)),
     "inv_index"     -> TextQueries.invertedIndexPlan(s, d),
+    "er_mb_pairs"   -> ResolutionQueries.multiBlockPlan(s, d),
     "inv_doclens"   -> TextQueries.doclensPlan(s, d),
     // same label-as-cell stand-in rule as sem_pairs: the kNN edge build
     // consumes the persisted IVF assignment table; the stand-in has the

