@@ -40,6 +40,7 @@ object IndexBuilds {
     "idx_inverted"      -> ((s, d) => { TextQueries.invertedIndex(s, d); () }),
     "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }),
     "idx_er_mb_pairs"   -> ((s, d) => { ResolutionQueries.multiBlockPairs(s, d); () }),
+    "idx_img_phash"     -> ((s, d) => { MultimodalQueries.phashFrame(s, d); () }),
     "idx_communities"   -> ((s, d) => { GraphQueries.communityLabels(s, d); () }),
     "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }))
 }

@@ -133,8 +133,9 @@ object MultimodalQueries {
       |  FROM cells c JOIN thr USING (doc_id) GROUP BY c.doc_id
       |)""".stripMargin
 
-  /** The per-image aHash frame, decoded and hashed partition-locally. */
-  private def phashFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** The per-image aHash plan, decoded and hashed partition-locally —
+    * the shape the builder materializes. */
+  private[graft] def phashPlan(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     Tables.documents(s, d)
       .filter(col("doc_id") < 500)
@@ -146,6 +147,23 @@ object MultimodalQueries {
         }
       }
       .toDF()
+  }
+
+  /** Per-image signatures persisted once per (run, corpus) — pixels are
+    * touched exactly once, the batch twin of [[graft.streaming
+    * .MultimodalStreams]]'s hash-on-arrival index; the phash dedup and
+    * Hamming near-dup queries both serve from the stored frame. */
+  private[graft] def phashFrame(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"img_phash_${IndexCatalog.tag(d)}",
+                                  inputs = Seq(d),
+                                  owners = Seq(MultimodalQueries.getClass,
+                                    graft.multimodal.ImageCodec.getClass,
+                                    graft.Tables.getClass)) { dir =>
+      phashPlan(s, d).write.mode("overwrite").parquet(s"$dir/phash")
+    }
+    s.read.parquet(s"$dir/phash")
   }
 
   val imagePhash = Q(

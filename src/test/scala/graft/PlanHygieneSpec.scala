@@ -105,6 +105,10 @@ class PlanHygieneSpec extends SparkSpec {
     // serves from the er_mb_pairs artifact; the two-pass union shape
     // is swept via builderPlans("er_mb_pairs")
     "q_er_multiblock",
+    // serve from the img_phash artifact (pixels touched once per
+    // corpus); the decode+hash shape is swept via
+    // builderPlans("img_phash")
+    "q_mm_img_phash", "q_mm_img_neardup",
     // serves from the communities artifact (LPA run once per corpus via
     // IndexCatalog); the superstep plan shape is pinned by GraphOpsSpec
     // over handcrafted graphs
