@@ -74,6 +74,44 @@ object AudioCodec {
     } catch { case _: Exception => Iterator.empty }
   }
 
+  /** One audio fingerprint row: 64-bit band-energy sign hash, or the
+    * "" sentinel for undecodable/too-short payloads. */
+  final case class WavHashRow(doc_id: Long, phash: String)
+
+  /** Perceptual audio fingerprint — the WAV twin of
+    * [[ImageCodec.aHashRow]]: the decoded interleaved 16-bit PCM stream
+    * is cut into 64 equal-share windows (sample i → window i·64/n),
+    * each window reduced to its mean energy in milli-units
+    * (Σs² · 1000 / count, integer floor), and bit k set when window k's
+    * energy exceeds the 64-window mean — a 64-char bit string that is
+    * loudness-PROFILE-invariant the way aHash is brightness-invariant,
+    * so re-encoded or offset-shifted audio with the same energy
+    * envelope collapses to the same signature. Pure integer arithmetic
+    * throughout (max Σs²·1000 ≈ 2.7e13 per window — Long-safe), so an
+    * oracle replays it closed-form over the synthetic PCM formula.
+    * Streams with fewer than 64 samples or undecodable payloads yield
+    * the "" sentinel — audit-visible, never a dedup cluster. */
+  def phashRow(id: Long, payload: Array[Byte]): WavHashRow = {
+    val sm = samples(payload).toArray
+    val n = sm.length
+    if (n < 64) WavHashRow(id, "")
+    else {
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val k = (i.toLong * 64L / n).toInt
+        val s = sm(i)._2.toLong
+        sums(k) += s * s
+        cnts(k) += 1
+        i += 1
+      }
+      val vm = Array.tabulate(64)(k => sums(k) * 1000L / cnts(k))
+      val thr = vm.sum / 64
+      WavHashRow(id, vm.map(v => if (v > thr) '1' else '0').mkString)
+    }
+  }
+
   /** Decode a WAV payload's header + first frame, total: corrupt or
     * non-audio payloads yield the -1 sentinel row instead of throwing
     * (one bad blob must not kill a 100 TB stage). duration_ms uses

@@ -290,7 +290,7 @@ object CorpusQueries {
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS toks,
        |    CAST(list_sum(list_transform(w, x -> length(x))) * 1000 // len(w)
        |         AS BIGINT) AS score
-       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |  FROM (SELECT doc_id, $W AS w FROM documents) WHERE len(w) > 0
        |), c AS (
        |  SELECT doc_id, toks, score,
        |    coalesce(sum(toks) OVER (ORDER BY score, doc_id
@@ -307,6 +307,10 @@ object CorpusQueries {
         size(col("w")).cast("long").as("toks"),
         expr("""aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))
                  * 1000 div size(w)""").as("score"))
+      // null-totality (ADVICE r9): a NULL text row yields null
+      // toks/score — Spark window sums would skip it while the oracle
+      // diverges; drop it here exactly as packSequences does
+      .filter(col("toks") > 0)
     ShardPacking.packOrdered(t, budget = 2000, bucketWidth = 1000)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),

@@ -149,9 +149,13 @@ object ShardPacking {
     * (exactly L everywhere but the final sequence), id range. Shared by
     * `q_pack_sequences`, `q_pack_sequences_bpe`, and the corpus
     * pipeline's train-split loader stage. `df` must carry `doc_id` and
-    * a POSITIVE BIGINT `toks` column. */
+    * a BIGINT `toks` column; rows with `toks` ≤ 0 or NULL are dropped
+    * HERE, not by caller convention — a `toks = 0` row would otherwise
+    * make the boundary `sequence(cum div L, (cum-1) div L)` descend
+    * when `cum % L == 0`, emitting spurious span rows with negative
+    * token contributions, and a NULL would poison the prefix sums. */
   def chunkSequences(df: DataFrame, L: Long): DataFrame =
-    packGlobal(df)
+    packGlobal(df.filter(col("toks") > 0))
       .select(col("doc_id"), col("toks"), col("cum_before"),
         explode(sequence(
           expr(s"cum_before div $L"),

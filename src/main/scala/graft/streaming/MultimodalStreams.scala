@@ -54,15 +54,53 @@ object MultimodalStreams {
         if (!batch.isEmpty) processBatch(batch, batchId, hashDir)
       }
 
+  /** Audio fingerprint-on-arrival — the WAV twin of [[hashRowsOf]]:
+    * each payload is decoded and band-energy-hashed ONCE
+    * ([[graft.multimodal.AudioCodec.phashRow]]); index layout, replay
+    * discipline, and the [[verdicts]] view are shared with the image
+    * path (same (doc_id, phash, ingest_batch) schema, same sentinel
+    * contract). */
+  private[streaming] def wavHashRowsOf(batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        graft.multimodal.AudioCodec.phashRow(id, payload)
+      })
+      .toDF()
+  }
+
+  /** One audio micro-batch application (replay-safe, same partition
+    * overwrite discipline as [[processBatch]]). */
+  def processWavBatch(batch: DataFrame, batchId: Long, hashDir: String): Unit =
+    wavHashRowsOf(batch)
+      .write.mode("overwrite").parquet(s"$hashDir/ingest_batch=$batchId")
+
+  /** Continuous wiring for audio: a stream of (doc_id, payload) WAVs
+    * applied micro-batch by micro-batch through [[processWavBatch]];
+    * dedup verdicts come from the shared [[verdicts]] view over the
+    * audio index dir. */
+  def wavPhashIngestStream(wavs: DataFrame, hashDir: String): DataStreamWriter[Row] =
+    wavs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) processWavBatch(batch, batchId, hashDir)
+      }
+
   /** The dedup verdict over everything ingested so far: keep = min
     * doc_id per hash — the same decision rule as the batch
     * `q_mm_img_phash`, over the same signature function, minus the
     * corrupt-payload sentinel rows. A doc_id re-ingested in a LATER
     * batch (crawl re-fetch — distinct from the same-batch restart
-    * replay, which rewrites its partition in place) keeps only its
-    * newest signature: one verdict row per document, last writer wins.
-    * Both windows partition on bounded keys (doc_id, hash cluster),
-    * never corpus-wide. */
+    * replay, which rewrites its partition in place) keeps its newest
+    * VALID signature: valid-signature rows rank ahead of corrupt
+    * sentinels, newest-batch first within each class — so a corrupt
+    * re-fetch of a previously-good image neither erases the document
+    * from the verdicts nor flips its hash cluster's keeper, while a
+    * document whose every ingest was corrupt stays excluded. One
+    * verdict row per document. Both windows partition on bounded keys
+    * (doc_id, hash cluster), never corpus-wide. */
   def verdicts(s: SparkSession, hashDir: String): DataFrame = {
     val p = new Path(hashDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -70,7 +108,8 @@ object MultimodalStreams {
       s"no ingested hash index at $hashDir")
     s.read.parquet(hashDir)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("ingest_batch").desc)))
+        Window.partitionBy("doc_id")
+          .orderBy((col("phash") =!= "").desc, col("ingest_batch").desc)))
       .filter(col("rk") === 1 && col("phash") =!= "")
       .select(col("doc_id"), col("phash"),
         (col("doc_id") === min("doc_id").over(

@@ -30,15 +30,34 @@ object PackingStreams {
   private def spansPath(stateDir: String) = s"$stateDir/spans"
 
   /** Stored (batch_id, start_offset, batch_toks) rows; empty frame with
-    * the right schema when nothing has been ingested yet. */
+    * the right schema when nothing has been ingested yet.
+    *
+    * Crash-safe read order (the swap in [[processBatch]] can die at any
+    * point): canonical `offsets` first; if it is missing, `offsets_next`
+    * (a crash between the canonical rename-aside and the rename-in
+    * leaves the NEWEST committed state there); then `offsets_prev` (the
+    * renamed-aside previous state — unreachable under the swap protocol
+    * unless `offsets_next` was externally removed, kept as belt and
+    * braces). A directory counts only with its `_SUCCESS` marker, so a
+    * half-written `offsets_next` can never shadow real state — and the
+    * canonical dir is only ever deleted AFTER `offsets_next` is fully
+    * written. Without this fallback a crash inside the swap would
+    * restart every later batch at offset 0, silently corrupting the
+    * global token stream. */
   private[streaming] def readOffsets(s: SparkSession, stateDir: String): DataFrame = {
-    val p = new Path(offsetsPath(stateDir))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(offsetsPath(stateDir))
-    else {
-      import s.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("batch_id", "start_offset", "batch_toks")
+    val fs = new Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val candidates = Seq(offsetsPath(stateDir), s"$stateDir/offsets_next",
+      s"$stateDir/offsets_prev")
+    candidates.find(p => fs.exists(new Path(p, "_SUCCESS"))) match {
+      case Some(p) =>
+        // renames bypass the cache invalidation a write performs —
+        // drop any cached plan still referencing this dir's old files
+        s.catalog.refreshByPath(p)
+        s.read.parquet(p)
+      case None =>
+        import s.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("batch_id", "start_offset", "batch_toks")
     }
   }
 
@@ -49,17 +68,19 @@ object PackingStreams {
     val s = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("toks").cast("long").as("toks"))
       .filter(col("toks") > 0)
-    val prior = readOffsets(s, stateDir).filter(col("batch_id") =!= batchId)
+    // SNAPSHOT the offsets state to the driver before anything writes:
+    // the table is batches-count-sized by construction (one row per
+    // batch), and a lazy frame over it would race the offsets_next
+    // overwrite below whenever the crash-recovery fallback is serving
+    // reads from that very directory
+    val all = readOffsets(s, stateDir)
+      .select("batch_id", "start_offset", "batch_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val prior = all.filter(_._1 != batchId)
     // a replayed batch reuses ITS recorded start; a new batch starts at
-    // the stored tail (sum over prior batches — a batches-count-sized
-    // one-row aggregate, never corpus-sized)
-    val recorded = readOffsets(s, stateDir)
-      .filter(col("batch_id") === batchId)
-      .select("start_offset").collect().headOption.map(_.getLong(0))
-    val start = recorded.getOrElse {
-      prior.agg(coalesce(sum(col("batch_toks")), lit(0L)))
-        .collect()(0).getLong(0)
-    }
+    // the stored tail (sum over prior batches)
+    val start = all.find(_._1 == batchId).map(_._2)
+      .getOrElse(prior.map(_._3).sum)
     val packed = ShardPacking.packGlobal(docs)
       .withColumn("cum_before", col("cum_before") + lit(start))
     val spans = packed
@@ -76,16 +97,25 @@ object PackingStreams {
     val batchToks = docs.agg(coalesce(sum(col("toks")), lit(0L)))
       .collect()(0).getLong(0)
     import s.implicits._
-    prior.unionByName(
-        Seq((batchId, start, batchToks))
-          .toDF("batch_id", "start_offset", "batch_toks"))
+    (prior.toSeq :+ ((batchId, start, batchToks)))
+      .toDF("batch_id", "start_offset", "batch_toks")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/offsets_next")
-    // two-phase swap: the offsets read above must not reference the
-    // files this write replaces mid-plan
+    // Crash-safe swap (never a window with NO committed state on disk):
+    // the canonical dir is renamed ASIDE, not deleted, before the new
+    // state renames in — a crash between the two renames leaves
+    // offsets_next (the newest committed state) for readOffsets'
+    // fallback, and a crash anywhere earlier leaves the canonical dir
+    // untouched. (The driver-side snapshot above means no live plan
+    // references the files these renames move.)
     val fs = new Path(stateDir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(offsetsPath(stateDir)), true)
-    fs.rename(new Path(s"$stateDir/offsets_next"), new Path(offsetsPath(stateDir)))
+    val offs = new Path(offsetsPath(stateDir))
+    val next = new Path(s"$stateDir/offsets_next")
+    val prev = new Path(s"$stateDir/offsets_prev")
+    fs.delete(prev, true)
+    if (fs.exists(offs)) fs.rename(offs, prev)
+    fs.rename(next, offs)
+    fs.delete(prev, true)
   }
 
   /** Continuous wiring: a stream of (doc_id, toks) rows applied

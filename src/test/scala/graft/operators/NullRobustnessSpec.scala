@@ -34,6 +34,16 @@ class NullRobustnessSpec extends SparkSpec {
     // sequence packing: null text -> no tokens -> excluded, not a crash
     val seqs = CorpusQueries.packSequences.run(spark, dir).collect()
     assert(seqs.nonEmpty && seqs.map(_.getLong(2)).sum > 0)
+    // curriculum packing (ADVICE r9): the null-text row must drop, not
+    // flow null toks/score into the ordered prefix sums — every shard
+    // row stays fully non-null and token totals cover the 4 real docs
+    val cur = CorpusQueries.packCurriculum.run(spark, dir).collect()
+    assert(cur.nonEmpty && cur.forall(r => !r.anyNull),
+      "null text leaked a null into curriculum shards")
+    // 12 + 7 + 8 tokens from docs 0/2/3 plus the empty doc's single
+    // empty token (split("") = [""]); the null-text doc contributes 0
+    assert(cur.map(_.getLong(2)).sum == 28L,
+      "curriculum token total off: null row mis-handled")
     // quality + language heuristics over null/empty text
     val qual = TextQueries.quality.run(spark, dir).collect()
     assert(qual.nonEmpty)

@@ -104,6 +104,23 @@ class ShardPackingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("chunkSequences drops zero/null-toks rows itself (ADVICE r9)") {
+    // a toks=0 row at a cum % L == 0 boundary would make the boundary
+    // sequence(cum div L, (cum-1) div L) descend and emit spurious
+    // spans; a NULL would poison the prefix sums — the guard lives
+    // INSIDE chunkSequences, not in caller convention
+    val clean = Seq((0L, 512L), (1L, 512L), (2L, 100L))
+      .toDF("doc_id", "toks")
+    val dirty = Seq[(Long, java.lang.Long)](
+      (0L, 512L), (10L, 0L), (1L, 512L), (11L, null), (2L, 100L))
+      .toDF("doc_id", "toks")
+    val want = ShardPacking.chunkSequences(clean, L = 512L)
+      .collect().map(_.toSeq).toSet
+    val got = ShardPacking.chunkSequences(dirty, L = 512L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "zero/null toks rows leaked into the sequence grid")
+  }
+
   test("the offsets frame joins back as a broadcast, not a shuffle") {
     val t = Tables.documents(spark, sf0001)
       .select(col("source"), col("doc_id"),

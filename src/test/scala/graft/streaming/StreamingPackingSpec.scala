@@ -71,4 +71,43 @@ class StreamingPackingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(after == before, "replayed batch shifted the sequence stream")
   }
+
+  test("a crash inside the offsets swap loses no state (ADVICE r9)") {
+    cleanup()
+    val fs = new org.apache.hadoop.fs.Path(stateD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$stateD/$n")
+
+    PackingStreams.processBatch(toksOf(0 until 150), batchId = 0L, stateD)
+    PackingStreams.processBatch(toksOf(150 until 260), batchId = 1L, stateD)
+    PackingStreams.processBatch(toksOf(260 until 300), batchId = 2L, stateD)
+    val committed = PackingStreams.readOffsets(spark, stateD)
+      .collect().map(_.toSeq).toSet
+    val seqsBefore = PackingStreams.sequences(spark, stateD)
+      .collect().map(_.toSeq).toSet
+
+    // crash window 1: between rename-aside and rename-in — canonical
+    // dir is GONE, newest committed state sits in offsets_next
+    assert(fs.rename(p("offsets"), p("offsets_next")))
+    assert(PackingStreams.readOffsets(spark, stateD)
+      .collect().map(_.toSeq).toSet == committed,
+      "readOffsets lost state when only offsets_next survived the crash")
+    // the streaming engine replays the in-flight batch; it must find
+    // its recorded offset (NOT restart at 0) and change nothing
+    PackingStreams.processBatch(toksOf(260 until 300), batchId = 2L, stateD)
+    assert(fs.exists(p("offsets")), "replay did not restore the canonical dir")
+    assert(PackingStreams.sequences(spark, stateD)
+      .collect().map(_.toSeq).toSet == seqsBefore,
+      "post-crash replay shifted the sequence stream")
+
+    // crash window 2: canonical renamed aside, next half-written (no
+    // _SUCCESS) — the prev fallback must serve, junk must not shadow
+    assert(fs.rename(p("offsets"), p("offsets_prev")))
+    fs.mkdirs(p("offsets_next"))
+    fs.create(new org.apache.hadoop.fs.Path(p("offsets_next"), "part-junk"))
+      .close()
+    assert(PackingStreams.readOffsets(spark, stateD)
+      .collect().map(_.toSeq).toSet == committed,
+      "half-written offsets_next shadowed the committed prev state")
+  }
 }

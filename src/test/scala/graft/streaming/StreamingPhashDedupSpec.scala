@@ -100,4 +100,21 @@ class StreamingPhashDedupSpec extends SparkSpec {
     // total stays one row per distinct doc
     assert(MultimodalStreams.verdicts(spark, hashD).count() == 100)
   }
+
+  test("a corrupt re-fetch cannot erase an older valid signature (ADVICE r9)") {
+    cleanup()
+    ingest(0 until 100, batchId = 0L)
+    val before = MultimodalStreams.verdicts(spark, hashD)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    // doc 42's re-crawl returns garbage bytes in a LATER batch: the
+    // older valid signature must survive — the doc stays in the
+    // verdicts and its hash cluster's keeper does not flip
+    MultimodalStreams.processBatch(
+      Seq((42L, Array[Byte](0, 0, 0))).toDF("doc_id", "payload"),
+      batchId = 7L, hashD)
+    val after = MultimodalStreams.verdicts(spark, hashD)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(after == before,
+      "corrupt re-fetch of a previously-valid image changed the verdicts")
+  }
 }
