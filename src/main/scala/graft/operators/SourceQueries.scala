@@ -56,4 +56,42 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), sum(col("duration")).as("total_dur"))
       .orderBy("log_date", "app_name")
   }
+
+  /** The Avro source surface (round-9 verdict item 6 — completes the
+    * JSON/Parquet/CSV/ORC/JDBC matrix): the corpus round-trips through
+    * [[graft.sources.AvroTable]] — a distributed per-partition
+    * container-file sink + a `binaryFile`-scan decode source built on
+    * the Avro core library (no `spark-avro` DataSource module exists in
+    * this environment) — and the per-(lang, source) rollup over the
+    * re-read rows must equal the same rollup DuckDB computes over the
+    * original parquet. Sums over doc_id, n_chars AND text length prove
+    * content (not just row-count) fidelity through the
+    * encode→container→decode path. The fixture persists per (run,
+    * corpus) through the catalog, so serving reads the committed
+    * container files rather than re-encoding per query. */
+  val avroRoundTrip = Q(
+    "q_s10_avro",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    import graft.sources.{AvroTable, IndexCatalog}
+    val dir = IndexCatalog.ensure(s, s"avro_docs_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(AvroTable.getClass, graft.Tables.getClass)) { dir =>
+      AvroTable.write(
+        graft.Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        s"$dir/docs")
+    }
+    AvroTable.read(s, s"$dir/docs")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_id"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_len"))
+      .orderBy("lang", "source")
+  }
 }

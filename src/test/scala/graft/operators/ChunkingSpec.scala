@@ -105,11 +105,15 @@ class ChunkingSpec extends SparkSpec {
       // EXHAUSTION is survived by the sentinel guard: the final vocab
       // still holds every word, each fully merged to one token
       val vocab = ChunkingQueries.bpeVocab(spark, dir)
-        .as[(String, Long, Long)].collect()
-        .map { case (w, wn, nt) => w -> ((wn, nt)) }.toMap
+        .select("w", "wn", "pieces", "n_tokens")
+        .as[(String, Long, Seq[String], Long)].collect()
+        .map { case (w, wn, p, nt) => w -> ((wn, p, nt)) }.toMap
       assert(vocab.keySet == Set("low", "lower", "lowest"))
-      assert(vocab.values.forall(_._2 == 1L),
+      assert(vocab.values.forall(_._3 == 1L),
         s"fully-merged words should be single tokens: $vocab")
+      // the piece arrays (the encode surface) match: one piece = the word
+      assert(vocab.forall { case (w, (_, p, _)) => p == Seq(w) },
+        s"fully-merged piece array should be the word itself: $vocab")
       // and the tokenizer application reflects it: 6 words -> 6 tokens
       val tok = ChunkingQueries.bpeTokenize.run(spark, dir).collect()
       assert(tok.length == 1 && tok.head.getLong(1) == 6L &&

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{DedupQueries, MultimodalQueries}
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten, end to end over the REAL artifact builders
+  * (round-9 verdict item 5): delete a document set through the
+  * LogTable tombstone contract, audit the exact delete feed via the
+  * CDC diff, re-materialize the corpus snapshot behind the SAME path,
+  * prove the content-keyed catalog invalidates and rebuilds every
+  * artifact, and certify zero surviving references to any deleted id
+  * across the served artifact tier. */
+class DeleteAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "/tmp/graft_delete_audit"
+  private val corpusD = s"$base/corpus"
+  private val logD = s"$base/log"
+
+  private def cleanup(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Serve the corpus snapshot (tombstones dropped) behind corpusD. */
+  private def materialize(log: LogTable): Unit =
+    log.read(spark)
+      .filter(!col("tombstone"))
+      .drop("version", "tombstone")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(s"$corpusD/documents.parquet")
+
+  /** The three artifact families the audit exercises: pair-grain
+    * (doc_a/doc_b), resolution-grain (doc_id, cluster — the cluster
+    * label is itself a doc id), and signature-grain (doc_id). */
+  private def artifacts() = Seq(
+    ("idx_lsh_pairs", DedupQueries.lshPairs(spark, corpusD),
+      Seq("doc_a", "doc_b")),
+    ("idx_lsh_keep", DedupQueries.lshKeepList(spark, corpusD),
+      Seq("doc_id", "cluster")),
+    ("idx_wav_phash", MultimodalQueries.wavPhashFrame(spark, corpusD),
+      Seq("doc_id")))
+
+  test("deleting docs invalidates, rebuilds, and purges the artifact tier") {
+    cleanup()
+    IndexCatalog.rootOverride = Some(s"$base/catalog")
+    try {
+      val log = LogTable(logD, keyCols = Seq("doc_id"), versionCol = "version")
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val gen1 = log.append(
+        docs.withColumn("version", lit(1L)).withColumn("tombstone", lit(false)))
+      materialize(log)
+
+      val before = IndexCatalog.buildCount.get()
+      artifacts().foreach(_._2.count()) // build the tier over v1
+      assert(IndexCatalog.buildCount.get() == before + 3)
+
+      // the deletion request: every doc_id ≡ 3 (mod 17)
+      val deleted = docs.select("doc_id").filter(col("doc_id") % 17 === 3)
+      val delIds = deleted.as[Long].collect().toSet
+      assert(delIds.nonEmpty)
+      // non-vacuous: the v1 tier DOES reference soon-deleted ids
+      val pre = DeleteAudit.survivors(deleted, artifacts())
+        .agg(sum("n_rows")).first().getLong(0)
+      assert(pre > 0, "delete set never appears in the tier; test is vacuous")
+
+      // delete = tombstone upsert; the CDC diff is the audited feed
+      val gen2 = log.append(
+        docs.join(deleted, Seq("doc_id"))
+          .withColumn("version", lit(2L)).withColumn("tombstone", lit(true)))
+      val feed = log.changes(spark, gen1, gen2)
+      assert(feed.filter(col("change_type") === "update" &&
+        col("new_tombstone")).select("doc_id").as[Long].collect().toSet == delIds,
+        "CDC feed does not match the deletion request exactly")
+
+      materialize(log) // same path, purged content
+      IndexCatalog.resetProcessMemo() // fresh-process adoption decision
+      val mid = IndexCatalog.buildCount.get()
+      val rebuilt = artifacts()
+      rebuilt.foreach(_._2.count())
+      assert(IndexCatalog.buildCount.get() == mid + 3,
+        "changed corpus content behind the same path did not invalidate")
+
+      // zero-survivors certificate across the rebuilt tier
+      val post = DeleteAudit.survivors(deleted, rebuilt)
+      assert(post.count() == 5) // one row per (artifact, id column)
+      assert(post.agg(sum("n_rows")).first().getLong(0) == 0,
+        s"deleted ids survive: ${post.filter(col("n_rows") > 0).collect().mkString}")
+
+      // and the packed-sequence manifest path sees no deleted doc either
+      val packed = graft.operators.ShardPacking.chunkSequences(
+        spark.read.parquet(s"$corpusD/documents.parquet")
+          .select(col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("toks")),
+        L = 512L)
+      val docSpan = packed.select(explode(array(col("min_doc"), col("max_doc"))).as("doc_id"))
+      assert(DeleteAudit.survivors(deleted, Seq(("pack", docSpan, Seq("doc_id"))))
+        .agg(sum("n_rows")).first().getLong(0) == 0)
+    } finally {
+      IndexCatalog.rootOverride = None
+      IndexCatalog.resetProcessMemo()
+    }
+  }
+}

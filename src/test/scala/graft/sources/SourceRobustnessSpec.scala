@@ -83,4 +83,39 @@ class SourceRobustnessSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
       s"filter not pushed to the ORC scan:\n$plan")
   }
+
+  test("Avro round-trips the documents slice, nulls and all (r9 item 6)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro").resolve("docs").toString
+    val src = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    AvroTable.write(src, dir)
+    val back = AvroTable.read(spark, dir)
+    assert(back.columns.sameElements(src.columns))
+    assert(back.schema.fields.map(_.dataType)
+      .sameElements(src.schema.fields.map(_.dataType)))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "Avro round trip changed the data")
+
+    // null cells survive the union(null, T) encoding both ways
+    val nullDir = Files.createTempDirectory("graft_avro_null").resolve("t").toString
+    val withNulls = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (3L, "c"))
+      .toDF("id", "v")
+    AvroTable.write(withNulls, nullDir)
+    val nb = AvroTable.read(spark, nullDir)
+    assert(nb.count() == 3 && nb.filter(col("v").isNull).count() == 1)
+
+    // corrupt container file: zero rows from that file, no dead stage
+    val fs = new org.apache.hadoop.fs.Path(nullDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$nullDir/part-99.avro"), true)
+    out.write(Array[Byte](1, 2, 3, 4)); out.close()
+    assert(AvroTable.read(spark, nullDir).count() == 3,
+      "corrupt avro file changed the readable row set")
+
+    // an uncommitted dir (no marker) must refuse, not serve partial data
+    val bad = Files.createTempDirectory("graft_avro_bad").resolve("t").toString
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bad))
+    intercept[IllegalArgumentException] { AvroTable.read(spark, bad) }
+  }
 }
