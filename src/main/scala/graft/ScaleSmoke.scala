@@ -135,7 +135,11 @@ object ScaleSmoke {
       "q_tfidf_terms", "q_text_contamination", "q_corpus_curation",
       "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum",
       "q_pack_sequences", "q_pack_sequences_bpe", "q_dedup_verdict",
-      "q_mixture_sample", "q_sample_per_cluster", "q_chunk_contamination")
+      "q_mixture_sample", "q_sample_per_cluster", "q_chunk_contamination",
+      // round-10 surfaces: corpus-wide BPE encode, avro round trip
+      // (first serve builds the container fixture — reported as-is),
+      // and the three-artifact multimodal verdict composition
+      "q_bpe_encode", "q_s10_avro", "q_mm_verdict")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
