@@ -305,13 +305,15 @@ object ChunkingQueries {
     *
     * Scale shape: one corpus scan → position-tagged word explode →
     * vocabulary-sized equi-join (AQE broadcasts the trained vocab onto
-    * the word stream) → per-document hash-agg. The only non-codegen
-    * step is the per-document `transform` re-assembling sorted pieces —
-    * one interpreted lambda per DOCUMENT over a ≤doc-length array,
-    * never per token pair. Output is corpus-sized by intent: this IS
-    * the materialization a tokenized-corpus release writes. The oracle
-    * replays the full 10-superstep training loop ([[bpeCtes]] unrolled)
-    * and the same positional re-assembly. */
+    * the word stream). Each word's pieces collapse to ONE string at the
+    * join projection (codegen'd `concat_ws`), so the per-document
+    * re-assembly sorts and joins flat strings — the only interpreted
+    * step is one `transform` lambda per DOCUMENT over a ≤doc-length
+    * string array (the nested pieces-of-pieces flatten this replaced
+    * measured ~2× slower at the 10× smoke). Output is corpus-sized by
+    * intent: this IS the materialization a tokenized-corpus release
+    * writes. The oracle replays the full 10-superstep training loop
+    * ([[bpeCtes]] unrolled) and the same positional re-assembly. */
   val bpeEncode = Q(
     "q_bpe_encode",
     s"""WITH $bpeCtes,
@@ -329,18 +331,18 @@ object ChunkingQueries {
        |  array_to_string(flatten(list(p ORDER BY i)), ' ') AS bpe_text
        |FROM dw JOIN pieces USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pieces = bpeVocab(s, d).select("w", "pieces")
+    val pieces = bpeVocab(s, d).select(col("w"),
+      concat_ws(" ", col("pieces")).as("ptxt"), col("n_tokens"))
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
       .filter(col("w") =!= "")
       .join(pieces, Seq("w"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("i"), col("pieces")))).as("ps"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sort_array(collect_list(struct(col("i"), col("ptxt")))).as("ps"))
       .select(col("doc_id"),
-        flatten(expr("transform(ps, x -> x.pieces)")).as("flat"))
-      .select(col("doc_id"),
-        size(col("flat")).cast("long").as("n_tokens"),
-        array_join(col("flat"), " ").as("bpe_text"))
+        col("n_tokens"),
+        array_join(expr("transform(ps, x -> x.ptxt)"), " ").as("bpe_text"))
       .orderBy("doc_id")
   }
 

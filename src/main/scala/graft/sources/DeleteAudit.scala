@@ -31,6 +31,52 @@ import org.apache.spark.sql.functions._
   * id column): audit-report-sized driver data only. */
 object DeleteAudit {
 
+  /** INCREMENTAL delete propagation for the near-dup artifact pair —
+    * the 100 TB alternative to rebuilding the whole LSH tier per
+    * deletion request: pair rows touching a deleted id are dropped
+    * (two anti equi-joins — never an OR-condition nested loop), and
+    * cluster keepers are re-elected ONLY inside clusters that lost a
+    * member, by re-running connected components over those clusters'
+    * surviving edges. Deleting a cluster's keeper promotes the next
+    * member; deleting a bridge document SPLITS its cluster — both fall
+    * out of the scoped recompute. Cost is |deleted| + |affected
+    * clusters|, never corpus-sized.
+    *
+    * Exactness caveat (documented, spec-checked): the purged pair set
+    * equals a full re-pair of the purged corpus EXCEPT when a deleted
+    * document's absence un-overflows a capped LSH bucket — frozen-cap
+    * semantics, the standard incremental-index trade; a periodic full
+    * rebuild (the [[IndexCatalog]] fingerprint path) reconciles.
+    *
+    * @param pairs   persisted pair artifact (doc_a, doc_b, …)
+    * @param keep    persisted keep-list artifact (doc_id, cluster, keep)
+    * @param deleted one-column frame of deleted ids
+    * @return (purged pairs, purged keep-list)
+    */
+  def purgeNearDup(
+      pairs: DataFrame, keep: DataFrame,
+      deleted: DataFrame): (DataFrame, DataFrame) = {
+    val del = deleted.select(col(deleted.columns.head).as("_del_id"))
+    val purgedPairs = pairs
+      .join(broadcast(del), pairs("doc_a") === col("_del_id"), "left_anti")
+      .join(broadcast(del), pairs("doc_b") === col("_del_id"), "left_anti")
+    // clusters that lost at least one member
+    val affected = keep
+      .join(broadcast(del), keep("doc_id") === col("_del_id"), "left_semi")
+      .select("cluster").distinct()
+    // surviving edges of those clusters (every pair's doc_a belongs to
+    // the pair's cluster, so one membership join suffices)
+    val subEdges = purgedPairs
+      .join(keep.select(col("doc_id").as("doc_a"), col("cluster")), Seq("doc_a"))
+      .join(affected, Seq("cluster"), "left_semi")
+    val reResolved = graft.operators.DedupResolve.keepList(
+      subEdges.select("doc_a", "doc_b"))
+    val untouched = keep
+      .join(affected, Seq("cluster"), "left_anti")
+      .select("doc_id", "cluster", "keep")
+    (purgedPairs, untouched.unionByName(reResolved))
+  }
+
   /** Rows in each artifact still referencing any deleted id.
     *
     * @param deleted   one-column frame of deleted keys

@@ -104,4 +104,53 @@ class DeleteAuditSpec extends SparkSpec {
       IndexCatalog.resetProcessMemo()
     }
   }
+
+  test("incremental near-dup purge equals the full rebuild (no cap events)") {
+    cleanup()
+    IndexCatalog.rootOverride = Some(s"$base/catalog")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      docs.coalesce(2).write.mode("overwrite")
+        .parquet(s"$corpusD/documents.parquet")
+      val pairs0 = DedupQueries.lshPairs(spark, corpusD)
+      val keep0 = DedupQueries.lshKeepList(spark, corpusD)
+      // delete a slice that includes at least one cluster KEEPER, so
+      // re-election and possible splits are actually exercised
+      val deleted = keep0.filter(col("keep") && col("doc_id") % 2 === 0)
+        .select("doc_id")
+        .union(docs.select("doc_id").filter(col("doc_id") % 17 === 3))
+        .distinct()
+      assert(deleted.count() > 0)
+
+      val (incPairsPlan, incKeepPlan) =
+        DeleteAudit.purgeNearDup(pairs0, keep0, deleted)
+      // a deployment commits the purged artifacts as a new generation;
+      // here that also pins them before the same-key full rebuild
+      // overwrites the v1 files the plans read
+      incPairsPlan.write.mode("overwrite").parquet(s"$base/purged/pairs")
+      incKeepPlan.write.mode("overwrite").parquet(s"$base/purged/keep")
+      val incPairs = spark.read.parquet(s"$base/purged/pairs")
+      val incKeep = spark.read.parquet(s"$base/purged/keep")
+
+      // ground truth: full re-pair + re-resolve over the purged corpus
+      docs.join(deleted, Seq("doc_id"), "left_anti").coalesce(2)
+        .write.mode("overwrite").parquet(s"$corpusD/documents.parquet")
+      IndexCatalog.resetProcessMemo()
+      val fullPairs = DedupQueries.lshPairs(spark, corpusD)
+      val fullKeep = DedupQueries.lshKeepList(spark, corpusD)
+
+      val pCols = Seq("doc_a", "doc_b", "nbands", "jaccard").map(col)
+      assert(incPairs.select(pCols: _*).exceptAll(fullPairs.select(pCols: _*)).isEmpty &&
+             fullPairs.select(pCols: _*).exceptAll(incPairs.select(pCols: _*)).isEmpty,
+        "incremental pair purge diverges from the full re-pair")
+      val kCols = Seq("doc_id", "cluster", "keep").map(col)
+      assert(incKeep.select(kCols: _*).exceptAll(fullKeep.select(kCols: _*)).isEmpty &&
+             fullKeep.select(kCols: _*).exceptAll(incKeep.select(kCols: _*)).isEmpty,
+        "incremental keeper re-election diverges from the full re-resolve")
+    } finally {
+      IndexCatalog.rootOverride = None
+      IndexCatalog.resetProcessMemo()
+    }
+  }
 }
