@@ -94,4 +94,35 @@ object SourceQueries {
         sum(length(col("text"))).as("sum_len"))
       .orderBy("lang", "source")
   }
+
+  /** The VECTOR surface through Avro: the `array<float>` embedding
+    * column round-trips the [[graft.sources.AvroTable]] encode →
+    * container → decode path (Avro ARRAY of FLOAT), and the rollup —
+    * row count, id sum, total dimension count, and a floor-scaled sum
+    * over the first component (float → double exactly, ×10⁶, floor:
+    * IEEE-identical in both engines, no direct double→int cast whose
+    * rounding convention differs) — must match DuckDB over the
+    * original parquet. Same per-(run, corpus) fixture lifecycle as
+    * [[avroRoundTrip]]. */
+  val avroVecRoundTrip = Q(
+    "q_s11_avro_vec",
+    """SELECT count(*) AS n_vecs,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(len(embedding)) AS BIGINT) AS sum_dims,
+      |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+      |                AS BIGINT)) AS BIGINT) AS sum_c1
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    import graft.sources.{AvroTable, IndexCatalog}
+    val dir = IndexCatalog.ensure(s, s"avro_vecs_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(AvroTable.getClass, graft.Tables.getClass)) { dir =>
+      AvroTable.write(graft.Tables.embeddings(s, d), s"$dir/vecs")
+    }
+    AvroTable.read(s, s"$dir/vecs")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_id").as("sum_id"),
+        sum(size(col("embedding"))).as("sum_dims"),
+        sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+          .cast("long")).as("sum_c1"))
+  }
 }

@@ -32,10 +32,11 @@ import org.apache.spark.sql.types._
   *    embedded writer schema, so round-trips are self-describing.
   *
   * Supported field types: LONG, INT, DOUBLE, FLOAT, BOOLEAN, STRING,
-  * BINARY — the TESTDATA surface. Nulls map to `union(null, T)` both
-  * ways. SourceRobustnessSpec pins the round trip, null cells, and
-  * corrupt-payload totality (a non-Avro file yields zero rows, not a
-  * dead stage). */
+  * BINARY, and ARRAY of any supported type (so the engine's
+  * `array<float>` embedding column round-trips) — the TESTDATA
+  * surface. Nulls map to `union(null, T)` both ways. Spec-pinned: the
+  * round trip, null cells, and corrupt-payload totality (a non-Avro
+  * file yields zero rows, not a dead stage). */
 object AvroTable {
 
   private def avroType(dt: DataType): Schema = dt match {
@@ -46,6 +47,12 @@ object AvroTable {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case ArrayType(el, containsNull) =>
+      val inner = avroType(el)
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(List(Schema.create(Schema.Type.NULL), inner).asJava)
+        else inner)
     case other => throw new IllegalArgumentException(
       s"AvroTable does not support $other")
   }
@@ -76,6 +83,9 @@ object AvroTable {
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.STRING  => StringType
       case Schema.Type.BYTES   => BinaryType
+      case Schema.Type.ARRAY   =>
+        ArrayType(sparkType(eff.getElementType),
+          eff.getElementType.getType == Schema.Type.UNION)
       case other => throw new IllegalArgumentException(
         s"AvroTable does not support avro $other")
     }
@@ -86,7 +96,15 @@ object AvroTable {
     case u: org.apache.avro.util.Utf8 => u.toString
     case b: java.nio.ByteBuffer   =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case l: java.util.Collection[_] =>
+      l.asScala.toSeq.map(fromAvro)
     case x                        => x
+  }
+
+  private def toAvro(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case s: scala.collection.Seq[_] => s.map(toAvro).asJava
+    case x => x
   }
 
   /** Write `df` as one Avro container file per partition under `dir`
@@ -118,10 +136,7 @@ object AvroTable {
             val rec = new GenericData.Record(schema)
             var i = 0
             while (i < names.length) {
-              rec.put(names(i), r.get(i) match {
-                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-                case x => x
-              })
+              rec.put(names(i), toAvro(r.get(i)))
               i += 1
             }
             w.append(rec)

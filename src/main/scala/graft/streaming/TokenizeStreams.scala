@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import graft.functions.TextFunctions.tokens
+
+/** Tokenize-on-arrival — the streaming twin of `q_bpe_encode`: each
+  * micro-batch of (doc_id, text) documents is encoded against the
+  * FROZEN trained tokenizer (the persisted `idx_bpe_merges` vocab —
+  * vocabulary-sized, broadcast onto the word stream; training never
+  * re-runs in the hot path, exactly the IVF/streaming-dedup frozen-
+  * model discipline) and written as token sequences into a
+  * batch-partitioned encoded table.
+  *
+  * OOV contract: the trained vocabulary is closed at training time, so
+  * a NEW crawl document may carry words the trainer never saw. Those
+  * fall back to CHARACTER pieces (each character its own token) — the
+  * real BPE behavior for unknown words, deterministic and
+  * length-priced (`n_tokens` = word length), never silently dropped.
+  * In-vocabulary documents encode byte-identically to the batch pass
+  * (StreamingEncodeSpec pins the parity).
+  *
+  * Replay safety: each micro-batch overwrites its OWN
+  * `ingest_batch=<id>` partition; a re-fetched doc_id in a later batch
+  * supersedes via newest-batch-wins in [[encoded]] (one window over
+  * the bounded per-doc history, never corpus-wide). */
+object TokenizeStreams {
+
+  /** One micro-batch encode (exposed for replay tests). `vocab` is the
+    * frozen (w, pieces, n_tokens) trained-tokenizer frame. */
+  def encodeBatch(batch: DataFrame, batchId: Long, vocab: DataFrame,
+                  encDir: String): Unit = {
+    val pieces = vocab.select(col("w"),
+      concat_ws(" ", col("pieces")).as("ptxt"),
+      col("n_tokens"))
+    batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("i", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(pieces), Seq("w"), "left")
+      .select(col("doc_id"), col("i"),
+        coalesce(col("ptxt"),
+          concat_ws(" ", split(col("w"), ""))).as("ptxt"),
+        coalesce(col("n_tokens"), length(col("w")).cast("long"))
+          .as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("n_tokens"),
+        sort_array(collect_list(struct(col("i"), col("ptxt")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(expr("transform(ps, x -> x.ptxt)"), " ").as("bpe_text"))
+      .write.mode("overwrite").parquet(s"$encDir/ingest_batch=$batchId")
+  }
+
+  /** Continuous wiring: a stream of (doc_id, text) documents encoded
+    * micro-batch by micro-batch against the tokenizer trained on the
+    * corpus at `corpusDir` (resolved ONCE, before the stream starts —
+    * the frozen-model contract). */
+  def encodeStream(docs: DataFrame, corpusDir: String,
+                   encDir: String): DataStreamWriter[Row] = {
+    val s = docs.sparkSession
+    val vocab = graft.operators.ChunkingQueries.bpeVocab(s, corpusDir)
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) encodeBatch(batch, batchId, vocab, encDir)
+      }
+  }
+
+  /** The accumulated encoded corpus: one row per document, a
+    * re-ingested doc_id keeping its newest batch's encoding. */
+  def encoded(s: SparkSession, encDir: String): DataFrame =
+    s.read.parquet(encDir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("ingest_batch").desc)))
+      .filter(col("rk") === 1)
+      .select("doc_id", "n_tokens", "bpe_text")
+}

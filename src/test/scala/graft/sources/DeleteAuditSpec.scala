@@ -105,6 +105,40 @@ class DeleteAuditSpec extends SparkSpec {
     }
   }
 
+  test("purge semantics: keeper promotion and bridge-deletion splits") {
+    import graft.operators.DedupResolve
+    def keepOf(pairs: Seq[(Long, Long)]) =
+      DedupResolve.keepList(pairs.toDF("doc_a", "doc_b"))
+    def pairsDF(ps: Seq[(Long, Long)]) = ps.toDF("doc_a", "doc_b")
+
+    // keeper promotion: triangle {1,2,3}, delete keeper 1 -> {2,3}, keeper 2
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val (p1, k1) = DeleteAudit.purgeNearDup(
+      pairsDF(tri), keepOf(tri), Seq(1L).toDF("doc_id"))
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 3L)))
+    assert(k1.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet == Set((2L, 2L, true), (3L, 2L, false)),
+      "deleting the keeper must promote the next-min member")
+
+    // bridge split: path 1-2-3 via bridge 2; delete 2 -> singletons drop
+    // out of the keep table entirely (no surviving edges), as a full
+    // re-resolve over the purged pairs would decide
+    val path = Seq((1L, 2L), (2L, 3L))
+    val (p2, k2) = DeleteAudit.purgeNearDup(
+      pairsDF(path), keepOf(path), Seq(2L).toDF("doc_id"))
+    assert(p2.count() == 0 && k2.count() == 0,
+      "bridge deletion must split and empty the affected cluster")
+
+    // untouched clusters pass through byte-identical
+    val two = Seq((1L, 2L), (5L, 6L))
+    val (_, k3) = DeleteAudit.purgeNearDup(
+      pairsDF(two), keepOf(two), Seq(1L).toDF("doc_id"))
+    assert(k3.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet == Set((5L, 5L, true), (6L, 5L, false)),
+      "an unaffected cluster must pass through unchanged")
+  }
+
   test("incremental near-dup purge equals the full rebuild (no cap events)") {
     cleanup()
     IndexCatalog.rootOverride = Some(s"$base/catalog")

@@ -117,5 +117,13 @@ class SourceRobustnessSpec extends SparkSpec {
     val bad = Files.createTempDirectory("graft_avro_bad").resolve("t").toString
     fs.mkdirs(new org.apache.hadoop.fs.Path(bad))
     intercept[IllegalArgumentException] { AvroTable.read(spark, bad) }
+
+    // ARRAY columns: the float embedding vectors round-trip bit-exactly
+    val vecDir = Files.createTempDirectory("graft_avro_vec").resolve("v").toString
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+    AvroTable.write(vecs, vecDir)
+    val vb = AvroTable.read(spark, vecDir)
+    assert(vb.exceptAll(vecs).isEmpty && vecs.exceptAll(vb).isEmpty,
+      "Avro array round trip changed the embedding vectors")
   }
 }
