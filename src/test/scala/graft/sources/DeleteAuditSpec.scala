@@ -139,6 +139,32 @@ class DeleteAuditSpec extends SparkSpec {
       "an unaffected cluster must pass through unchanged")
   }
 
+  test("incremental purge generalizes to the vector (embedding) tier") {
+    cleanup()
+    IndexCatalog.rootOverride = Some(s"$base/catalog")
+    try {
+      graft.Tables.embeddings(spark, sf0001).coalesce(2)
+        .write.mode("overwrite").parquet(s"$corpusD/embeddings.parquet")
+      graft.Tables.documents(spark, sf0001).coalesce(2)
+        .write.mode("overwrite").parquet(s"$corpusD/documents.parquet")
+      val pairs = DedupQueries.embPairs(spark, corpusD)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val keep = DedupQueries.embKeepList(spark, corpusD)
+      val deleted = keep.filter(col("keep") && col("doc_id") % 3 === 0)
+        .select("doc_id")
+      assert(deleted.count() > 0)
+      val (pp, pk) = DeleteAudit.purgeNearDup(pairs, keep, deleted)
+      // semantic definition: the spliced keep-list IS the components
+      // resolution of the purged pair set
+      val want = graft.operators.DedupResolve.keepList(pp)
+      assert(pk.exceptAll(want).isEmpty && want.exceptAll(pk).isEmpty,
+        "vector-tier purge splice diverges from re-resolving purged pairs")
+    } finally {
+      IndexCatalog.rootOverride = None
+      IndexCatalog.resetProcessMemo()
+    }
+  }
+
   test("incremental near-dup purge equals the full rebuild (no cap events)") {
     cleanup()
     IndexCatalog.rootOverride = Some(s"$base/catalog")
