@@ -33,4 +33,23 @@ class MultimodalSpec extends SparkSpec {
     assert(top.length == 3)
     assert(top.forall(r => r.getAs[Double]("cos") > 0.5)) // all-positive vectors correlate
   }
+
+  test("q_mm_verdict fold is internally consistent and non-vacuous") {
+    import graft.operators.MultimodalQueries
+    val rows = MultimodalQueries.mmVerdict.run(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (tk, ik, ak, keep, by) = (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getString(5))
+      assert(keep == (tk && ik && ak), s"fold mismatch at ${r.getLong(0)}")
+      // attribution = first failing gate in text > image > audio order
+      val want = if (!tk) "text" else if (!ik) "image"
+                 else if (!ak) "audio" else "kept"
+      assert(by == want, s"attribution mismatch at ${r.getLong(0)}")
+    }
+    // non-vacuous: the corpus actually drops docs via at least the
+    // image gate (398/500 images dedup), and keeps at least one doc
+    assert(rows.exists(_.getString(5) == "image"))
+    assert(rows.exists(_.getString(5) == "kept"))
+  }
 }
