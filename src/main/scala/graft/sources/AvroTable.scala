@@ -36,7 +36,16 @@ import org.apache.spark.sql.types._
   * `array<float>` embedding column round-trips) — the TESTDATA
   * surface. Nulls map to `union(null, T)` both ways. Spec-pinned: the
   * round trip, null cells, and corrupt-payload totality (a non-Avro
-  * file yields zero rows, not a dead stage). */
+  * file yields zero rows, not a dead stage).
+  *
+  * Contracts: single WRITER per directory at a time (the
+  * [[GenerationedTable]] discipline — task RETRY is safe because each
+  * partition re-creates its own file, but `spark.speculation` must
+  * stay off for this sink, as two live attempts would interleave one
+  * stream); per-file size is bounded by the upstream partition size
+  * and must stay under the `binaryFile` 2 GiB content cap —
+  * `repartition` the frame before writing if a partition could exceed
+  * it. */
 object AvroTable {
 
   private def avroType(dt: DataType): Schema = dt match {

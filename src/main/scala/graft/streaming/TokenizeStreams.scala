@@ -16,11 +16,15 @@ import graft.functions.TextFunctions.tokens
   *
   * OOV contract: the trained vocabulary is closed at training time, so
   * a NEW crawl document may carry words the trainer never saw. Those
-  * fall back to CHARACTER pieces (each character its own token) — the
-  * real BPE behavior for unknown words, deterministic and
-  * length-priced (`n_tokens` = word length), never silently dropped.
-  * In-vocabulary documents encode byte-identically to the batch pass
-  * (StreamingEncodeSpec pins the parity).
+  * are segmented by APPLYING the trained merge sequence to the unseen
+  * word (character wrap → the 10 learned merges in training order →
+  * symbols — the real BPE inference rule, via the same codegen'd
+  * [[graft.operators.ChunkingQueries.bpeApplyMerge]] replace chain the
+  * trainer used), so an unseen word containing learned pairs
+  * compresses exactly as the tokenizer would, and a fully-novel word
+  * degrades to characters. Deterministic, length-bounded, never
+  * silently dropped. In-vocabulary documents encode byte-identically
+  * to the batch pass (StreamingEncodeSpec pins the parity).
   *
   * Replay safety: each micro-batch overwrites its OWN
   * `ingest_batch=<id>` partition; a re-fetched doc_id in a later batch
@@ -29,21 +33,28 @@ import graft.functions.TextFunctions.tokens
 object TokenizeStreams {
 
   /** One micro-batch encode (exposed for replay tests). `vocab` is the
-    * frozen (w, pieces, n_tokens) trained-tokenizer frame. */
+    * frozen (w, pieces, n_tokens) trained-tokenizer frame; `merges`
+    * the trained merge sequence as (pair_a, pair_b) in step order —
+    * tokenizer-sized driver state, applied to OOV words as a codegen'd
+    * replace chain. */
   def encodeBatch(batch: DataFrame, batchId: Long, vocab: DataFrame,
-                  encDir: String): Unit = {
+                  merges: Seq[(String, String)], encDir: String): Unit = {
+    import graft.operators.ChunkingQueries.{bpeApplyMerge, bpeSymbols, bpeWrap}
     val pieces = vocab.select(col("w"),
       concat_ws(" ", col("pieces")).as("ptxt"),
       col("n_tokens"))
+    val oovSyms = bpeSymbols(
+      merges.foldLeft(bpeWrap(col("w"))) { case (c, (pa, pb)) =>
+        bpeApplyMerge(c, lit(pa), lit(pb))
+      })
     batch
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("i", "w")))
       .filter(col("w") =!= "")
       .join(broadcast(pieces), Seq("w"), "left")
       .select(col("doc_id"), col("i"),
-        coalesce(col("ptxt"),
-          concat_ws(" ", split(col("w"), ""))).as("ptxt"),
-        coalesce(col("n_tokens"), length(col("w")).cast("long"))
+        coalesce(col("ptxt"), concat_ws(" ", oovSyms)).as("ptxt"),
+        coalesce(col("n_tokens"), size(oovSyms).cast("long"))
           .as("n_tokens"))
       .groupBy("doc_id")
       .agg(sum("n_tokens").as("n_tokens"),
@@ -61,12 +72,20 @@ object TokenizeStreams {
                    encDir: String): DataStreamWriter[Row] = {
     val s = docs.sparkSession
     val vocab = graft.operators.ChunkingQueries.bpeVocab(s, corpusDir)
+    val merges = trainedMerges(s, corpusDir)
     docs.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) encodeBatch(batch, batchId, vocab, encDir)
+        if (!batch.isEmpty) encodeBatch(batch, batchId, vocab, merges, encDir)
       }
   }
+
+  /** The trained merge sequence in step order — 10 rows of tokenizer
+    * state, collected once at stream start (frozen-model contract). */
+  def trainedMerges(s: SparkSession, corpusDir: String): Seq[(String, String)] =
+    graft.operators.ChunkingQueries.bpeMergeTable(s, corpusDir)
+      .orderBy("step").select("pair_a", "pair_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** The accumulated encoded corpus: one row per document, a
     * re-ingested doc_id keeping its newest batch's encoding. */

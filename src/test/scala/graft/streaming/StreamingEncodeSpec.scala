@@ -22,13 +22,14 @@ class StreamingEncodeSpec extends SparkSpec {
   test("out-of-order streamed encode equals the batch q_bpe_encode") {
     cleanup()
     val vocab = ChunkingQueries.bpeVocab(spark, sf0001)
+    val merges = TokenizeStreams.trainedMerges(spark, sf0001)
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text")
     // two out-of-order batches covering the corpus
     TokenizeStreams.encodeBatch(
-      docs.filter(col("doc_id") >= 250), 0L, vocab, encD)
+      docs.filter(col("doc_id") >= 250), 0L, vocab, merges, encD)
     TokenizeStreams.encodeBatch(
-      docs.filter(col("doc_id") < 250), 1L, vocab, encD)
+      docs.filter(col("doc_id") < 250), 1L, vocab, merges, encD)
     val got = TokenizeStreams.encoded(spark, encD)
     val want = ChunkingQueries.bpeEncode.run(spark, sf0001)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
@@ -36,23 +37,43 @@ class StreamingEncodeSpec extends SparkSpec {
 
     // replay idempotence
     TokenizeStreams.encodeBatch(
-      docs.filter(col("doc_id") >= 250), 0L, vocab, encD)
+      docs.filter(col("doc_id") >= 250), 0L, vocab, merges, encD)
     val again = TokenizeStreams.encoded(spark, encD)
     assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty,
       "replayed batch changed the encoded corpus")
   }
 
-  test("OOV words fall back to character pieces, never dropped") {
+  test("OOV words segment by the trained merges, never dropped") {
     cleanup()
     val vocab = ChunkingQueries.bpeVocab(spark, sf0001)
+    val merges = TokenizeStreams.trainedMerges(spark, sf0001)
+    assert(merges.nonEmpty)
+    // a fully-novel word degrades to characters
     TokenizeStreams.encodeBatch(
       Seq((999999L, "zqxzqxzq")).toDF("doc_id", "text"),
-      5L, vocab, encD)
-    val row = TokenizeStreams.encoded(spark, encD)
+      5L, vocab, merges, encD)
+    val novel = TokenizeStreams.encoded(spark, encD)
       .filter(col("doc_id") === 999999L).collect()
-    assert(row.length == 1)
-    assert(row(0).getLong(1) == 8L, "OOV word must price at char length")
-    assert(row(0).getString(2) == "z q x z q x z q",
-      s"OOV word must decompose to characters, got '${row(0).getString(2)}'")
+    assert(novel.length == 1)
+    assert(novel(0).getLong(1) == 8L &&
+      novel(0).getString(2) == "z q x z q x z q",
+      s"novel word must degrade to characters, got '${novel(0).getString(2)}'")
+
+    // an OOV word CONTAINING a learned pair compresses exactly as the
+    // tokenizer would: the merged symbol appears as one token
+    val (pa, pb) = merges.head
+    val word = s"zqx$pa${pb}zqx" // rare affixes keep it out of the vocab
+    assert(vocab.filter(col("w") === word).count() == 0, "fixture word not OOV")
+    TokenizeStreams.encodeBatch(
+      Seq((999998L, word)).toDF("doc_id", "text"), 6L, vocab, merges, encD)
+    val row = TokenizeStreams.encoded(spark, encD)
+      .filter(col("doc_id") === 999998L).collect()(0)
+    val toks = row.getString(2).split(" ")
+    // the merged symbol survives as one token (possibly extended by a
+    // LATER learned merge absorbing a neighbor — still one token)
+    assert(toks.exists(_.contains(pa + pb)),
+      s"learned merge '$pa$pb' not applied to OOV word: ${row.getString(2)}")
+    assert(row.getLong(1) < word.length,
+      "OOV word with learned pairs must compress below char length")
   }
 }
