@@ -503,14 +503,8 @@ object ChunkingQueries {
   val chunkDedup = Q(
     "q_chunk_dedup",
     s"""WITH RECURSIVE ${DedupQueries.lshCtes},
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-       |  UNION SELECT doc_b, doc_a FROM vpairs
-       |), walk(id, reach) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
-       |), comp AS (
+       |${DedupQueries.ccWalkCtes("")},
+       |comp AS (
        |  SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id
        |), rmp AS (
        |  SELECT cluster AS doc_a, doc_id AS doc_b FROM comp

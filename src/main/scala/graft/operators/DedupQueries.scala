@@ -210,6 +210,23 @@ object DedupQueries {
        |      / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.5
        |)""".stripMargin
 
+  /** Recursive connected-components walk over a (doc_a, doc_b) pair
+    * relation, as name-prefixed CTEs `${p}edges` / `${p}walk(id,
+    * reach)` — `min(reach)` per id is the cluster label. Shared by the
+    * oracles that resolve the LSH pair graph (chunk dedup, the
+    * multimodal verdict), so the closure definition cannot drift
+    * between them; the older in-file copies (resolve, funnel, ensemble)
+    * predate this helper and are pinned by their own green oracles. */
+  private[operators] def ccWalkCtes(p: String, rel: String = "vpairs"): String =
+    s"""${p}edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM $rel
+       |  UNION SELECT doc_b, doc_a FROM $rel
+       |), ${p}walk(id, reach) AS (
+       |  SELECT src, src FROM ${p}edges
+       |  UNION
+       |  SELECT k.id, e.dst FROM ${p}walk k JOIN ${p}edges e ON e.src = k.reach
+       |)""".stripMargin
+
   /** Verified MinHash-LSH near-dup pairs (doc_a, doc_b, nbands, jaccard),
     * materialized once per (run, corpus dir) through [[IndexCatalog]].
     * The builder caches the shingle frame for its three reads inside the

@@ -168,18 +168,29 @@ object MultimodalQueries {
     s.read.parquet(s"$dir/phash")
   }
 
+  /** Keeper election over a (doc_id, phash) signature frame: keep =
+    * min doc_id per hash, with "" sentinel rows EXCLUDED — an
+    * undecodable payload is audit-visible in the stored frame but
+    * never joins a dedup cluster (two corrupt documents are not
+    * duplicates of each other). Shared by the image and audio dedup
+    * queries and the joint verdict, so the election rule cannot
+    * drift between them. */
+  private[operators] def hashKeepers(
+      hashFrame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val valid = hashFrame.filter(col("phash") =!= "")
+    val mins = valid.groupBy("phash").agg(min("doc_id").as("m"))
+    valid.join(mins, Seq("phash"))
+      .select(col("doc_id"), col("phash"),
+        (col("doc_id") === col("m")).as("keep"))
+  }
+
   val imagePhash = Q(
     "q_mm_img_phash",
     s"""WITH $imgPhashCtes
       |SELECT doc_id, phash,
       |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
       |FROM hash ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val hashes = phashFrame(s, d)
-    val mins = hashes.groupBy("phash").agg(min("doc_id").as("m"))
-    hashes.join(mins, Seq("phash"))
-      .select(col("doc_id"), col("phash"),
-        (col("doc_id") === col("m")).as("keep"))
-      .orderBy("doc_id")
+    hashKeepers(phashFrame(s, d)).orderBy("doc_id")
   }
 
   /** Near-duplicate IMAGE pairs: Hamming distance 1–3 between distinct
@@ -502,12 +513,7 @@ object MultimodalQueries {
       |SELECT doc_id, phash,
       |  doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
       |FROM hash ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val hashes = wavPhashFrame(s, d)
-    val mins = hashes.groupBy("phash").agg(min("doc_id").as("m"))
-    hashes.join(mins, Seq("phash"))
-      .select(col("doc_id"), col("phash"),
-        (col("doc_id") === col("m")).as("keep"))
-      .orderBy("doc_id")
+    hashKeepers(wavPhashFrame(s, d)).orderBy("doc_id")
   }
 
   /** Near-duplicate AUDIO pairs: Hamming distance 1–3 between distinct
@@ -566,14 +572,8 @@ object MultimodalQueries {
     s"""WITH RECURSIVE ${DedupQueries.lshCtes},
       |${imgPhashCtesP("i")},
       |${wavPhashCtesP("w")},
-      |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-      |  UNION SELECT doc_b, doc_a FROM vpairs
-      |), walk(id, reach) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT k.id, e.dst FROM walk k JOIN edges e ON e.src = k.reach
-      |), tdrop AS (
+      |${DedupQueries.ccWalkCtes("")},
+      |tdrop AS (
       |  SELECT id FROM walk GROUP BY id HAVING id <> min(reach)
       |), ikeep AS (
       |  SELECT doc_id,
@@ -594,18 +594,22 @@ object MultimodalQueries {
       |JOIN ikeep ik ON ik.doc_id = d.doc_id
       |JOIN wkeep wk ON wk.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    // one shared election rule ([[hashKeepers]], sentinel-excluding);
+    // a doc whose payload produced no valid signature cannot be a
+    // duplicate of anything — its modality gate keeps it (left join +
+    // coalesce true), leaving corrupt-payload policing to quality gates
     def keepOf(hashes: org.apache.spark.sql.DataFrame, name: String) =
-      hashes.join(hashes.groupBy("phash").agg(min("doc_id").as("m")), Seq("phash"))
-        .select(col("doc_id"), (col("doc_id") === col("m")).as(name))
+      hashKeepers(hashes).select(col("doc_id"), col("keep").as(name))
     val tdrop = DedupQueries.lshKeepList(s, d).filter(!col("keep"))
       .select(col("doc_id"), lit(true).as("tdropped"))
     Tables.documents(s, d).filter(col("doc_id") < 500).select("doc_id")
       .join(tdrop, Seq("doc_id"), "left")
-      .join(keepOf(phashFrame(s, d), "image_keep"), Seq("doc_id"))
-      .join(keepOf(wavPhashFrame(s, d), "audio_keep"), Seq("doc_id"))
+      .join(keepOf(phashFrame(s, d), "image_keep"), Seq("doc_id"), "left")
+      .join(keepOf(wavPhashFrame(s, d), "audio_keep"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("tdropped").isNull.as("text_keep"),
-        col("image_keep"), col("audio_keep"))
+        coalesce(col("image_keep"), lit(true)).as("image_keep"),
+        coalesce(col("audio_keep"), lit(true)).as("audio_keep"))
       .withColumn("keep",
         col("text_keep") && col("image_keep") && col("audio_keep"))
       .withColumn("dropped_by",

@@ -128,14 +128,24 @@ object AvroTable {
     fs.mkdirs(p)
     val schemaJson = avroSchemaFor(df.schema).toString
     val names = df.schema.fieldNames
+    // the SESSION's Hadoop configuration must travel to the executors —
+    // a vanilla `new Configuration()` there would ignore fs.defaultFS /
+    // credentials set on the session, landing part files on a different
+    // filesystem than the driver-side directory and commit marker
+    val confKv: Array[(String, String)] = {
+      val it = s.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val schema = new Schema.Parser().parse(schemaJson)
         val pid = TaskContext.getPartitionId()
-        // executor-side FS resolution from the path URI (file:// locally,
-        // the cluster default FS when the URI says so)
+        val conf = new Configuration()
+        confKv.foreach { case (k, v) => conf.set(k, v) }
         val part = new Path(s"$dir/part-$pid.avro")
-        val efs = part.getFileSystem(new Configuration())
+        val efs = part.getFileSystem(conf)
         val out = efs.create(part, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
@@ -165,21 +175,33 @@ object AvroTable {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(p, "_AVRO_SUCCESS")),
       s"no committed avro table at $dir")
-    val first = fs.globStatus(new Path(p, "part-*.avro")).headOption
-      .getOrElse(throw new IllegalStateException(s"no avro files in $dir"))
-    val headerBytes = {
-      val in = fs.open(first.getPath)
+    val candidates = fs.globStatus(new Path(p, "part-*.avro"))
+    if (candidates.isEmpty)
+      throw new IllegalStateException(s"no avro files in $dir")
+    // schema from the FIRST file whose header parses — a corrupt file
+    // that happens to sort first must not kill the read (it contributes
+    // zero rows downstream, the same totality every file gets)
+    def headerOf(f: org.apache.hadoop.fs.FileStatus): Option[Schema] =
       try {
-        val buf = new ByteArrayOutputStream()
-        val chunk = new Array[Byte](64 * 1024)
-        var n = in.read(chunk)
-        while (n > 0 && buf.size() < (1 << 20)) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-    }
-    val writerSchema = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(headerBytes),
-      new GenericDatumReader[GenericRecord]()).getSchema
+        val in = fs.open(f.getPath)
+        val headerBytes =
+          try {
+            val buf = new ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = in.read(chunk)
+            while (n > 0 && buf.size() < (1 << 20)) {
+              buf.write(chunk, 0, n); n = in.read(chunk)
+            }
+            buf.toByteArray
+          } finally in.close()
+        Some(new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(headerBytes),
+          new GenericDatumReader[GenericRecord]()).getSchema)
+      } catch { case _: Exception => None }
+    val writerSchema = candidates.iterator.map(headerOf)
+      .collectFirst { case Some(sch) => sch }
+      .getOrElse(throw new IllegalStateException(
+        s"no decodable avro file in $dir"))
     val sparkSchema = StructType(writerSchema.getFields.asScala.toSeq.map(f =>
       StructField(f.name(), sparkType(f.schema()),
         f.schema().getType == Schema.Type.UNION)))

@@ -79,6 +79,13 @@ object DeleteAudit {
 
   /** Rows in each artifact still referencing any deleted id.
     *
+    * One pass over the whole tier: every artifact's id columns melt to
+    * (artifact, id_col, id) rows in the same scan (no per-column
+    * rescans, no serial per-artifact driver jobs), the union meets the
+    * broadcast delete set in ONE semi-join, and a static grid join
+    * restores explicit zero rows — so the certificate lists every
+    * (artifact, id column) even when nothing survived.
+    *
     * @param deleted   one-column frame of deleted keys
     * @param artifacts (name, frame, id columns to scan) per artifact
     * @return (artifact, id_col, n_rows) — all-zero `n_rows` is the
@@ -89,14 +96,23 @@ object DeleteAudit {
       artifacts: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     val s = deleted.sparkSession
     import s.implicits._
-    val del = deleted.select(col(deleted.columns.head).as("_del_id"))
-    artifacts.flatMap { case (name, frame, idCols) =>
-      idCols.map { c =>
-        val n = frame
-          .join(broadcast(del), frame(c) === col("_del_id"), "left_semi")
-          .count()
-        (name, c, n)
-      }
-    }.toDF("artifact", "id_col", "n_rows")
+    val del = deleted.select(
+      col(deleted.columns.head).cast("long").as("_del_id"))
+    val melted = artifacts.map { case (name, frame, idCols) =>
+      frame.select(explode(array(idCols.map(c =>
+          struct(lit(c).as("id_col"), col(c).cast("long").as("id"))): _*))
+        .as("x"))
+        .select(lit(name).as("artifact"), col("x.id_col").as("id_col"),
+          col("x.id").as("id"))
+    }.reduce(_ unionByName _)
+    val hits = melted
+      .join(broadcast(del), col("id") === col("_del_id"), "left_semi")
+      .groupBy("artifact", "id_col").agg(count(lit(1)).as("n_rows"))
+    val grid = artifacts
+      .flatMap { case (n, _, cs) => cs.map(c => (n, c)) }
+      .toDF("artifact", "id_col")
+    grid.join(hits, Seq("artifact", "id_col"), "left")
+      .select(col("artifact"), col("id_col"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 }

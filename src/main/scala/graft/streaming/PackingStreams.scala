@@ -38,10 +38,11 @@ object PackingStreams {
     * leaves the NEWEST committed state there); then `offsets_prev` (the
     * renamed-aside previous state — unreachable under the swap protocol
     * unless `offsets_next` was externally removed, kept as belt and
-    * braces). A directory counts only with its `_SUCCESS` marker, so a
-    * half-written `offsets_next` can never shadow real state — and the
-    * canonical dir is only ever deleted AFTER `offsets_next` is fully
-    * written. Without this fallback a crash inside the swap would
+    * braces). A directory counts only with its commit marker (our own
+    * `_GRAFT_COMMIT`, written after the parquet job; legacy `_SUCCESS`
+    * accepted), so a half-written `offsets_next` can never shadow real
+    * state — and the canonical dir is only ever deleted AFTER
+    * `offsets_next` is fully written. Without this fallback a crash inside the swap would
     * restart every later batch at offset 0, silently corrupting the
     * global token stream. */
   private[streaming] def readOffsets(s: SparkSession, stateDir: String): DataFrame = {
@@ -49,7 +50,13 @@ object PackingStreams {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val candidates = Seq(offsetsPath(stateDir), s"$stateDir/offsets_next",
       s"$stateDir/offsets_prev")
-    candidates.find(p => fs.exists(new Path(p, "_SUCCESS"))) match {
+    // committed = our OWN marker (written after the parquet job, so it
+    // is committer-independent — a deployment that disables Spark's
+    // _SUCCESS markers must not read as "no state, restart at 0"), with
+    // _SUCCESS accepted for state written before the marker existed
+    def committed(p: String) =
+      fs.exists(new Path(p, "_GRAFT_COMMIT")) || fs.exists(new Path(p, "_SUCCESS"))
+    candidates.find(committed) match {
       case Some(p) =>
         // renames bypass the cache invalidation a write performs —
         // drop any cached plan still referencing this dir's old files
@@ -101,6 +108,11 @@ object PackingStreams {
       .toDF("batch_id", "start_offset", "batch_toks")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/offsets_next")
+    // our own commit marker, after the write job completes — the
+    // half-written-dir gate must not depend on the committer's
+    // _SUCCESS setting
+    val fsm = new Path(stateDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsm.create(new Path(s"$stateDir/offsets_next/_GRAFT_COMMIT"), true).close()
     // Crash-safe swap (never a window with NO committed state on disk):
     // the canonical dir is renamed ASIDE, not deleted, before the new
     // state renames in — a crash between the two renames leaves

@@ -47,8 +47,19 @@ object TokenizeStreams {
       merges.foldLeft(bpeWrap(col("w"))) { case (c, (pa, pb)) =>
         bpeApplyMerge(c, lit(pa), lit(pb))
       })
-    batch
-      .select(col("doc_id").cast("long").as("doc_id"),
+    // a doc_id fetched TWICE within one trigger (same-batch re-fetch)
+    // must not interleave two encodings into one garbled row: keep one
+    // fetch per doc, deterministically (longest text, then
+    // lexicographically greatest) — across batches, newest-batch-wins
+    // in [[encoded]] handles the re-fetch instead
+    val one = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(length(col("text")).desc, col("text").desc)))
+      .filter(col("_rk") === 1)
+    one
+      .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("i", "w")))
       .filter(col("w") =!= "")
       .join(broadcast(pieces), Seq("w"), "left")

@@ -102,4 +102,14 @@ class EdgeCaseSpec extends SparkSpec {
       assert(n.toDouble / (1 << bits) <= DedupQueries.EmbTargetBucket)
     }
   }
+
+  test("signature keeper election excludes sentinel hashes (no corrupt clusters)") {
+    val frame = Seq((1L, "0101"), (2L, "0101"), (3L, ""), (4L, ""), (5L, "1111"))
+      .toDF("doc_id", "phash")
+    val got = MultimodalQueries.hashKeepers(frame)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // docs 3 and 4 carry the "" sentinel: audit rows, never a cluster --
+    // they must not appear as keeper/duplicate of each other
+    assert(got == Map(1L -> true, 2L -> false, 5L -> true), s"got $got")
+  }
 }

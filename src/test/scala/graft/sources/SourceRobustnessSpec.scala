@@ -112,6 +112,12 @@ class SourceRobustnessSpec extends SparkSpec {
     out.write(Array[Byte](1, 2, 3, 4)); out.close()
     assert(AvroTable.read(spark, nullDir).count() == 3,
       "corrupt avro file changed the readable row set")
+    // …including one that sorts FIRST (the schema-extraction path must
+    // skip it, not die on it)
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$nullDir/part-!.avro"), true)
+    out2.write(Array[Byte](9, 8, 7)); out2.close()
+    assert(AvroTable.read(spark, nullDir).count() == 3,
+      "corrupt first-sorting avro file killed the read")
 
     // an uncommitted dir (no marker) must refuse, not serve partial data
     val bad = Files.createTempDirectory("graft_avro_bad").resolve("t").toString

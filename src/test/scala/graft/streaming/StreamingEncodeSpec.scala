@@ -43,6 +43,30 @@ class StreamingEncodeSpec extends SparkSpec {
       "replayed batch changed the encoded corpus")
   }
 
+  test("a doc fetched twice in one batch encodes once, deterministically") {
+    cleanup()
+    val vocab = ChunkingQueries.bpeVocab(spark, sf0001)
+    val merges = TokenizeStreams.trainedMerges(spark, sf0001)
+    val short = "plain words here"
+    val long = "plain words here and there"
+    TokenizeStreams.encodeBatch(
+      Seq((7L, short), (7L, long)).toDF("doc_id", "text"),
+      0L, vocab, merges, encD)
+    val rows = TokenizeStreams.encoded(spark, encD).collect()
+    assert(rows.length == 1, "same-batch re-fetch produced multiple rows")
+    // the deterministic winner (longest text) encodes exactly as if it
+    // had arrived alone — no interleaving, no doubled token counts
+    val refD = s"$encD-ref"
+    val rp = new org.apache.hadoop.fs.Path(refD)
+    rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+    TokenizeStreams.encodeBatch(
+      Seq((7L, long)).toDF("doc_id", "text"), 0L, vocab, merges, refD)
+    val want = TokenizeStreams.encoded(spark, refD).collect()(0)
+    assert(rows(0).getLong(1) == want.getLong(1) &&
+      rows(0).getString(2) == want.getString(2),
+      "same-batch duplicate garbled the surviving encoding")
+  }
+
   test("OOV words segment by the trained merges, never dropped") {
     cleanup()
     val vocab = ChunkingQueries.bpeVocab(spark, sf0001)

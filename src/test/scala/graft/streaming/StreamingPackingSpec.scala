@@ -101,7 +101,7 @@ class StreamingPackingSpec extends SparkSpec {
       "post-crash replay shifted the sequence stream")
 
     // crash window 2: canonical renamed aside, next half-written (no
-    // _SUCCESS) — the prev fallback must serve, junk must not shadow
+    // commit marker) — the prev fallback must serve, junk must not shadow
     assert(fs.rename(p("offsets"), p("offsets_prev")))
     fs.mkdirs(p("offsets_next"))
     fs.create(new org.apache.hadoop.fs.Path(p("offsets_next"), "part-junk"))
@@ -109,5 +109,22 @@ class StreamingPackingSpec extends SparkSpec {
     assert(PackingStreams.readOffsets(spark, stateD)
       .collect().map(_.toSeq).toSet == committed,
       "half-written offsets_next shadowed the committed prev state")
+  }
+
+  test("offsets state survives a committer with _SUCCESS markers disabled") {
+    cleanup()
+    PackingStreams.processBatch(toksOf(0 until 150), batchId = 0L, stateD)
+    PackingStreams.processBatch(toksOf(150 until 260), batchId = 1L, stateD)
+    val committed = PackingStreams.readOffsets(spark, stateD)
+      .collect().map(_.toSeq).toSet
+    assert(committed.nonEmpty)
+    // a deployment disabling mapreduce success markers leaves no
+    // _SUCCESS anywhere — our own _GRAFT_COMMIT must carry the state
+    val fs = new org.apache.hadoop.fs.Path(stateD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateD/offsets/_SUCCESS"), false)
+    assert(PackingStreams.readOffsets(spark, stateD)
+      .collect().map(_.toSeq).toSet == committed,
+      "state vanished without the committer's _SUCCESS marker")
   }
 }
