@@ -69,14 +69,12 @@ object SourceQueries {
     * encode→container→decode path. The fixture persists per (run,
     * corpus) through the catalog, so serving reads the committed
     * container files rather than re-encoding per query. */
-  val avroRoundTrip = Q(
-    "q_s10_avro",
-    """SELECT lang, source, count(*) AS n_docs,
-      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |  CAST(sum(length(text)) AS BIGINT) AS sum_len
-      |FROM documents
-      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+  /** Builds (or adopts) the avro DOCS fixture and returns its table
+    * dir. Exposed separately from the query so Bench's build phase can
+    * materialize it up front (an `idx_*` entry): round-10's transient
+    * `q_s11_avro_vec` bench failure came from serving lazily building
+    * its fixture — pre-built, serving passes are read-only. */
+  def avroDocsFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.sources.{AvroTable, IndexCatalog}
     val dir = IndexCatalog.ensure(s, s"avro_docs_${IndexCatalog.tag(d)}",
         inputs = Seq(d),
@@ -86,7 +84,29 @@ object SourceQueries {
           .select("doc_id", "text", "lang", "source", "n_chars"),
         s"$dir/docs")
     }
-    AvroTable.read(s, s"$dir/docs")
+    s"$dir/docs"
+  }
+
+  /** Builds (or adopts) the avro VECS fixture; see [[avroDocsFixture]]. */
+  def avroVecsFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.{AvroTable, IndexCatalog}
+    val dir = IndexCatalog.ensure(s, s"avro_vecs_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(AvroTable.getClass, graft.Tables.getClass)) { dir =>
+      AvroTable.write(graft.Tables.embeddings(s, d), s"$dir/vecs")
+    }
+    s"$dir/vecs"
+  }
+
+  val avroRoundTrip = Q(
+    "q_s10_avro",
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len
+      |FROM documents
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+    graft.sources.AvroTable.read(s, avroDocsFixture(s, d))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("doc_id").as("sum_id"),
@@ -112,13 +132,7 @@ object SourceQueries {
       |  CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
       |                AS BIGINT)) AS BIGINT) AS sum_c1
       |FROM embeddings""".stripMargin) { (s, d) =>
-    import graft.sources.{AvroTable, IndexCatalog}
-    val dir = IndexCatalog.ensure(s, s"avro_vecs_${IndexCatalog.tag(d)}",
-        inputs = Seq(d),
-        owners = Seq(AvroTable.getClass, graft.Tables.getClass)) { dir =>
-      AvroTable.write(graft.Tables.embeddings(s, d), s"$dir/vecs")
-    }
-    AvroTable.read(s, s"$dir/vecs")
+    graft.sources.AvroTable.read(s, avroVecsFixture(s, d))
       .agg(count(lit(1)).as("n_vecs"),
         sum("vec_id").as("sum_id"),
         sum(size(col("embedding"))).as("sum_dims"),

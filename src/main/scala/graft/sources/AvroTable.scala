@@ -39,13 +39,21 @@ import org.apache.spark.sql.types._
   * file yields zero rows, not a dead stage).
   *
   * Contracts: single WRITER per directory at a time (the
-  * [[GenerationedTable]] discipline — task RETRY is safe because each
-  * partition re-creates its own file, but `spark.speculation` must
-  * stay off for this sink, as two live attempts would interleave one
-  * stream); per-file size is bounded by the upstream partition size
-  * and must stay under the `binaryFile` 2 GiB content cap —
+  * [[GenerationedTable]] discipline). Task RETRY and SPECULATION are
+  * both safe: every attempt writes to an attempt-unique
+  * `part-<pid>.avro.tmp-<attempt>` and renames into place only after a
+  * clean close, so the committed `part-<pid>.avro` is always one
+  * attempt's complete stream — a losing attempt finds the destination
+  * taken, discards its temp, and succeeds (round-10 advice: the
+  * previous overwrite-in-place write let two live attempts interleave
+  * one stream). Per-file size is bounded by the upstream partition
+  * size and must stay under the `binaryFile` 2 GiB content cap —
   * `repartition` the frame before writing if a partition could exceed
-  * it. */
+  * it. The Avro schema is committed alongside the data
+  * (`_AVRO_SCHEMA.json`, written before the `_AVRO_SUCCESS` marker),
+  * so an empty or fully-filtered frame still round-trips: zero part
+  * files under a committed marker read back as an empty DataFrame
+  * with the written schema (round-10 advice). */
 object AvroTable {
 
   private def avroType(dt: DataType): Schema = dt match {
@@ -117,9 +125,11 @@ object AvroTable {
   }
 
   /** Write `df` as one Avro container file per partition under `dir`
-    * (`part-<n>.avro`), then commit with an `_AVRO_SUCCESS` marker —
-    * readers of a crashed partial write see no marker. Existing
-    * contents are replaced. */
+    * (`part-<n>.avro`), then commit `_AVRO_SCHEMA.json` followed by an
+    * `_AVRO_SUCCESS` marker — readers of a crashed partial write see no
+    * marker. Existing contents are replaced. Each task attempt writes
+    * its own temp file and renames in, so retried/speculative attempts
+    * never share a stream. */
   def write(df: DataFrame, dir: String): Unit = {
     val s = df.sparkSession
     val p = new Path(dir)
@@ -141,14 +151,20 @@ object AvroTable {
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val schema = new Schema.Parser().parse(schemaJson)
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
         val conf = new Configuration()
         confKv.foreach { case (k, v) => conf.set(k, v) }
         val part = new Path(s"$dir/part-$pid.avro")
+        // attempt-unique temp: two live attempts of the same partition
+        // (speculation, or a zombie first attempt) each stream to their
+        // own file; only a cleanly-closed file renames into place
+        val tmp = new Path(s"$dir/part-$pid.avro.tmp-${tc.taskAttemptId()}")
         val efs = part.getFileSystem(conf)
-        val out = efs.create(part, true)
+        val out = efs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
+        var ok = false
         try {
           w.create(schema, out)
           rows.foreach { r =>
@@ -160,9 +176,20 @@ object AvroTable {
             }
             w.append(rec)
           }
+          ok = true
         } finally w.close() // closes the stream
+        if (ok) {
+          // losing a rename race is FINE: the destination then holds a
+          // rival attempt's complete file for the same partition
+          if (!efs.rename(tmp, part) && !efs.exists(part))
+            throw new IllegalStateException(s"rename $tmp -> $part failed")
+        }
+        efs.delete(tmp, false)
+        ()
       }
     }
+    val sOut = fs.create(new Path(p, "_AVRO_SCHEMA.json"), true)
+    try sOut.write(schemaJson.getBytes("UTF-8")) finally sOut.close()
     fs.create(new Path(p, "_AVRO_SUCCESS"), true).close()
   }
 
@@ -176,11 +203,31 @@ object AvroTable {
     require(fs.exists(new Path(p, "_AVRO_SUCCESS")),
       s"no committed avro table at $dir")
     val candidates = fs.globStatus(new Path(p, "part-*.avro"))
-    if (candidates.isEmpty)
+    // the committed schema file is authoritative (written by the same
+    // commit that wrote the marker) — and it is what lets a
+    // legitimately EMPTY committed table (zero part files) read back
+    // as an empty frame instead of dying on a glob miss
+    val committedSchema: Option[Schema] = {
+      val sp = new Path(p, "_AVRO_SCHEMA.json")
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val txt = try {
+          val buf = new ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        Some(new Schema.Parser().parse(txt))
+      }
+    }
+    if (candidates.isEmpty && committedSchema.isEmpty)
       throw new IllegalStateException(s"no avro files in $dir")
-    // schema from the FIRST file whose header parses — a corrupt file
-    // that happens to sort first must not kill the read (it contributes
-    // zero rows downstream, the same totality every file gets)
+    // fallback schema source for pre-schema-file dirs: the FIRST file
+    // whose header parses — a corrupt file that happens to sort first
+    // must not kill the read (it contributes zero rows downstream, the
+    // same totality every file gets)
     def headerOf(f: org.apache.hadoop.fs.FileStatus): Option[Schema] =
       try {
         val in = fs.open(f.getPath)
@@ -198,32 +245,41 @@ object AvroTable {
           new SeekableByteArrayInput(headerBytes),
           new GenericDatumReader[GenericRecord]()).getSchema)
       } catch { case _: Exception => None }
-    val writerSchema = candidates.iterator.map(headerOf)
-      .collectFirst { case Some(sch) => sch }
-      .getOrElse(throw new IllegalStateException(
-        s"no decodable avro file in $dir"))
+    val writerSchema = committedSchema.getOrElse(
+      candidates.iterator.map(headerOf)
+        .collectFirst { case Some(sch) => sch }
+        .getOrElse(throw new IllegalStateException(
+          s"no decodable avro file in $dir")))
     val sparkSchema = StructType(writerSchema.getFields.asScala.toSeq.map(f =>
       StructField(f.name(), sparkType(f.schema()),
         f.schema().getType == Schema.Type.UNION)))
     val names = sparkSchema.fieldNames
-    import s.implicits._
-    val rows = s.read.format("binaryFile").load(s"$dir/part-*.avro")
-      .select("content").as[Array[Byte]]
-      .rdd // genuine per-partition imperative decode, the RDD carve-out
-      .flatMap { bytes =>
-        try {
-          val r = new DataFileReader[GenericRecord](
-            new SeekableByteArrayInput(bytes),
-            new GenericDatumReader[GenericRecord]())
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (r.hasNext) {
-            val rec = r.next()
-            out += Row.fromSeq(names.toSeq.map(n => fromAvro(rec.get(n))))
-          }
-          r.close()
-          out
-        } catch { case _: Exception => Seq.empty[Row] }
-      }
-    s.createDataFrame(rows, sparkSchema)
+    if (candidates.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], sparkSchema)
+    else {
+      import s.implicits._
+      // list the part files HERE, once, and hand Spark concrete paths —
+      // an analysis-time re-glob over the directory would race any
+      // concurrent rewrite of it (the round-10 transient bench failure)
+      val rows = s.read.format("binaryFile")
+        .load(candidates.map(_.getPath.toString): _*)
+        .select("content").as[Array[Byte]]
+        .rdd // genuine per-partition imperative decode, the RDD carve-out
+        .flatMap { bytes =>
+          try {
+            val r = new DataFileReader[GenericRecord](
+              new SeekableByteArrayInput(bytes),
+              new GenericDatumReader[GenericRecord]())
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (r.hasNext) {
+              val rec = r.next()
+              out += Row.fromSeq(names.toSeq.map(n => fromAvro(rec.get(n))))
+            }
+            r.close()
+            out
+          } catch { case _: Exception => Seq.empty[Row] }
+        }
+      s.createDataFrame(rows, sparkSchema)
+    }
   }
 }

@@ -96,11 +96,18 @@ object DeleteAudit {
       artifacts: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
     val s = deleted.sparkSession
     import s.implicits._
+    // join on STRING renderings of both sides, not a numeric cast: a
+    // cast("long") over a string-keyed artifact silently yields NULL,
+    // matches nothing, and certifies "zero survivors" falsely — the
+    // one audit where a silent false negative is most dangerous
+    // (round-10 advice). String cast is total and exact for every key
+    // type in the tier (integral and string ids render identically on
+    // both sides).
     val del = deleted.select(
-      col(deleted.columns.head).cast("long").as("_del_id"))
+      col(deleted.columns.head).cast("string").as("_del_id"))
     val melted = artifacts.map { case (name, frame, idCols) =>
       frame.select(explode(array(idCols.map(c =>
-          struct(lit(c).as("id_col"), col(c).cast("long").as("id"))): _*))
+          struct(lit(c).as("id_col"), col(c).cast("string").as("id"))): _*))
         .as("x"))
         .select(lit(name).as("artifact"), col("x.id_col").as("id_col"),
           col("x.id").as("id"))

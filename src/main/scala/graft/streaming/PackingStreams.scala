@@ -124,9 +124,21 @@ object PackingStreams {
     val offs = new Path(offsetsPath(stateDir))
     val next = new Path(s"$stateDir/offsets_next")
     val prev = new Path(s"$stateDir/offsets_prev")
+    // FileSystem.rename reports failure by RETURNING FALSE (round-10
+    // advice) — an unchecked false here would let the second rename
+    // land on an existing destination (RawLocalFileSystem then NESTS
+    // the source inside it) or leave the canonical dir stale while
+    // offsets_next holds the newer committed state, and readOffsets
+    // would prefer the stale dir: silent token-stream corruption. A
+    // throw instead surfaces the failed swap and the batch replays.
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"offsets swap rename $src -> $dst failed; " +
+            "state left recoverable (offsets_next is committed), batch must replay")
     fs.delete(prev, true)
-    if (fs.exists(offs)) fs.rename(offs, prev)
-    fs.rename(next, offs)
+    if (fs.exists(offs)) renameOrThrow(offs, prev)
+    renameOrThrow(next, offs)
     fs.delete(prev, true)
   }
 

@@ -99,6 +99,17 @@ class DeleteAuditSpec extends SparkSpec {
       val docSpan = packed.select(explode(array(col("min_doc"), col("max_doc"))).as("doc_id"))
       assert(DeleteAudit.survivors(deleted, Seq(("pack", docSpan, Seq("doc_id"))))
         .agg(sum("n_rows")).first().getLong(0) == 0)
+
+      // a STRING-keyed artifact must be audited on its native values —
+      // the r10 advice found cast("long") nulled such keys out and
+      // certified zero survivors falsely; the hit below must be SEEN
+      import spark.implicits._
+      val stringKeyed = Seq("u-1", "u-2", "u-3").toDF("user_key")
+      val delStrings = Seq("u-2").toDF("k")
+      val sHits = DeleteAudit.survivors(
+        delStrings, Seq(("profiles", stringKeyed, Seq("user_key"))))
+      assert(sHits.agg(sum("n_rows")).first().getLong(0) == 1,
+        "string-keyed survivor was missed — silent false-negative audit")
     } finally {
       IndexCatalog.rootOverride = None
       IndexCatalog.resetProcessMemo()

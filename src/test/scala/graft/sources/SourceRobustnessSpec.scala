@@ -124,6 +124,23 @@ class SourceRobustnessSpec extends SparkSpec {
     fs.mkdirs(new org.apache.hadoop.fs.Path(bad))
     intercept[IllegalArgumentException] { AvroTable.read(spark, bad) }
 
+    // a legitimately EMPTY committed table (fully-filtered frame, zero
+    // part files) round-trips: schema from the committed
+    // _AVRO_SCHEMA.json, zero rows — not an exception (r10 advice)
+    val emptyDir = Files.createTempDirectory("graft_avro_empty").resolve("t").toString
+    AvroTable.write(withNulls.filter(col("id") < 0), emptyDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$emptyDir/_AVRO_SCHEMA.json")),
+      "empty-table commit did not persist the schema")
+    val eb = AvroTable.read(spark, emptyDir)
+    assert(eb.count() == 0 &&
+      eb.schema.fieldNames.sameElements(Array("id", "v")),
+      "empty committed avro table did not round-trip schema-intact")
+
+    // committed writes leave no attempt temp files behind
+    assert(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$nullDir/part-*.avro.tmp-*")).isEmpty,
+      "attempt temp files leaked into the committed dir")
+
     // ARRAY columns: the float embedding vectors round-trip bit-exactly
     val vecDir = Files.createTempDirectory("graft_avro_vec").resolve("v").toString
     val vecs = graft.Tables.embeddings(spark, sf0001)
