@@ -581,22 +581,140 @@ object ExtraQueries {
       .orderBy("month")
   }
 
-  /** Statistical aggregate surface (stddev/variance/corr/skew/approx
-    * percentile). Rows-only: these floats are partial-merge order
-    * dependent, so cross-engine hash equality is not defined — their
-    * algebra is pinned by Spark itself. */
-  val statsSuite = Q.rowsOnly("q_stats_suite") { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  /** Statistical aggregate surface (stddev/variance/correlation/skew/
+    * exact percentiles), HASH-EXACT (round-10 verdict item 3: this was
+    * the one rows-only member whose inputs are exact scaled decimals).
+    *
+    * The float trap was never the math, it was the AGGREGATION: float
+    * partial-merge order differs between engines, so `stddev_samp`
+    * over doubles has no cross-engine hash. The fix is the
+    * `q_text_surprisal`/`q_mixture_weights` discipline: every SUM runs
+    * in exact integer space (price → cents, discount → percent,
+    * quantity is already integral — all order-independent BIGINTs),
+    * and the derived statistics are a fixed DAG of IEEE
+    * correctly-rounded double ops (+ − × ÷ sqrt, identical
+    * parenthesization on both engines) over those exact sums, floored
+    * to scaled BIGINTs. Σp² would overflow both long and the 2^53
+    * double-exact range at scale, so it is summed in SPLIT form
+    * (p = a·10⁴ + b → Σa², Σab, Σb², each an exact long even at sf1)
+    * and recombined in the deterministic double DAG. Percentiles are
+    * exact order statistics (value at rank ceil(q·n)), not
+    * interpolations — integer logic end to end. StatsSuiteSpec pins
+    * the derived values against Spark's own stddev_samp / var_samp /
+    * corr / skewness builtins, so the builtin surface stays covered
+    * while the registry row is oracle-checked. */
+  val statsSuite = Q(
+    "q_stats_suite",
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS dsc
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(p) AS BIGINT) AS sp,
+      |    CAST(sum((p // 10000) * (p // 10000)) AS BIGINT) AS saa,
+      |    CAST(sum((p // 10000) * (p % 10000)) AS BIGINT) AS sab,
+      |    CAST(sum((p % 10000) * (p % 10000)) AS BIGINT) AS sbb,
+      |    CAST(sum(q) AS BIGINT) AS sq,
+      |    CAST(sum(q * q) AS BIGINT) AS sq2,
+      |    CAST(sum(q * p) AS BIGINT) AS sqp,
+      |    CAST(sum(dsc) AS BIGINT) AS sd1,
+      |    CAST(sum(dsc * dsc) AS BIGINT) AS sd2,
+      |    CAST(sum(dsc * dsc * dsc) AS BIGINT) AS sd3
+      |  FROM b GROUP BY flag
+      |), r AS (
+      |  SELECT flag, p,
+      |    row_number() OVER (PARTITION BY flag ORDER BY p) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS ng
+      |  FROM b
+      |), qs AS (
+      |  SELECT flag,
+      |    max(CASE WHEN rn = CAST(ceil(ng * 0.5) AS BIGINT) THEN p END) AS p50_cents,
+      |    max(CASE WHEN rn = CAST(ceil(ng * 0.95) AS BIGINT) THEN p END) AS p95_cents
+      |  FROM r GROUP BY flag
+      |)
+      |SELECT m.flag AS l_returnflag, m.n,
+      |  CAST(floor(sqrt(
+      |    ((((100000000.0 * CAST(saa AS DOUBLE)) + (20000.0 * CAST(sab AS DOUBLE))) + CAST(sbb AS DOUBLE))
+      |      - ((CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |    / (CAST(n AS DOUBLE) - 1.0))) AS BIGINT) AS sd_price_cents,
+      |  CAST(floor(10000.0 * (
+      |    (CAST(sq2 AS DOUBLE) - ((CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |    / (CAST(n AS DOUBLE) - 1.0))) AS BIGINT) AS var_qty_e4,
+      |  CAST(floor(1000000.0 * (
+      |    ((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)) - (CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)))
+      |    / (sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)) - (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))
+      |       * sqrt((CAST(n AS DOUBLE) * (((100000000.0 * CAST(saa AS DOUBLE)) + (20000.0 * CAST(sab AS DOUBLE))) + CAST(sbb AS DOUBLE)))
+      |              - (CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))))) AS BIGINT) AS corr_ppm,
+      |  CAST(floor(1000000.0 * (
+      |    (((CAST(sd3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |       - ((3.0 * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |      + (((2.0 * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    / (((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |         - ((CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |       * sqrt((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |              - ((CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS skew_ppm,
+      |  qs.p50_cents, qs.p95_cents
+      |FROM m JOIN qs ON m.flag = qs.flag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("p"),
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 100, 0).cast("long").as("dsc"))
+    val a = (col("p") / 10000).cast("long") // p ≥ 0: floor == truncate
+    val bb = pmod(col("p"), lit(10000L))
+    val moments = base.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(col("p")).as("sp"),
+      sum(a * a).as("saa"),
+      sum(a * bb).as("sab"),
+      sum(bb * bb).as("sbb"),
+      sum(col("q")).as("sq"),
+      sum(col("q") * col("q")).as("sq2"),
+      sum(col("q") * col("p")).as("sqp"),
+      sum(col("dsc")).as("sd1"),
+      sum(col("dsc") * col("dsc")).as("sd2"),
+      sum(col("dsc") * col("dsc") * col("dsc")).as("sd3"))
+    // exact order-statistic percentiles: rank ceil(q·n) under a
+    // value-ordered row_number — tie assignment is arbitrary but the
+    // value AT any rank inside a tie run is unique, so deterministic
+    val wRank = Window.partitionBy("flag").orderBy("p")
+    val wAll = Window.partitionBy("flag")
+    val quants = base
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("ng", count(lit(1)).over(wAll))
+      .filter(col("rn") === ceil(col("ng") * 0.5) ||
+        col("rn") === ceil(col("ng") * 0.95))
+      .groupBy("flag")
       .agg(
-        stddev_samp(col("l_extendedprice")).as("sd_price"),
-        var_samp(col("l_quantity")).as("var_qty"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-        skewness(col("l_discount")).as("skew_disc"),
-        // scalar percentiles, not array(0.5, 0.95): the harness can't
-        // sort/hash list-typed cells
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("price_p95"))
+        max(when(col("rn") === ceil(col("ng") * 0.5), col("p"))).as("p50_cents"),
+        max(when(col("rn") === ceil(col("ng") * 0.95), col("p"))).as("p95_cents"))
+    // deterministic double DAG over the exact sums — parenthesization
+    // mirrors the oracle SQL token for token
+    def D(c: String) = col(c).cast("double")
+    val nD = D("n")
+    val sp2d = ((lit(100000000.0) * D("saa")) + (lit(20000.0) * D("sab"))) + D("sbb")
+    val varP = (sp2d - ((D("sp") * D("sp")) / nD)) / (nD - lit(1.0))
+    val varQ = (D("sq2") - ((D("sq") * D("sq")) / nD)) / (nD - lit(1.0))
+    val corrN = (nD * D("sqp")) - (D("sq") * D("sp"))
+    val corrD = sqrt((nD * D("sq2")) - (D("sq") * D("sq"))) *
+      sqrt((nD * sp2d) - (D("sp") * D("sp")))
+    val muD = D("sd1") / nD
+    val m2 = (D("sd2") / nD) - (muD * muD)
+    val m3 = ((D("sd3") / nD) - ((lit(3.0) * muD) * (D("sd2") / nD))) +
+      (((lit(2.0) * muD) * muD) * muD)
+    moments.join(quants, "flag")
+      .select(
+        col("flag").as("l_returnflag"),
+        col("n"),
+        floor(sqrt(varP)).cast("long").as("sd_price_cents"),
+        floor(lit(10000.0) * varQ).cast("long").as("var_qty_e4"),
+        floor(lit(1000000.0) * (corrN / corrD)).cast("long").as("corr_ppm"),
+        floor(lit(1000000.0) * (m3 / (m2 * sqrt(m2)))).cast("long").as("skew_ppm"),
+        col("p50_cents"), col("p95_cents"))
       .orderBy("l_returnflag")
   }
 
