@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
@@ -1436,6 +1437,130 @@ object DedupQueries {
         when(coalesce(col("n_grams"), lit(0L)) > 0,
           ((col("n_dup") * 100) / col("n_grams")).cast("long"))
           .otherwise(lit(0L)).as("dup_pct"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact repeated-span EXCISION — the operator production pipelines
+    * actually run where [[substringShare]] only reports the share
+    * (round-10 verdict item 4; Lee et al. 2021 §4: remove every
+    * repeated span of ≥ k tokens, keep the rest of the document).
+    *
+    * Pipeline, all shuffle-on-key (no pair frame anywhere):
+    *  1. positional k-gram explode (gram at 0-based word position i
+    *     covers words [i, i+k-1]);
+    *  2. corpus gram counts (map-side partial agg on gram hash — the
+    *     same two `g`-shuffles as substringShare);
+    *  3. duplicated positions → merged intervals per doc via
+    *     gaps-and-islands (break when the gap between consecutive
+    *     duplicated starts ≥ k, i.e. the k-spans no longer overlap;
+    *     merged spans are provably disjoint, so coverage is a set);
+    *  4. covered word positions (sequence-explode of each span —
+    *     linear in doc length, bounded by the doc itself);
+    *  5. kept words = positional anti join, reassembled in word order.
+    *
+    * Conservation law (ExciseSpec + the oracle hash): words_kept +
+    * words_removed = n_words per doc, and chars are accounted against
+    * the whitespace-normalized original. Docs shorter than k words
+    * have no grams, hence no spans: they pass through intact. */
+  val substringExcise = Q(
+    "q_dedup_excise",
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id, w,
+       |    [array_to_string(w[i:i+${SubstringK - 1}], ' ')
+       |     for i in range(1, len(w) - ${SubstringK - 2})] AS sh
+       |  FROM t
+       |), ex AS (
+       |  SELECT doc_id, generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS g
+       |  FROM s
+       |), cnt AS (SELECT g, count(*) AS cn FROM ex GROUP BY g),
+       |dup AS (
+       |  SELECT e.doc_id, e.pos FROM ex e JOIN cnt c USING (g) WHERE c.cn >= 2
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |              < $SubstringK THEN 0 ELSE 1 END AS brk
+       |  FROM dup
+       |), isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |), spans AS (
+       |  SELECT doc_id, island, min(pos) AS sp,
+       |    max(pos) + ${SubstringK - 1} AS ep
+       |  FROM isl2 GROUP BY doc_id, island
+       |), spanagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(ep - sp + 1) AS BIGINT) AS words_removed
+       |  FROM spans GROUP BY doc_id
+       |), covered AS (
+       |  SELECT doc_id, unnest(range(sp, ep + 1)) AS wpos FROM spans
+       |), words AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS wpos, unnest(w) AS word
+       |  FROM t
+       |), kept AS (
+       |  SELECT wd.doc_id,
+       |    CAST(count(*) AS BIGINT) AS words_kept,
+       |    string_agg(wd.word, ' ' ORDER BY wd.wpos) AS cleaned
+       |  FROM words wd LEFT JOIN covered c
+       |    ON c.doc_id = wd.doc_id AND c.wpos = wd.wpos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY wd.doc_id
+       |)
+       |SELECT t.doc_id,
+       |  CAST(len(t.w) AS BIGINT) AS n_words,
+       |  coalesce(sa.n_spans, 0) AS n_spans,
+       |  coalesce(sa.words_removed, 0) AS words_removed,
+       |  coalesce(k.words_kept, 0) AS words_kept,
+       |  CAST(length(array_to_string(t.w, ' '))
+       |       - length(coalesce(k.cleaned, '')) AS BIGINT) AS chars_removed,
+       |  CAST(length(coalesce(k.cleaned, '')) AS BIGINT) AS chars_kept,
+       |  coalesce(k.cleaned, '') AS cleaned
+       |FROM t LEFT JOIN spanagg sa USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val k = SubstringK
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val ex = docs.select(col("doc_id"),
+      posexplode(wordShingles(col("w"), k)).as(Seq("pos", "g")))
+    val cnt = ex.groupBy("g").agg(count(lit(1)).as("cn"))
+    val dup = ex.join(cnt, Seq("g")).filter(col("cn") >= 2)
+      .select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wOrd) < k, 0).otherwise(1))
+      .withColumn("island",
+        sum("brk").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("sp"), (max("pos") + (k - 1)).as("ep"))
+    val spanAgg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("words_removed"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("sp"), col("ep"))).as("wpos"))
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("wpos", "word")))
+      .join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("words_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(wpos, word))), s -> s.word)"),
+          " ").as("cleaned"))
+    docs
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("words_removed"), lit(0L)).as("words_removed"),
+        coalesce(col("words_kept"), lit(0L)).as("words_kept"),
+        (length(array_join(col("w"), " "))
+          - length(coalesce(col("cleaned"), lit("")))).cast("long")
+          .as("chars_removed"),
+        length(coalesce(col("cleaned"), lit(""))).cast("long").as("chars_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy("doc_id")
   }
 }
