@@ -89,6 +89,19 @@ object GenerationedTable {
     s.read.parquet(s"$dir/gen=$g")
   }
 
+  /** [[writeAs]], but the pointer NEVER swings backward: replaying an
+    * already-applied micro-batch (streaming delete propagation,
+    * [[graft.streaming.DeleteStreams]]) rewrites its old snapshot in
+    * place — deterministic content, idempotent — while readers keep
+    * resolving the newest committed generation. */
+  def replayAs(df: DataFrame, dir: String, gen: Int): Int = {
+    val s = df.sparkSession
+    if (latest(s, dir).exists(_ > gen)) {
+      df.write.mode("overwrite").parquet(s"$dir/gen=$gen")
+      gen
+    } else writeAs(df, dir, gen)
+  }
+
   /** Delete all but the newest `keep` generations (never the pointed-at
     * one). Returns the deleted generation numbers. */
   def vacuum(s: SparkSession, dir: String, keep: Int): Seq[Int] = {

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import graft.sources.{DeleteAudit, GenerationedTable}
+
+/** Streaming delete propagation — the right-to-be-forgotten twin of
+  * [[graft.sources.DeleteAudit.purgeNearDup]] (round-10 verdict item 6):
+  * a crawl pipeline receives deletion requests as a STREAM, and each
+  * micro-batch must purge the near-dup artifact pair and append an
+  * auditable survivors certificate, without ever rebuilding the tier.
+  *
+  * State is the (pairs, keep-list) artifact pair as two
+  * [[GenerationedTable]]s: delete batch `b` time-travel-reads the
+  * generation its predecessor committed (`gen = b + 1`; the seed is
+  * generation 1) and writes `gen = b + 2` — the generation number is a
+  * pure function of the batch id, so a REPLAYED batch reads exactly the
+  * state the original application read and rewrites its own snapshot
+  * byte-for-byte ([[GenerationedTable.replayAs]] keeps the pointer on
+  * the newest state — replay never regresses readers). The per-batch
+  * survivors certificate lands in a `batch=<id>`-keyed partition with
+  * overwrite, so replay can't duplicate audit rows. No step trusts the
+  * Spark streaming checkpoint for correctness — the same contract as
+  * the other streaming twins.
+  *
+  * Scale shape per batch: everything is |delta|-proportional
+  * (broadcast anti-joins + re-election scoped to affected clusters —
+  * the batch purge's own cost model); the certificate is one melt +
+  * semi-join over the artifact pair. Incremental purges COMPOSE: the
+  * final state after any sequence of delete batches equals the batch
+  * purge of their union (StreamingDeletePropagationSpec pins this,
+  * including keeper-promotion and bridge-split batches and a permuted
+  * delivery order), because anti-joins commute and cluster labels are
+  * canonical min-member ids. The frozen-cap caveat of the batch purge
+  * carries over unchanged. */
+object DeleteStreams {
+
+  /** Seed both state tables (generation 1) from the batch artifacts. */
+  def seed(pairs: DataFrame, keep: DataFrame,
+           pairDir: String, keepDir: String): Unit = {
+    GenerationedTable.writeAs(pairs, pairDir, 1)
+    GenerationedTable.writeAs(keep, keepDir, 1)
+  }
+
+  private def genFor(batchId: Long): Int = batchId.toInt + 2
+
+  /** One delete micro-batch: scoped purge + per-batch certificate.
+    * Exposed apart from the stream wiring so tests can replay a batch
+    * (same `batchId`) directly. */
+  def processBatch(deletes: DataFrame, batchId: Long, pairDir: String,
+                   keepDir: String, certDir: String): Unit = {
+    val s = deletes.sparkSession
+    val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
+    val baseGen = genFor(batchId) - 1
+    val pairs = GenerationedTable.read(s, pairDir, Some(baseGen))
+    val keep = GenerationedTable.read(s, keepDir, Some(baseGen))
+    val (purgedPairs, purgedKeep) = DeleteAudit.purgeNearDup(pairs, keep, del)
+    GenerationedTable.replayAs(purgedPairs, pairDir, genFor(batchId))
+    GenerationedTable.replayAs(purgedKeep, keepDir, genFor(batchId))
+    // the certificate audits the state THIS batch committed (its own
+    // generation, not "latest" — replay must re-certify the same state)
+    DeleteAudit.survivors(del, Seq(
+        ("pairs", GenerationedTable.read(s, pairDir, Some(genFor(batchId))),
+          Seq("doc_a", "doc_b")),
+        ("keep", GenerationedTable.read(s, keepDir, Some(genFor(batchId))),
+          Seq("doc_id"))))
+      .write.mode("overwrite").parquet(s"$certDir/batch=$batchId")
+  }
+
+  /** Continuous wiring: a stream of deleted ids applied micro-batch by
+    * micro-batch through [[processBatch]]. */
+  def deletePropagationStream(deletes: DataFrame, pairDir: String,
+                              keepDir: String,
+                              certDir: String): DataStreamWriter[Row] =
+    deletes.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, pairDir, keepDir, certDir)
+      }
+
+  /** Current served state (the pointer's generation). */
+  def currentState(s: SparkSession, pairDir: String,
+                   keepDir: String): (DataFrame, DataFrame) =
+    (GenerationedTable.read(s, pairDir), GenerationedTable.read(s, keepDir))
+}
