@@ -33,10 +33,56 @@ import org.apache.spark.sql.functions._
   * per-query seconds, build/serve totals.
   */
 object ScaleSmoke {
+
+  /** Derive a `replicas`×-volume near-duplicate corpus from `src` into
+    * `out` (idempotent: the ready marker encodes the replica count, so
+    * rerunning with a different count rebuilds instead of silently
+    * reusing the old corpus under a new label). */
+  def deriveCorpus(spark: SparkSession, src: String, out: String,
+      replicas: Int): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas")))
+      return
+    fs.delete(outPath, true)
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    val IdStride = 100000000L // far above any source id
+    spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(reps) // corpus × tiny literal frame: broadcast, map-only
+      .select(
+        (col("doc_id") + col("rep") * IdStride).as("doc_id"),
+        // one extra token: replicas stay >0.5-Jaccard near-dups
+        concat(col("text"), lit(" rep"), col("rep")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + length(concat(lit(" rep"), col("rep"))))
+          .as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(reps)
+      .select(
+        (col("vec_id") + col("rep") * IdStride).as("vec_id"),
+        // jitter ONE component by rep/1000: distinct vectors, ~1.0
+        // cosine within a replica group (semantic near-dups). The
+        // arithmetic widens to double; cast back — the engine's
+        // vector surface is array<float> by contract
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + col("rep").cast("float") / 1000f)
+            .otherwise(x).cast("float")).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas"), true).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_smoke/sf1"
     val replicas = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS", "10").toInt
+    val replicas30 = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS30", "30").toInt
+    val out30 = s"${out}_r$replicas30"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,45 +93,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // ---- derive the scaled corpus (idempotent: skip if present) ----
-    // The ready marker encodes the replica count, so rerunning with a
-    // different GRAFT_SMOKE_REPLICAS against the same out dir rebuilds
-    // instead of silently reusing the old corpus under a new label.
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas"))) {
-      fs.delete(outPath, true)
-      val reps = spark.range(replicas).select(col("id").as("rep"))
-      val IdStride = 100000000L // far above any source id
-      spark.read.parquet(s"$src/documents.parquet")
-        .crossJoin(reps) // corpus × tiny literal frame: broadcast, map-only
-        .select(
-          (col("doc_id") + col("rep") * IdStride).as("doc_id"),
-          // one extra token: replicas stay >0.5-Jaccard near-dups
-          concat(col("text"), lit(" rep"), col("rep")).as("text"),
-          col("lang"), col("source"),
-          (col("n_chars") + length(concat(lit(" rep"), col("rep"))))
-            .as("n_chars"))
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      spark.read.parquet(s"$src/embeddings.parquet")
-        .crossJoin(reps)
-        .select(
-          (col("vec_id") + col("rep") * IdStride).as("vec_id"),
-          // jitter ONE component by rep/1000: distinct vectors, ~1.0
-          // cosine within a replica group (semantic near-dups). The
-          // arithmetic widens to double; cast back — the engine's
-          // vector surface is array<float> by contract
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + col("rep").cast("float") / 1000f)
-              .otherwise(x).cast("float")).as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "events"))
-        spark.read.parquet(s"$src/$t.parquet")
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      fs.create(new org.apache.hadoop.fs.Path(s"$out/_SMOKE_READY_$replicas"), true).close()
-    }
+    deriveCorpus(spark, src, out, replicas)
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
 
@@ -139,7 +147,10 @@ object ScaleSmoke {
       // round-10 surfaces: corpus-wide BPE encode, avro round trip
       // (first serve builds the container fixture — reported as-is),
       // and the three-artifact multimodal verdict composition
-      "q_bpe_encode", "q_s10_avro", "q_mm_verdict")
+      "q_bpe_encode", "q_s10_avro", "q_mm_verdict",
+      // round-11: span excision must stay gram-join-shaped (same two
+      // g-shuffles as q_dedup_substring plus the linear rebuild)
+      "q_dedup_excise")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -150,6 +161,41 @@ object ScaleSmoke {
         spark.catalog.clearCache()
         (name, if (ok) Some(dt) else None)
       }
+
+    // ---- growth exponents for the steepest smoke lines (round-10
+    // verdict item 5): a third tier turns the two-point 1×/10× slopes
+    // into measured curves. Each (query, tier) is timed twice and the
+    // MIN recorded — the first run absorbs any lazy artifact build and
+    // co-tenant burst (the r9 "ANN drift" lesson), so the min is the
+    // serve-only number the cost models claim. Exponents are reported
+    // per decade: e = ln(t_hi/t_lo)/ln(vol_hi/vol_lo).
+    deriveCorpus(spark, src, out30, replicas30)
+    val growthNames = Seq("q_dedup_incremental", "q_dedup_verdict",
+      "q_tfidf_terms")
+    val growthTiers = Seq(("1x", src, 1), ("10x", out, replicas),
+      (s"${replicas30}x", out30, replicas30))
+    val growth = growthNames.flatMap { name =>
+      SparkEntry.queries.get(name).toSeq.flatMap { fn =>
+        growthTiers.map { case (tag, dd, vol) =>
+          def once(): Option[Double] =
+            try {
+              val t0 = System.nanoTime()
+              fn(spark, dd).queryExecution.toRdd.count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[smoke] growth $name@$tag failed: ${e.getMessage}")
+              None
+            }
+          val cold = once()
+          spark.catalog.clearCache()
+          val warm = once()
+          spark.catalog.clearCache()
+          val best: Option[Double] =
+            Seq(cold, warm).flatten.reduceOption((a, b) => math.min(a, b))
+          (name, tag, vol, cold, best)
+        }
+      }
+    }
     spark.stop()
 
     def r3(v: Double) = math.rint(v * 1000) / 1000
@@ -166,6 +212,19 @@ object ScaleSmoke {
       s""""serve_sec":$serveTotal,"n_serve":${serve.count(_._2.isDefined)},""" +
       s""""builds":${obj(builds)},"queries":${obj(serve)},""" +
       s""""emb_dial":${dial.mkString("[", ",", "]")},""" +
+      s""""growth":${growth.map { case (q, tag, vol, cold, best) =>
+        s"""{"q":"$q","tier":"$tag","vol":$vol""" +
+          cold.map(c => s""","cold":${r3(c)}""").getOrElse("") +
+          best.map(b => s""","sec":${r3(b)}""").getOrElse("") + "}"
+      }.mkString("[", ",", "]")},""" +
+      s""""growth_exp":${growthNames.map { q =>
+        val pts = growth.collect { case (`q`, _, vol, _, Some(b)) => (vol, b) }
+          .sortBy(_._1)
+        val es = pts.zip(pts.drop(1)).map { case ((v0, t0), (v1, t1)) =>
+          s""""e_${v1}_$v0":${r3(math.log(t1 / t0) / math.log(v1.toDouble / v0))}"""
+        }
+        s"""{"q":"$q",${es.mkString(",")}}"""
+      }.mkString("[", ",", "]")},""" +
       s""""failed":$failed,"src":"$src"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SCALE_SMOKE.json"), json.getBytes("UTF-8"))
