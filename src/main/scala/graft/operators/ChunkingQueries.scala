@@ -212,7 +212,7 @@ object ChunkingQueries {
     * vocabulary, step CTEs (p/b/bg/v) mirror pair-count → argmax →
     * sentinel guard → replace exactly (list indexing is 1-based there,
     * 0-based in Spark). Shared by the merges and tokenize oracles. */
-  private def bpeCtes: String = {
+  private[operators] def bpeCtes: String = {
     val sep = "chr(31)"
     val steps = (1 to BpeMerges).map { k =>
       s"""p$k AS (
