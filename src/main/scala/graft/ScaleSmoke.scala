@@ -149,8 +149,9 @@ object ScaleSmoke {
       // and the three-artifact multimodal verdict composition
       "q_bpe_encode", "q_s10_avro", "q_mm_verdict",
       // round-11: span excision must stay gram-join-shaped (same two
-      // g-shuffles as q_dedup_substring plus the linear rebuild)
-      "q_dedup_excise")
+      // g-shuffles as q_dedup_substring plus the linear rebuild), and
+      // the unigram encode must stay vocabulary-joined like BPE's
+      "q_dedup_excise", "q_unigram_encode")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

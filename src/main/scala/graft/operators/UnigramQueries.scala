@@ -65,7 +65,7 @@ object UnigramQueries {
     * Every single character is in the vocabulary by construction, so
     * every position is reachable and the final entry always exists.
     * Runs entirely inside one projection — no shuffle, no UDF. */
-  private[operators] def viterbiSeg(w: Column, vm: Column): Column = {
+  private[graft] def viterbiSeg(w: Column, vm: Column): Column = {
     val dp = aggregate(
       sequence(lit(1), length(w)),
       array(struct(lit(0).as("n"), lit(0L).as("negs"),
@@ -87,7 +87,7 @@ object UnigramQueries {
   }
 
   /** Character-piece fallback for words beyond the lattice cap. */
-  private[operators] def charSeg(w: Column): Column =
+  private[graft] def charSeg(w: Column): Column =
     array_join(transform(sequence(lit(1), length(w)),
       i => w.substr(i, lit(1))), " ")
 

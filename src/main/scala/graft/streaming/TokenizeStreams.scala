@@ -106,4 +106,83 @@ object TokenizeStreams {
         Window.partitionBy("doc_id").orderBy(col("ingest_batch").desc)))
       .filter(col("rk") === 1)
       .select("doc_id", "n_tokens", "bpe_text")
+
+  // -------------------------------------------------------------------
+  // Unigram twin (round-11): encode-on-arrival under the frozen
+  // unigram-LM lattice tokenizer — same replay/dedupe discipline as
+  // the BPE twin above.
+  // -------------------------------------------------------------------
+
+  /** The frozen unigram piece-score map as a broadcastable 1-row
+    * frame — the trained `idx_unigram` pruned vocabulary, never
+    * retrained in the hot path. */
+  def unigramScores(s: SparkSession, corpusDir: String): DataFrame =
+    graft.operators.UnigramQueries.unigramPieces(s, corpusDir)
+      .agg(map_from_entries(
+        collect_list(struct(col("piece"), col("n_used")))).as("vm"))
+
+  /** One micro-batch unigram encode. In-vocabulary words take their
+    * trained segmentation from the broadcast `vocab` join; an OOV word
+    * runs the SAME lattice DP against the frozen scores — the real
+    * unigram inference rule, so a novel word built from learned pieces
+    * compresses exactly as the tokenizer would. A word beyond the
+    * lattice cap, or carrying a character the trainer never saw (its
+    * lattice would be unreachable), prices as character pieces —
+    * deterministic, never silently dropped. */
+  def uniEncodeBatch(batch: DataFrame, batchId: Long, vocab: DataFrame,
+                     scores: DataFrame, encDir: String): Unit = {
+    import graft.operators.UnigramQueries
+    val one = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(length(col("text")).desc, col("text").desc)))
+      .filter(col("_rk") === 1)
+    val wchars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val oovSeg =
+      when(length(col("w")) > UnigramQueries.MaxWordLen ||
+             !forall(wchars, c => element_at(col("vm"), c).isNotNull),
+           UnigramQueries.charSeg(col("w")))
+        .otherwise(UnigramQueries.viterbiSeg(col("w"), col("vm")))
+    one
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("i", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(vocab.select(col("w"), col("seg").as("ptxt"),
+        col("n_tokens"))), Seq("w"), "left")
+      .crossJoin(broadcast(scores))
+      .select(col("doc_id"), col("i"),
+        coalesce(col("ptxt"), oovSeg).as("ptxt"))
+      .select(col("doc_id"), col("i"), col("ptxt"),
+        size(split(col("ptxt"), " ")).cast("long").as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("n_tokens"),
+        sort_array(collect_list(struct(col("i"), col("ptxt")))).as("ps"))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(expr("transform(ps, x -> x.ptxt)"), " ").as("uni_text"))
+      .write.mode("overwrite").parquet(s"$encDir/ingest_batch=$batchId")
+  }
+
+  /** Continuous wiring for the unigram twin: tokenizer state resolved
+    * ONCE before the stream starts (frozen-model contract). */
+  def uniEncodeStream(docs: DataFrame, corpusDir: String,
+                      encDir: String): DataStreamWriter[Row] = {
+    val s = docs.sparkSession
+    val vocab = graft.operators.UnigramQueries.unigramVocab(s, corpusDir)
+    val scores = unigramScores(s, corpusDir)
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) uniEncodeBatch(batch, batchId, vocab, scores, encDir)
+      }
+  }
+
+  /** The accumulated unigram-encoded corpus, newest-batch-wins. */
+  def uniEncoded(s: SparkSession, encDir: String): DataFrame =
+    s.read.parquet(encDir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("ingest_batch").desc)))
+      .filter(col("rk") === 1)
+      .select("doc_id", "n_tokens", "uni_text")
 }
