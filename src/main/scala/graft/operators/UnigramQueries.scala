@@ -361,4 +361,52 @@ object UnigramQueries {
         expr("(1000 * sum(uni_tok)) div count(1)").as("uni_per_kword"))
       .orderBy("source")
   }
+
+  /** Sequence packing under the trained UNIGRAM tokenizer's counts —
+    * the loader-manifest bridge [[ChunkingQueries.packSequencesBpe]]
+    * provides for BPE, for the second tokenizer family: per-document
+    * token counts from the `idx_unigram` vocabulary artifact
+    * (vocabulary-sized broadcast join), then the same concat-and-chunk
+    * into fixed 512-token sequences over the global
+    * [[ShardPacking.packGlobal]] offset (hash-bucketed two-level
+    * prefix sum — no corpus-wide window). The oracle replays both
+    * training rounds, the application, and the identical permutation
+    * as one windowed sum. */
+  val packSequencesUni = Q(
+    "q_pack_sequences_uni",
+    s"""WITH $unigramCtes,
+       |udt AS (
+       |  SELECT doc_id, CAST(sum(t.n_tok) AS BIGINT) AS toks
+       |  FROM (SELECT doc_id, unnest($W) AS w FROM documents) d
+       |  JOIN useg2 t USING (w) WHERE d.w <> ''
+       |  GROUP BY doc_id
+       |), ut AS (
+       |  SELECT doc_id, toks,
+       |    ${ShardPacking.bucketSql("doc_id")} AS pack_bucket
+       |  FROM udt WHERE toks > 0
+       |), uc AS (
+       |  SELECT doc_id, toks,
+       |    CAST(coalesce(sum(toks) OVER (ORDER BY pack_bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM ut
+       |), uspans AS (
+       |  SELECT doc_id, toks, cum_before,
+       |    unnest(range(cum_before // 512, (cum_before + toks - 1) // 512 + 1))
+       |      AS seq
+       |  FROM uc
+       |)
+       |SELECT seq, count(*) AS n_docs,
+       |  CAST(sum(least(512 * (seq + 1), cum_before + toks)
+       |           - greatest(512 * seq, cum_before)) AS BIGINT) AS toks,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM uspans GROUP BY seq ORDER BY seq""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(unigramVocab(s, d).select("w", "n_tokens"), Seq("w"))
+      .groupBy("doc_id").agg(sum("n_tokens").as("toks"))
+      .filter(col("toks") > 0)
+    ShardPacking.chunkSequences(t, L = 512L).drop("n_full_docs")
+  }
 }
