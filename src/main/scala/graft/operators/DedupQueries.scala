@@ -1317,6 +1317,55 @@ object DedupQueries {
     * trained cell. Deterministic on both sides, so the recall number is
     * oracle-exact — the blocking-quality gauge a corpus pass tracks when
     * sizing k. */
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * [[CorpusQueries.contamination]]'s word-shingle check: the held-out
+    * eval slice (`vec_id % 97 = 0`, the same convention as the text
+    * check) is flagged when a TRAIN-side vector is a semantic near-dup
+    * (≥ 0.45 cosine in the trained-IVF-cell pair graph) — the "test set
+    * paraphrased into the training corpus" leak that n-gram overlap
+    * cannot see (SemDeDup / Lee et al. decontamination, embedding form).
+    *
+    * Derived ENTIRELY from the persisted [[semPairs]] artifact (pair
+    * edges cut eval↔train, counted per eval vector): no new pair
+    * generation, so the query costs one artifact scan plus an
+    * |eval|-keyed left join — at 100 TB the artifact is already built
+    * for the dedup pass and decontamination rides it for free. Eval
+    * vectors with no semantic partner emit `n_train_nbrs = 0, max_cosine
+    * NULL, contaminated 0` — the certificate row an audit needs. */
+  val semanticContamination = Q(
+    "q_semantic_contamination",
+    s"""WITH $semCtes,
+       |und AS (
+       |  SELECT vec_a AS ev, vec_b AS ov, cosine FROM sempairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, cosine FROM sempairs
+       |), hit AS (
+       |  SELECT ev AS vec_id, CAST(count(*) AS BIGINT) AS n_train_nbrs,
+       |    max(cosine) AS max_cosine
+       |  FROM und WHERE ev % 97 = 0 AND ov % 97 <> 0 GROUP BY ev
+       |)
+       |SELECT e.vec_id,
+       |  CAST(coalesce(h.n_train_nbrs, 0) AS BIGINT) AS n_train_nbrs,
+       |  h.max_cosine,
+       |  CAST(coalesce(h.n_train_nbrs, 0) > 0 AS INTEGER) AS contaminated
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0) e
+       |LEFT JOIN hit h USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+    val p = semPairs(s, d).select("vec_a", "vec_b", "cosine")
+    val und = p.select(col("vec_a").as("ev"), col("vec_b").as("ov"), col("cosine"))
+      .unionAll(p.select(col("vec_b").as("ev"), col("vec_a").as("ov"), col("cosine")))
+    val hit = und.filter(col("ev") % 97 === 0 && col("ov") % 97 =!= 0)
+      .groupBy(col("ev").as("vec_id"))
+      .agg(count(lit(1)).as("n_train_nbrs"), max("cosine").as("max_cosine"))
+    Tables.embeddings(s, d).select("vec_id").filter(col("vec_id") % 97 === 0)
+      .join(hit, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_train_nbrs"), lit(0L)).as("n_train_nbrs"),
+        col("max_cosine"),
+        (coalesce(col("n_train_nbrs"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   val semanticRecall = Q(
     "q_dedup_semantic_recall",
     s"""WITH $semCtes,

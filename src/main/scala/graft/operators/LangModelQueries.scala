@@ -188,6 +188,163 @@ object LangModelQueries {
         .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w")))
     }
 
+  /** Shared Kneser–Ney CTE block (DuckDB side): interpolated KN at
+    * discount d = 3/4, every probability held as an integer rational
+    * over the common denominator 4·c(v·)·T so the bit-length log2
+    * surrogate is exact in both engines. */
+  private def knCtes: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, $W AS w FROM documents
+       |), b AS (
+       |  SELECT doc_id, source,
+       |    unnest([array_to_string(w[i:i+1], ' ')
+       |            for i in range(1, len(w))]) AS bg
+       |  FROM tok
+       |), ty AS (
+       |  SELECT bg, split_part(bg, ' ', 1) AS v, split_part(bg, ' ', 2) AS wd,
+       |    CAST(count(*) AS BIGINT) AS cvw
+       |  FROM b GROUP BY 1, 2, 3
+       |), st AS (
+       |  SELECT bg, cvw,
+       |    sum(cvw)  OVER (PARTITION BY v)  AS cv,
+       |    count(*)  OVER (PARTITION BY v)  AS n1v,
+       |    count(*)  OVER (PARTITION BY wd) AS n1w
+       |  FROM ty
+       |), tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ty),
+       |sc AS (
+       |  SELECT bg,
+       |    length(bin(4 * cv * tt.t))
+       |      - length(bin(greatest(4 * cvw - 3, 0) * tt.t + 3 * n1v * n1w))
+       |      AS bits
+       |  FROM st CROSS JOIN tt
+       |), doc AS (
+       |  SELECT b.doc_id, b.source,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(sc.bits) AS BIGINT) AS kn_bits
+       |  FROM b JOIN sc USING (bg) GROUP BY b.doc_id, b.source
+       |), ds AS (
+       |  SELECT doc_id, source, n_bigrams, kn_bits,
+       |    kn_bits * 1000000 // n_bigrams AS avg_ppm
+       |  FROM doc
+       |)""".stripMargin
+
+  /** Per-document interpolated Kneser–Ney surprisal — the real
+    * LM-perplexity quality filter (Kneser & Ney 1995; Chen & Goodman
+    * 1998 eq. 4.25), one rung above [[lmBigram]]'s raw conditional MLE:
+    * absolute discounting (d = 3/4) re-routes probability mass from
+    * observed bigrams to the CONTINUATION distribution
+    * `P_cont(w) = N1+(·w)/N1+(··)`, so a word that appears in many
+    * distinct contexts backs off cheap while a word frequent only
+    * inside one collocation stays expensive — the distinction raw MLE
+    * and unigram surprisal both miss (the CCNet/KenLM filtering signal,
+    * Wenzek et al. 2020).
+    *
+    * Exactness: with d = 3/4 every KN probability is the integer
+    * rational `(max(4·c(vw)−3, 0)·T + 3·N1+(v·)·N1+(·w)) / (4·c(v·)·T)`
+    * (numerator ≤ denominator since Σ_w P(w|v) = 1), and the house
+    * bit-length surrogate replaces log2 on BOTH sides, so every score
+    * is engine-identical. Exact while 4·c(v·)·T < 2^63; at corpus
+    * scales beyond that the denominator's log decomposes per factor
+    * (2 + bitlen(cv) + bitlen(T), off by ≤1 bit) — documented swap,
+    * not needed at any tested SF.
+    *
+    * Plan: one bigram hash-agg (type frame), two keyed window exchanges
+    * (first-word, second-word), a 1-row type-total broadcast, one
+    * posting-sized equi-join back to the instance frame, one per-doc
+    * hash-agg. Nothing pairs documents; everything is bigram-vocabulary
+    * or token keyed — the [[lmBigram]] plan plus one join. */
+  val kneserNey = Q(
+    "q_lm_kn",
+    s"""$knCtes
+       |SELECT doc_id, n_bigrams, kn_bits, avg_ppm
+       |FROM ds ORDER BY avg_ppm DESC, doc_id LIMIT 25""".stripMargin) {
+    (s, d) =>
+      knScores(s, d)
+        .select("doc_id", "n_bigrams", "kn_bits", "avg_ppm")
+        .orderBy(col("avg_ppm").desc, col("doc_id"))
+        .limit(25)
+  }
+
+  /** CCNet-style perplexity banding (Wenzek et al. 2020 §4.3): every
+    * document scored by [[kneserNey]] KN surprisal, then cut into
+    * head/middle/tail TERTILES PER SOURCE (CCNet buckets per
+    * language/snapshot — the per-source grain is what makes the bands
+    * comparable across heterogeneous corpus slices), and summarized as
+    * per-band document counts and ppm bounds — the frame a curation
+    * pipeline joins against to keep `head`, sample `middle`, drop
+    * `tail`.
+    *
+    * The tertile is rank-based (`ntile(3)` over the per-source total
+    * order `(avg_ppm, doc_id)`) — deterministic, engine-identical, and
+    * partitioned by source so the window never funnels the corpus into
+    * one partition ([[WarehouseQueries.equidepthHist]] pattern). The
+    * windowed frame is doc-grain — three orders below token grain; a
+    * deployment whose single source exceeds one executor's sort budget
+    * would swap the exact ntile for sampled cutpoints
+    * (`approx_percentile`), trading the exact-rank contract. */
+  val qualityTertiles = Q(
+    "q_quality_tertiles",
+    s"""$knCtes, t3 AS (
+       |  SELECT source, avg_ppm,
+       |    ntile(3) OVER (PARTITION BY source
+       |                   ORDER BY avg_ppm, doc_id) AS b3
+       |  FROM ds
+       |)
+       |SELECT source,
+       |  CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |          ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(avg_ppm) AS lo_ppm, max(avg_ppm) AS hi_ppm,
+       |  sum(avg_ppm) // count(*) AS mean_ppm
+       |FROM t3 GROUP BY source, b3 ORDER BY source, b3""".stripMargin) {
+    (s, d) =>
+      knScores(s, d)
+        .withColumn("b3", ntile(3).over(
+          Window.partitionBy("source").orderBy("avg_ppm", "doc_id")))
+        .groupBy("source", "b3")
+        .agg(count(lit(1)).as("n_docs"),
+          min("avg_ppm").as("lo_ppm"), max("avg_ppm").as("hi_ppm"),
+          expr("sum(avg_ppm) div count(*)").as("mean_ppm"))
+        .withColumn("bucket",
+          when(col("b3") === 1, "head")
+            .when(col("b3") === 2, "middle").otherwise("tail"))
+        .orderBy("source", "b3")
+        .select("source", "bucket", "n_docs", "lo_ppm", "hi_ppm", "mean_ppm")
+  }
+
+  /** KN doc-score frame shared by [[kneserNey]] / [[qualityTertiles]]:
+    * (doc_id, source, n_bigrams, kn_bits, avg_ppm), one row per
+    * document with ≥1 bigram (single-word docs have no order-1
+    * evidence and drop out on both sides — spec-pinned). */
+  private[graft] def knScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    knScoresFrom(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(wordShingles(tokens(col("text")), 2)).as("bg")))
+
+  /** KN scoring over any (doc_id, source, bg) bigram-instance frame
+    * (exposed for unit tests over hand-built corpora). */
+  private[graft] def knScoresFrom(
+      inst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ty = inst.groupBy("bg").agg(count(lit(1)).as("cvw"))
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("wd", substring_index(col("bg"), " ", -1))
+    val st = ty
+      .withColumn("cv", sum("cvw").over(Window.partitionBy("v")))
+      .withColumn("n1v", count(lit(1)).over(Window.partitionBy("v")))
+      .withColumn("n1w", count(lit(1)).over(Window.partitionBy("wd")))
+    val tt = ty.agg(count(lit(1)).as("t"))
+    val sc = st.crossJoin(broadcast(tt))
+      .select(col("bg"),
+        (length(bin(col("cv") * 4 * col("t"))) -
+          length(bin(greatest(col("cvw") * 4 - 3, lit(0L)) * col("t") +
+            col("n1v") * col("n1w") * 3))).as("bits"))
+    inst.join(sc, "bg")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").cast("long").as("kn_bits"))
+      .withColumn("avg_ppm", expr("kn_bits * 1000000 div n_bigrams"))
+  }
+
   /** The full train/apply plan over any (doc_id, lang, w) token frame
     * (exposed for unit tests over hand-built corpora). */
   private[graft] def confusionFrom(

@@ -42,6 +42,9 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row corpus-total normalizer frame broadcast onto the
     // (source, token) agg (q_mixture_weights pattern)
     "q_source_divergence",
+    // ONE-row bigram-type-total frame broadcast onto the
+    // bigram-vocabulary frame (q_source_divergence pattern)
+    "q_lm_kn", "q_quality_tertiles",
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
     "q_token_budget",
@@ -80,6 +83,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_dedup_lsh_recall",
     "q_dedup_semantic", "q_dedup_semantic2", "q_dedup_semantic_recall",
     "q_dedup_semantic2_recall", "q_dedup_semantic_resolve",
+    // consumes the sem_pairs artifact (eval↔train edge cut + counts);
+    // pair generation swept via builderPlans("sem_pairs")
+    "q_semantic_contamination",
     // serve from the bucketed inverted-index artifact; the postings
     // build shape is swept via builderPlans("inv_index"). bm25's one
     // cross join broadcasts the artifact's ONE-row collection-stats

@@ -113,4 +113,19 @@ class SemanticDedupSpec extends SparkSpec {
         "an exact duplicate must be assigned to its source's cell")
     } finally t.quantized.unpersist()
   }
+
+  test("semantic decontamination: one certificate row per eval vector, " +
+    "flags consistent with the pair artifact") {
+    val out = DedupQueries.semanticContamination.run(spark, sf0001).collect()
+    val nEval = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 97 === 0).count()
+    assert(out.length == nEval, "every eval vector must get a row")
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert((n > 0) == (r.getInt(3) == 1), "flag must equal n_train_nbrs>0")
+      assert((n > 0) == !r.isNullAt(2), "max_cosine iff contaminated")
+      if (n > 0) assert(r.getDouble(2) >= 0.45, "hits obey the threshold")
+      assert(r.getLong(0) % 97 == 0, "only eval-slice vectors appear")
+    }
+  }
 }
