@@ -322,18 +322,26 @@ object LangModelQueries {
       .select(col("doc_id"), col("source"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg")))
 
+  /** Bigram-type KN statistics over any (…, bg) bigram-instance frame:
+    * one row per distinct bigram with (bg, v, wd, cvw, cv, n1v, n1w) —
+    * the whole trainable state of the order-1 KN model except the
+    * 1-row type total. Shared by the batch scorer and the streaming
+    * frozen-model twin ([[graft.streaming.QualityStreams]]). */
+  private[graft] def knTypeStats(
+      inst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    inst.groupBy("bg").agg(count(lit(1)).as("cvw"))
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("wd", substring_index(col("bg"), " ", -1))
+      .withColumn("cv", sum("cvw").over(Window.partitionBy("v")))
+      .withColumn("n1v", count(lit(1)).over(Window.partitionBy("v")))
+      .withColumn("n1w", count(lit(1)).over(Window.partitionBy("wd")))
+
   /** KN scoring over any (doc_id, source, bg) bigram-instance frame
     * (exposed for unit tests over hand-built corpora). */
   private[graft] def knScoresFrom(
       inst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val ty = inst.groupBy("bg").agg(count(lit(1)).as("cvw"))
-      .withColumn("v", substring_index(col("bg"), " ", 1))
-      .withColumn("wd", substring_index(col("bg"), " ", -1))
-    val st = ty
-      .withColumn("cv", sum("cvw").over(Window.partitionBy("v")))
-      .withColumn("n1v", count(lit(1)).over(Window.partitionBy("v")))
-      .withColumn("n1w", count(lit(1)).over(Window.partitionBy("wd")))
-    val tt = ty.agg(count(lit(1)).as("t"))
+    val st = knTypeStats(inst)
+    val tt = st.agg(count(lit(1)).as("t"))
     val sc = st.crossJoin(broadcast(tt))
       .select(col("bg"),
         (length(bin(col("cv") * 4 * col("t"))) -
