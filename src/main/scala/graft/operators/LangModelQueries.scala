@@ -312,6 +312,63 @@ object LangModelQueries {
         .select("source", "bucket", "n_docs", "lo_ppm", "hi_ppm", "mean_ppm")
   }
 
+  /** The banded curation policy composed end-to-end — what a corpus
+    * build actually DOES with [[qualityTertiles]]'s bands (CCNet §4.3's
+    * "keep head, sample middle, drop tail"): head documents keep,
+    * middle documents pass a deterministic ~50% md5 coin (the
+    * [[SampleQueries.hashSample]] gate — rerun/repartition-stable, no
+    * RNG state), tail documents drop. Emits the per-(source, band)
+    * audit frame — documents seen/kept and words seen/kept — the
+    * datacard row that justifies a curated corpus's token counts.
+    *
+    * Same plan as [[qualityTertiles]] plus one codegen'd md5 per doc
+    * row; word counts are exact (a doc with b bigrams has b+1 words). */
+  val qualityMixture = Q(
+    "q_quality_mixture",
+    s"""$knCtes, t3 AS (
+       |  SELECT doc_id, source, n_bigrams, avg_ppm,
+       |    ntile(3) OVER (PARTITION BY source
+       |                   ORDER BY avg_ppm, doc_id) AS b3
+       |  FROM ds
+       |), pol AS (
+       |  SELECT doc_id, source, b3, n_bigrams + 1 AS words,
+       |    CASE WHEN b3 = 1 THEN 1
+       |         WHEN b3 = 2
+       |          AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+       |          THEN 1
+       |         ELSE 0 END AS kept
+       |  FROM t3
+       |)
+       |SELECT source,
+       |  CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |          ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(words) AS BIGINT) AS words_total,
+       |  CAST(sum(words * kept) AS BIGINT) AS words_kept
+       |FROM pol GROUP BY source, b3 ORDER BY source, b3""".stripMargin) {
+    (s, d) =>
+      knScores(s, d)
+        .withColumn("b3", ntile(3).over(
+          Window.partitionBy("source").orderBy("avg_ppm", "doc_id")))
+        .withColumn("words", col("n_bigrams") + 1)
+        .withColumn("kept",
+          when(col("b3") === 1, 1L)
+            .when(col("b3") === 2 &&
+              substring(md5(col("doc_id").cast("string")), 1, 2) < "80", 1L)
+            .otherwise(0L))
+        .groupBy("source", "b3")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum("words").as("words_total"),
+          sum(col("words") * col("kept")).as("words_kept"))
+        .withColumn("bucket",
+          when(col("b3") === 1, "head")
+            .when(col("b3") === 2, "middle").otherwise("tail"))
+        .orderBy("source", "b3")
+        .select("source", "bucket", "n_docs", "n_kept",
+          "words_total", "words_kept")
+  }
+
   /** KN doc-score frame shared by [[kneserNey]] / [[qualityTertiles]]:
     * (doc_id, source, n_bigrams, kn_bits, avg_ppm), one row per
     * document with ≥1 bigram (single-word docs have no order-1

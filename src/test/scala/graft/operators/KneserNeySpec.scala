@@ -71,6 +71,23 @@ class KneserNeySpec extends SparkSpec {
     assert(ppm === ppm.sorted.reverse)
   }
 
+  test("q_quality_mixture: head keeps all, tail keeps none, middle " +
+    "keeps a strict subset; kept words bounded by seen words") {
+    val rows = LangModelQueries.qualityMixture.run(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (bucket, nDocs, nKept) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val (wTot, wKept) = (r.getLong(4), r.getLong(5))
+      bucket match {
+        case "head" => assert(nKept == nDocs && wKept == wTot)
+        case "tail" => assert(nKept == 0 && wKept == 0)
+        case "middle" =>
+          assert(nKept <= nDocs && wKept <= wTot)
+          assert(nKept > 0 && nKept < nDocs,
+            "the ~50% coin must land strictly inside at this corpus size")
+      }
+    }
+  }
+
   test("q_quality_tertiles: three bands per source, sizes within 1, " +
     "nested bounds, mean within bounds") {
     val rows = LangModelQueries.qualityTertiles.run(spark, sf0001).collect()
