@@ -151,7 +151,10 @@ object ScaleSmoke {
       // round-11: span excision must stay gram-join-shaped (same two
       // g-shuffles as q_dedup_substring plus the linear rebuild), and
       // the unigram encode must stay vocabulary-joined like BPE's
-      "q_dedup_excise", "q_unigram_encode")
+      "q_dedup_excise", "q_unigram_encode",
+      // round-11 KN family: bigram-vocabulary keyed windows + one
+      // posting-sized join — expected near-linear in corpus volume
+      "q_lm_kn", "q_quality_tertiles", "q_semantic_contamination")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

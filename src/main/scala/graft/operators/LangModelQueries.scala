@@ -312,6 +312,86 @@ object LangModelQueries {
         .select("source", "bucket", "n_docs", "lo_ppm", "hi_ppm", "mean_ppm")
   }
 
+  /** Held-out Kneser–Ney scoring — the true train/apply discipline
+    * ([[trainedLangId]]'s split convention): the KN model trains on
+    * 4/5 of the corpus (`doc_id % 5 < 4`) and scores the held-out
+    * fifth, so unseen-transition backoff is exercised FOR REAL and
+    * oracle-checked (in [[kneserNey]]'s self-scored frame every bigram
+    * is in-model by construction; here the eval slice carries
+    * transitions the trainer never saw). Backoff contract = the
+    * [[graft.streaming.QualityStreams]] frozen-model rule: unseen
+    * bigram over seen words prices at the exact KN backoff (cvw = 0,
+    * true marginals); unseen words coalesce their marginals to the
+    * hapax prior — deterministic, never dropped.
+    *
+    * Plan: train-slice bigram hash-agg + two marginal hash-aggs
+    * (vocabulary-sized), 1-row type total broadcast, three equi-joins
+    * from the eval bigram stream onto the model frames (AQE broadcasts
+    * the vocabulary sides), one per-doc hash-agg, top-k. */
+  val kneserNeyHeldout = Q(
+    "q_lm_kn_heldout",
+    s"""WITH tok AS (SELECT doc_id, $W AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+       |                         for i in range(1, len(w))]) AS bg
+       |  FROM tok
+       |), ty AS (
+       |  SELECT bg, split_part(bg, ' ', 1) AS v, split_part(bg, ' ', 2) AS wd,
+       |    CAST(count(*) AS BIGINT) AS cvw
+       |  FROM b WHERE doc_id % 5 < 4 GROUP BY 1, 2, 3
+       |), ty2 AS (SELECT bg, cvw FROM ty),
+       |fw AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+       |         CAST(count(*) AS BIGINT) AS n1v FROM ty GROUP BY v),
+       |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS n1w FROM ty GROUP BY wd),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ty),
+       |ev AS (
+       |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS v,
+       |    split_part(bg, ' ', 2) AS wd
+       |  FROM b WHERE doc_id % 5 = 4
+       |), sc AS (
+       |  SELECT e.doc_id,
+       |    length(bin(4 * coalesce(f.cv, 1) * tt.t))
+       |      - length(bin(greatest(4 * coalesce(y.cvw, 0) - 3, 0) * tt.t
+       |                   + 3 * coalesce(f.n1v, 1) * coalesce(c.n1w, 1)))
+       |      AS bits
+       |  FROM ev e
+       |  LEFT JOIN ty2 y USING (bg)
+       |  LEFT JOIN fw f USING (v)
+       |  LEFT JOIN cw c USING (wd)
+       |  CROSS JOIN tt
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bits) AS BIGINT) AS kn_bits,
+       |  CAST(sum(bits) AS BIGINT) * 1000000 // count(*) AS avg_ppm
+       |FROM sc GROUP BY doc_id
+       |ORDER BY avg_ppm DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    val st = knTypeStats(inst.filter(col("doc_id") % 5 < 4))
+    val fw = st.select("v", "cv", "n1v").distinct()
+    val cw = st.select("wd", "n1w").distinct()
+    val tt = st.agg(count(lit(1)).as("t"))
+    inst.filter(col("doc_id") % 5 === 4)
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("wd", substring_index(col("bg"), " ", -1))
+      .join(st.select("bg", "cvw"), Seq("bg"), "left")
+      .join(fw, Seq("v"), "left")
+      .join(cw, Seq("wd"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("cv"), lit(1L)) * 4 * col("t"))) -
+          length(bin(
+            greatest(coalesce(col("cvw"), lit(0L)) * 4 - 3, lit(0L)) * col("t")
+              + coalesce(col("n1v"), lit(1L)) * coalesce(col("n1w"), lit(1L)) * 3)))
+          .as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").cast("long").as("kn_bits"))
+      .withColumn("avg_ppm", expr("kn_bits * 1000000 div n_bigrams"))
+      .orderBy(col("avg_ppm").desc, col("doc_id"))
+      .limit(25)
+  }
+
   /** The banded curation policy composed end-to-end — what a corpus
     * build actually DOES with [[qualityTertiles]]'s bands (CCNet §4.3's
     * "keep head, sample middle, drop tail"): head documents keep,

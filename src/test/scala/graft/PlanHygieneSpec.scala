@@ -45,6 +45,7 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row bigram-type-total frame broadcast onto the
     // bigram-vocabulary frame (q_source_divergence pattern)
     "q_lm_kn", "q_quality_tertiles", "q_quality_mixture",
+    "q_lm_kn_heldout",
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
     "q_token_budget",

@@ -71,6 +71,15 @@ class KneserNeySpec extends SparkSpec {
     assert(ppm === ppm.sorted.reverse)
   }
 
+  test("q_lm_kn_heldout scores only the held-out fifth, non-negatively") {
+    val out = LangModelQueries.kneserNeyHeldout.run(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    out.foreach { r =>
+      assert(r.getLong(0) % 5 == 4, "only held-out docs may be scored")
+      assert(r.getLong(2) >= 0L, "backoff-priced surprisal stays non-negative")
+    }
+  }
+
   test("q_quality_mixture: head keeps all, tail keeps none, middle " +
     "keeps a strict subset; kept words bounded by seen words") {
     val rows = LangModelQueries.qualityMixture.run(spark, sf0001).collect()
