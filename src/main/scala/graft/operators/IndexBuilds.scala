@@ -44,6 +44,7 @@ object IndexBuilds {
     "idx_wav_phash"     -> ((s, d) => { MultimodalQueries.wavPhashFrame(s, d); () }),
     "idx_communities"   -> ((s, d) => { GraphQueries.communityLabels(s, d); () }),
     "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }),
+    "idx_kn_scores"     -> ((s, d) => { LangModelQueries.knScores(s, d); () }),
     "idx_unigram"       -> ((s, d) => { UnigramQueries.unigramVocab(s, d); () }),
     // avro FIXTURES pre-built here so q_s10/q_s11 serving passes are
     // read-only (round-10 verdict №2: the lazy in-serving build raced

@@ -449,11 +449,30 @@ object LangModelQueries {
           "words_total", "words_kept")
   }
 
-  /** KN doc-score frame shared by [[kneserNey]] / [[qualityTertiles]]:
-    * (doc_id, source, n_bigrams, kn_bits, avg_ppm), one row per
-    * document with ≥1 bigram (single-word docs have no order-1
-    * evidence and drop out on both sides — spec-pinned). */
+  /** KN doc-score frame shared by [[kneserNey]] / [[qualityTertiles]] /
+    * [[qualityMixture]]: (doc_id, source, n_bigrams, kn_bits, avg_ppm),
+    * one row per document with ≥1 bigram (single-word docs have no
+    * order-1 evidence and drop out on both sides — spec-pinned).
+    *
+    * Served from a persisted [[graft.sources.IndexCatalog]] artifact:
+    * the model fit + corpus scoring runs ONCE per (run, corpus) and
+    * the three consuming queries read the doc-grain frame — the
+    * train-once/serve-many shape a production quality filter has
+    * (scoring 100 TB once, then banding/joining/auditing the doc-grain
+    * result many times). The live train+score plan shape stays
+    * registered (and swept) via [[kneserNeyHeldout]]. */
   private[graft] def knScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"kn_scores_${IndexCatalog.tag(d)}",
+      inputs = Seq(d), owners = Seq(LangModelQueries.getClass)) { dir =>
+      knScoresLive(s, d).write.mode("overwrite").parquet(s"$dir/scores")
+    }
+    s.read.parquet(s"$dir/scores")
+  }
+
+  /** The unserved train+score plan (artifact builder body). */
+  private[graft] def knScoresLive(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     knScoresFrom(Tables.documents(s, d)
       .select(col("doc_id"), col("source"),

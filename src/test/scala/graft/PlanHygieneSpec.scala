@@ -44,7 +44,6 @@ class PlanHygieneSpec extends SparkSpec {
     "q_source_divergence",
     // ONE-row bigram-type-total frame broadcast onto the
     // bigram-vocabulary frame (q_source_divergence pattern)
-    "q_lm_kn", "q_quality_tertiles", "q_quality_mixture",
     "q_lm_kn_heldout",
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
@@ -87,6 +86,11 @@ class PlanHygieneSpec extends SparkSpec {
     // consumes the sem_pairs artifact (eval↔train edge cut + counts);
     // pair generation swept via builderPlans("sem_pairs")
     "q_semantic_contamination",
+    // serve from the kn_scores artifact (doc-grain scan + per-source
+    // ntile); the live train+score shape stays registered AND
+    // hygiene-relevant via q_lm_kn_heldout (same joins, no windows'
+    // worth of difference), plus KneserNeySpec's hand-corpus plans
+    "q_lm_kn", "q_quality_tertiles", "q_quality_mixture",
     // serve from the bucketed inverted-index artifact; the postings
     // build shape is swept via builderPlans("inv_index"). bm25's one
     // cross join broadcasts the artifact's ONE-row collection-stats
