@@ -72,6 +72,11 @@ object QualityStreams {
     * the identical frozen state instead of retraining. */
   def train(s: SparkSession, corpusDir: String, modelDir: String): KnModel = {
     val inst = instOf(graft.Tables.documents(s, corpusDir))
+    // retract any previous commit before touching components: a crash
+    // mid-retrain must leave an explicitly-uncommitted dir, not an old
+    // marker blessing mixed-generation state
+    markerPath(modelDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(markerPath(modelDir), false)
     val st = LangModelQueries.knTypeStats(inst).cache()
     try {
       st.select("bg", "cvw")
@@ -90,18 +95,35 @@ object QualityStreams {
         .agg(max(when(col("b3") === 1, col("avg_ppm"))).as("c1"),
           max(when(col("b3") <= 2, col("avg_ppm"))).as("c2"))
         .write.mode("overwrite").parquet(s"$modelDir/cuts")
+      // commit marker LAST: the five writes above are not atomic as a
+      // group, and a restarted stream must never load() a model whose
+      // tail components are from an older (or no) training run
+      val fs = new org.apache.hadoop.fs.Path(modelDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(markerPath(modelDir), true).close()
     } finally st.unpersist()
     load(s, modelDir)
   }
 
-  /** Re-open a persisted frozen model. */
-  def load(s: SparkSession, modelDir: String): KnModel =
+  private def markerPath(modelDir: String) =
+    new org.apache.hadoop.fs.Path(s"$modelDir/_KN_MODEL_OK")
+
+  /** Re-open a persisted frozen model. Refuses an uncommitted
+    * (partially-written) model dir — retrain instead of silently
+    * scoring against mixed-generation state. */
+  def load(s: SparkSession, modelDir: String): KnModel = {
+    val fs = markerPath(modelDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(markerPath(modelDir)),
+      s"KN model at $modelDir lacks the _KN_MODEL_OK commit marker " +
+        "(interrupted training) — re-run train()")
     KnModel(
       bigrams = s.read.parquet(s"$modelDir/bigrams"),
       firsts = s.read.parquet(s"$modelDir/firsts"),
       conts = s.read.parquet(s"$modelDir/conts"),
       t = s.read.parquet(s"$modelDir/total").head().getLong(0),
       cuts = s.read.parquet(s"$modelDir/cuts"))
+  }
 
   /** One micro-batch score-and-band (exposed for replay tests). */
   def scoreBatch(batch: DataFrame, batchId: Long, m: KnModel,

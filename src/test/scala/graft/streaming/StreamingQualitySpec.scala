@@ -62,6 +62,27 @@ class StreamingQualitySpec extends SparkSpec {
       "replayed batch changed the scored corpus")
   }
 
+  test("load() refuses an uncommitted model dir; retrain retracts the " +
+    "marker before touching components") {
+    val mD = s"$outD-marker"
+    cleanup(mD)
+    val m = QualityStreams.train(spark, sf0001, mD)
+    assert(m.t > 0)
+    QualityStreams.load(spark, mD) // committed → loads
+    // simulate a crash mid-retrain: marker retracted, components mixed
+    val fs = new org.apache.hadoop.fs.Path(mD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mD/_KN_MODEL_OK"), false)
+    val e = intercept[IllegalArgumentException] {
+      QualityStreams.load(spark, mD)
+    }
+    assert(e.getMessage.contains("_KN_MODEL_OK"),
+      "the refusal must name the commit marker")
+    // re-training re-commits
+    QualityStreams.train(spark, sf0001, mD)
+    QualityStreams.load(spark, mD)
+  }
+
   test("OOV transitions take the exact KN backoff; unseen sources " +
     "band as unbanded") {
     cleanup()
