@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Line-grain boilerplate removal — the CCNet / RefinedWeb curation move
+  * the corpus was still missing: a LINE duplicated across many documents
+  * (nav menus, cookie banners, footers) is boilerplate and is dropped
+  * from every document that carries it, while doc- and span-grain dedup
+  * (q_dedup_exact / q_dedup_excise) would either keep it (doc differs
+  * elsewhere) or remove only intra-doc repeats.
+  *
+  * The synthetic corpus has no newlines, so a "line" is the natural
+  * fixed-width surrogate: consecutive 8-word segments (segment i = words
+  * [8i, 8i+8)). A segment appearing in >= 3 DISTINCT documents is
+  * boilerplate. Semantics follow the published pipelines (CCNet's
+  * per-shard duplicated-paragraph removal; RefinedWeb §3 line-level
+  * exact dedup) re-expressed relationally:
+  *
+  *  - segmentation is a per-row `transform(sequence, ...)` over the word
+  *    array — no shuffle, linear in corpus size;
+  *  - the boilerplate list is ONE hash-agg on segment text (count
+  *    DISTINCT doc_id per segment) — the only corpus-wide exchange;
+  *  - excision re-walks the segments with the (small — only genuinely
+  *    duplicated content survives the >=3 filter) boilerplate list
+  *    BROADCAST, so the second pass is again shuffle-free up to the
+  *    final per-doc hash-agg.
+  *
+  * At 100 TB the boilerplate list stays proportional to the volume of
+  * *duplicated* content, not the corpus (CCNet reports a few percent),
+  * so the broadcast holds; if a pathological corpus overflowed it, the
+  * left join degrades to a sort-merge on seg — still linear, never
+  * pairwise.
+  */
+object BoilerplateQueries {
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+
+  /** Words per segment / distinct-doc threshold for "boilerplate". */
+  private val SegWords = 8
+  private val MinDocs  = 3
+
+  /** DuckDB CTEs: per-(doc, seg_idx) 8-word segments. */
+  private val segCte =
+    s"""base AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 1),
+       |ds AS (SELECT doc_id, w,
+       |         unnest(range((len(w) + ${SegWords - 1}) // $SegWords)) AS seg_idx
+       |       FROM base),
+       |seg AS (SELECT doc_id, seg_idx,
+       |          array_to_string(
+       |            w[(seg_idx*$SegWords+1):(seg_idx*$SegWords+$SegWords)],
+       |            ' ') AS seg
+       |        FROM ds)""".stripMargin
+
+  /** Spark frame of (doc_id, seg_idx, seg): per-row segmentation via
+    * `transform(sequence(...))` + posexplode — the array never leaves the
+    * row until the explode, so there is no shuffle in this stage. */
+  private def segments(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("w")) >= 1)
+      .withColumn("segs", expr(
+        s"transform(sequence(0, (size(w) + ${SegWords - 1}) div $SegWords - 1), " +
+          s"i -> array_join(slice(w, i*$SegWords + 1, $SegWords), ' '))"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+
+  /** Corpus boilerplate profile: every segment shared by >= 3 distinct
+    * docs, fingerprinted (md5 — the emitted column stays narrow at any
+    * scale), with its spread and first carrier. */
+  val lineDupes = Q(
+    "q_line_dupes",
+    s"""WITH $segCte
+       |SELECT md5(seg) AS seg_fp, n_docs, first_doc FROM (
+       |  SELECT seg, count(DISTINCT doc_id) AS n_docs,
+       |         min(doc_id) AS first_doc
+       |  FROM seg GROUP BY seg
+       |) WHERE n_docs >= $MinDocs
+       |ORDER BY seg_fp""".stripMargin) { (s, d) =>
+    segments(s, d)
+      .groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= MinDocs)
+      .select(md5(col("seg")).as("seg_fp"), col("n_docs"), col("first_doc"))
+      .orderBy("seg_fp")
+  }
+
+  /** Per-document boilerplate excision: drop every boilerplate segment,
+    * re-assemble the survivors in order, and account for the removal —
+    * `words_kept + (words_total - words_kept)` is the conservation law
+    * BoilerplateSpec checks. `cleaned_fp` is NULL when the whole doc was
+    * boilerplate (both engines agree: md5 of no content is no content,
+    * not md5('')). */
+  val lineExcise = Q(
+    "q_line_excise",
+    s"""WITH $segCte,
+       |bp AS (SELECT seg FROM seg GROUP BY seg
+       |       HAVING count(DISTINCT doc_id) >= $MinDocs)
+       |SELECT doc_id, segs_total, segs_removed, words_total, words_kept,
+       |  CASE WHEN words_kept = 0 THEN NULL ELSE md5(cleaned) END AS cleaned_fp
+       |FROM (
+       |  SELECT s.doc_id,
+       |    count(*) AS segs_total,
+       |    CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS segs_removed,
+       |    CAST(sum(len(string_split(s.seg, ' '))) AS BIGINT) AS words_total,
+       |    CAST(sum(CASE WHEN b.seg IS NULL
+       |                  THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT)
+       |      AS words_kept,
+       |    string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+       |      FILTER (WHERE b.seg IS NULL) AS cleaned
+       |  FROM seg s LEFT JOIN bp b ON s.seg = b.seg
+       |  GROUP BY s.doc_id
+       |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val seg = segments(s, d)
+    val bp = seg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= MinDocs)
+      .select(col("seg").as("bseg"))
+    seg.join(broadcast(bp), seg("seg") === bp("bseg"), "left")
+      .withColumn("isbp", col("bseg").isNotNull)
+      .withColumn("nw", size(split(col("seg"), " ")).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("segs_total"),
+        sum(when(col("isbp"), 1L).otherwise(0L)).as("segs_removed"),
+        sum(col("nw")).as("words_total"),
+        sum(when(!col("isbp"), col("nw")).otherwise(0L)).as("words_kept"),
+        sort_array(collect_list(
+          when(!col("isbp"), struct(col("seg_idx"), col("seg"))))).as("ps"))
+      .withColumn("cleaned_fp",
+        when(col("words_kept") === 0, lit(null).cast("string"))
+          .otherwise(md5(array_join(
+            transform(col("ps"), p => p.getField("seg")), " "))))
+      .select("doc_id", "segs_total", "segs_removed", "words_total",
+        "words_kept", "cleaned_fp")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+  * the published recipe for picking raw-web documents that "look like" a
+  * trusted target domain: featurize every document into hashed n-gram
+  * buckets, fit bag-of-words distributions over the buckets for the
+  * target and the raw pool, and score each raw document by its
+  * log importance weight  sum_tokens log p_target(b) / p_raw(b).
+  *
+  * Here the target domain is sources src0/src1 (the "curated" slice) and
+  * the raw pool is everything else. Two deliberate re-expressions keep
+  * the operator oracle-exact across engines:
+  *
+  *  - the hashed feature is the md5-derived bucket
+  *    `u32(md5('dsir|' || token)) % 256` — engine-independent (the
+  *    q_sample_* idiom), standing in for DSIR's hashed unigrams;
+  *  - the float log is replaced by the INTEGER bit-length log2
+  *    (`length(bin(x))`, the q_text_surprisal discipline), with add-one
+  *    smoothing, so every per-token score and doc weight is an exact
+  *    BIGINT in both engines. The per-token normalizer
+  *    bitlen(N_raw+1) - bitlen(N_target+1) makes the weight a genuine
+  *    (quantized) log-ratio rather than an unnormalized count diff.
+  *
+  * Plan shape (the 100 TB story): one token explode feeds two 256-row
+  * hash-aggs (the bucket count tables); their full-outer merge plus the
+  * one-row totals frame is BROADCAST back onto the raw token stream —
+  * the normalizer-frame idiom — so scoring is a single map-side join
+  * followed by one per-doc hash-agg. Model size is fixed (256 buckets)
+  * no matter the corpus; nothing pairs, nothing collects.
+  */
+object DsirQueries {
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+  private val Buckets = 256
+  private val TargetSrcs = Seq("src0", "src1")
+  private def targetIn = TargetSrcs.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB: first 8 hex chars of md5 expression `m` as an integer, by
+    * digit arithmetic (the SampleQueries fragment). */
+  private def hexU8(m: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** Shared DuckDB CTEs: bucketed tokens, the two count tables, their
+    * merge, totals, and the per-token scored raw stream. */
+  private val scoreCtes =
+    s"""tok AS (SELECT doc_id, source, unnest($W) AS t
+       |        FROM documents WHERE len($W) >= 1),
+       |bk AS (SELECT doc_id, source,
+       |         ${hexU8("md5('dsir|' || t)")} % $Buckets AS b FROM tok),
+       |tc AS (SELECT b, count(*) AS ct FROM bk
+       |       WHERE source IN ($targetIn) GROUP BY b),
+       |rc AS (SELECT b, count(*) AS cr FROM bk
+       |       WHERE source NOT IN ($targetIn) GROUP BY b),
+       |bt AS (SELECT COALESCE(tc.b, rc.b) AS b, COALESCE(ct, 0) AS ct,
+       |              COALESCE(cr, 0) AS cr
+       |       FROM tc FULL JOIN rc ON tc.b = rc.b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |               CAST(sum(cr) AS BIGINT) AS nr FROM bt),
+       |sc AS (SELECT bk.doc_id, bk.source,
+       |         (length(bin(bt.ct + 1)) - length(bin(bt.cr + 1)))
+       |           + (length(bin(tot.nr + 1)) - length(bin(tot.nt + 1))) AS s
+       |       FROM bk JOIN bt ON bk.b = bt.b, tot
+       |       WHERE bk.source NOT IN ($targetIn)),
+       |wts AS (SELECT doc_id, source, count(*) AS n_tokens,
+       |          CAST(sum(s) AS BIGINT) AS weight_bits
+       |        FROM sc GROUP BY doc_id, source)""".stripMargin
+
+  /** Spark frame of (doc_id, source, n_tokens, weight_bits) over the raw
+    * pool, unordered (callers order/limit). */
+  private def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val isTarget = col("source").isin(TargetSrcs: _*)
+    val bk = Tables.documents(s, d)
+      .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("source"), explode(col("w")).as("t"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir|"), col("t"))), 1, 8), 16, 10)
+          .cast("long") % Buckets)
+      .drop("t")
+    val tc = bk.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = bk.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("cr"))
+    val bt = tc.join(rc, Seq("b"), "full_outer").na.fill(0L, Seq("ct", "cr"))
+    val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    bk.filter(!isTarget)
+      .join(broadcast(bt.crossJoin(broadcast(tot))), Seq("b"))
+      .withColumn("s",
+        (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1))) +
+          (length(bin(col("nr") + 1)) - length(bin(col("nt") + 1))))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s").cast("long")).as("weight_bits"))
+  }
+
+  /** Per-document DSIR log importance weight over the whole raw pool
+    * (quantized bit-log units). Target-slice docs are excluded — they
+    * are the distribution, not candidates. */
+  val dsirWeights = Q(
+    "q_dsir_weights",
+    s"""WITH $scoreCtes
+       |SELECT doc_id, source, n_tokens, weight_bits
+       |FROM wts ORDER BY doc_id""".stripMargin) { (s, d) =>
+    weightsFrame(s, d)
+      .select("doc_id", "source", "n_tokens", "weight_bits")
+      .orderBy("doc_id")
+  }
+
+  /** The selection itself: the 30 raw documents with the highest
+    * importance weight (doc_id tie-break), i.e. the slice DSIR would
+    * resample into the training mix. A full-frame top-k — one final
+    * ordered limit, no global sort survives at scale (TakeOrdered). */
+  val dsirSample = Q(
+    "q_dsir_sample",
+    s"""WITH $scoreCtes
+       |SELECT doc_id, source, n_tokens, weight_bits FROM (
+       |  SELECT * FROM wts ORDER BY weight_bits DESC, doc_id LIMIT 30
+       |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    weightsFrame(s, d)
+      .orderBy(col("weight_bits").desc, col("doc_id"))
+      .limit(30)
+      .select("doc_id", "source", "n_tokens", "weight_bits")
+      .orderBy("doc_id")
+  }
+}

@@ -48,6 +48,10 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
     "q_token_budget",
+    // ONE-row token-totals frame crossed onto the 256-row bucket model
+    // before it broadcasts onto the raw token stream
+    // (q_mixture_weights pattern)
+    "q_dsir_weights", "q_dsir_sample",
     // ONE-row totals frame (grand tokens + fixed-order weight fold)
     // crossed onto the |sources|-row weights frame; the per-doc join
     // is a broadcast equi-join on source (q_token_budget pattern)
