@@ -37,8 +37,8 @@ object BoilerplateQueries {
   private val W = """string_split_regex(trim(text), '\s+')"""
 
   /** Words per segment / distinct-doc threshold for "boilerplate". */
-  private val SegWords = 8
-  private val MinDocs  = 3
+  private[graft] val SegWords = 8
+  private[graft] val MinDocs  = 3
 
   /** DuckDB CTEs: per-(doc, seg_idx) 8-word segments. */
   private val segCte =
@@ -54,15 +54,51 @@ object BoilerplateQueries {
 
   /** Spark frame of (doc_id, seg_idx, seg): per-row segmentation via
     * `transform(sequence(...))` + posexplode — the array never leaves the
-    * row until the explode, so there is no shuffle in this stage. */
-  private def segments(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
+    * row until the explode, so there is no shuffle in this stage.
+    * (Shared with [[graft.streaming.BoilerplateStreams]].) */
+  private[graft] def segmentsOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
       .filter(size(col("w")) >= 1)
       .withColumn("segs", expr(
         s"transform(sequence(0, (size(w) + ${SegWords - 1}) div $SegWords - 1), " +
           s"i -> array_join(slice(w, i*$SegWords + 1, $SegWords), ' '))"))
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+
+  private def segments(s: org.apache.spark.sql.SparkSession, d: String) =
+    segmentsOf(Tables.documents(s, d))
+
+  /** The corpus boilerplate list: segments carried by >= MinDocs
+    * distinct documents (one column `bseg`). */
+  private[graft] def boilerplateOf(seg: org.apache.spark.sql.DataFrame) =
+    seg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= MinDocs)
+      .select(col("seg").as("bseg"))
+
+  /** Per-document excision over a segment frame against a (small,
+    * broadcast) boilerplate list — the shared batch/stream kernel.
+    * Unordered; callers order. */
+  private[graft] def exciseFrom(
+      seg: org.apache.spark.sql.DataFrame,
+      bp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    seg.join(broadcast(bp), seg("seg") === bp("bseg"), "left")
+      .withColumn("isbp", col("bseg").isNotNull)
+      .withColumn("nw", size(split(col("seg"), " ")).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("segs_total"),
+        sum(when(col("isbp"), 1L).otherwise(0L)).as("segs_removed"),
+        sum(col("nw")).as("words_total"),
+        sum(when(!col("isbp"), col("nw")).otherwise(0L)).as("words_kept"),
+        sort_array(collect_list(
+          when(!col("isbp"), struct(col("seg_idx"), col("seg"))))).as("ps"))
+      .withColumn("cleaned_fp",
+        when(col("words_kept") === 0, lit(null).cast("string"))
+          .otherwise(md5(array_join(
+            transform(col("ps"), p => p.getField("seg")), " "))))
+      .select("doc_id", "segs_total", "segs_removed", "words_total",
+        "words_kept", "cleaned_fp")
 
   /** Corpus boilerplate profile: every segment shared by >= 3 distinct
     * docs, fingerprinted (md5 — the emitted column stays narrow at any
@@ -112,27 +148,6 @@ object BoilerplateQueries {
        |  GROUP BY s.doc_id
        |) ORDER BY doc_id""".stripMargin) { (s, d) =>
     val seg = segments(s, d)
-    val bp = seg.groupBy("seg")
-      .agg(countDistinct("doc_id").as("n_docs"))
-      .filter(col("n_docs") >= MinDocs)
-      .select(col("seg").as("bseg"))
-    seg.join(broadcast(bp), seg("seg") === bp("bseg"), "left")
-      .withColumn("isbp", col("bseg").isNotNull)
-      .withColumn("nw", size(split(col("seg"), " ")).cast("long"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("segs_total"),
-        sum(when(col("isbp"), 1L).otherwise(0L)).as("segs_removed"),
-        sum(col("nw")).as("words_total"),
-        sum(when(!col("isbp"), col("nw")).otherwise(0L)).as("words_kept"),
-        sort_array(collect_list(
-          when(!col("isbp"), struct(col("seg_idx"), col("seg"))))).as("ps"))
-      .withColumn("cleaned_fp",
-        when(col("words_kept") === 0, lit(null).cast("string"))
-          .otherwise(md5(array_join(
-            transform(col("ps"), p => p.getField("seg")), " "))))
-      .select("doc_id", "segs_total", "segs_removed", "words_total",
-        "words_kept", "cleaned_fp")
-      .orderBy("doc_id")
+    exciseFrom(seg, boilerplateOf(seg)).orderBy("doc_id")
   }
 }

@@ -34,8 +34,8 @@ import graft.{Q, Tables}
 object DsirQueries {
 
   private val W = """string_split_regex(trim(text), '\s+')"""
-  private val Buckets = 256
-  private val TargetSrcs = Seq("src0", "src1")
+  private[graft] val Buckets = 256
+  private[graft] val TargetSrcs = Seq("src0", "src1")
   private def targetIn = TargetSrcs.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB: first 8 hex chars of md5 expression `m` as an integer, by
@@ -70,11 +70,10 @@ object DsirQueries {
        |          CAST(sum(s) AS BIGINT) AS weight_bits
        |        FROM sc GROUP BY doc_id, source)""".stripMargin
 
-  /** Spark frame of (doc_id, source, n_tokens, weight_bits) over the raw
-    * pool, unordered (callers order/limit). */
-  private def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val isTarget = col("source").isin(TargetSrcs: _*)
-    val bk = Tables.documents(s, d)
+  /** Bucketed token stream (doc_id, source, b) of a document frame —
+    * the shared featurization (also [[graft.streaming.DsirStreams]]). */
+  private[graft] def bucketTokens(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .withColumn("w", graft.functions.TextFunctions.tokens(col("text")))
       .filter(size(col("w")) >= 1)
       .select(col("doc_id"), col("source"), explode(col("w")).as("t"))
@@ -82,15 +81,32 @@ object DsirQueries {
         conv(substring(md5(concat(lit("dsir|"), col("t"))), 1, 8), 16, 10)
           .cast("long") % Buckets)
       .drop("t")
+
+  private[graft] def isTarget = col("source").isin(TargetSrcs: _*)
+
+  /** The 256-row bucket count table (b, ct, cr) of a bucketed token
+    * stream — the DSIR "model". */
+  private[graft] def bucketModel(bk: org.apache.spark.sql.DataFrame) = {
     val tc = bk.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
     val rc = bk.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("cr"))
-    val bt = tc.join(rc, Seq("b"), "full_outer").na.fill(0L, Seq("ct", "cr"))
+    tc.join(rc, Seq("b"), "full_outer").na.fill(0L, Seq("ct", "cr"))
+  }
+
+  /** Per-token quantized log-ratio, given ct/cr/nt/nr columns in scope —
+    * the shared scoring expression (bit-length log2, add-one smoothed). */
+  private[graft] def scoreCol: org.apache.spark.sql.Column =
+    (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1))) +
+      (length(bin(col("nr") + 1)) - length(bin(col("nt") + 1)))
+
+  /** Spark frame of (doc_id, source, n_tokens, weight_bits) over the raw
+    * pool, unordered (callers order/limit). */
+  private def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val bk = bucketTokens(Tables.documents(s, d))
+    val bt = bucketModel(bk)
     val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     bk.filter(!isTarget)
       .join(broadcast(bt.crossJoin(broadcast(tot))), Seq("b"))
-      .withColumn("s",
-        (length(bin(col("ct") + 1)) - length(bin(col("cr") + 1))) +
-          (length(bin(col("nr") + 1)) - length(bin(col("nt") + 1))))
+      .withColumn("s", scoreCol)
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("s").cast("long")).as("weight_bits"))
