@@ -154,7 +154,10 @@ object ScaleSmoke {
       "q_dedup_excise", "q_unigram_encode",
       // round-11 KN family: bigram-vocabulary keyed windows + one
       // posting-sized join — expected near-linear in corpus volume
-      "q_lm_kn", "q_quality_tertiles", "q_semantic_contamination")
+      "q_lm_kn", "q_quality_tertiles", "q_semantic_contamination",
+      // round-11 curation: segment hash-agg + broadcast list join and
+      // bucket model + broadcast normalizer — both expected linear
+      "q_line_excise", "q_dsir_weights")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

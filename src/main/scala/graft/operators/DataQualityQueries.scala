@@ -91,6 +91,55 @@ object DataQualityQueries {
       .orderBy("check_name")
   }
 
+  /** k-anonymity generalization over the customer quasi-identifiers
+    * (nation, market segment) — the governance pass a corpus publisher
+    * runs before releasing attribute tables: a QI group smaller than
+    * k = 3 would re-identify its members, so it climbs the
+    * generalization hierarchy (Sweeney 2002): full grain → nation
+    * generalized to '*' → fully suppressed residual. Row conservation
+    * (Σ n_rows = |customer|) is the spec-pinned invariant.
+    *
+    * Plan: one grouped count at QI grain, then the (tiny — only
+    * sub-k groups survive) remainder re-grouped at coarser grain; the
+    * big table is scanned once, every later frame is group-sized. */
+  val kAnonymity = Q(
+    "q_k_anonymity",
+    """WITH g AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |rest AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n
+      |         FROM g WHERE n < 3 GROUP BY seg)
+      |SELECT nat AS nation_qi, seg AS segment_qi, n AS n_rows, tier FROM (
+      |  SELECT nat, seg, n, 'full' AS tier FROM g WHERE n >= 3
+      |  UNION ALL
+      |  SELECT '*', seg, n, 'nation_generalized' FROM rest WHERE n >= 3
+      |  UNION ALL
+      |  SELECT '*', '*', CAST(sum(n) AS BIGINT), 'suppressed'
+      |  FROM rest WHERE n < 3 HAVING count(*) > 0
+      |) ORDER BY tier, nation_qi, segment_qi""".stripMargin) { (s, d) =>
+    val g = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("string").as("nat"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+    val rest = g.filter(col("n") < 3)
+      .groupBy("seg").agg(sum("n").as("n"))
+    val full = g.filter(col("n") >= 3)
+      .select(col("nat"), col("seg"), col("n"), lit("full").as("tier"))
+    val gen = rest.filter(col("n") >= 3)
+      .select(lit("*").as("nat"), col("seg"), col("n"),
+        lit("nation_generalized").as("tier"))
+    val supp = rest.filter(col("n") < 3)
+      .agg(sum("n").as("n"), count(lit(1)).as("k"))
+      .filter(col("k") > 0)
+      .select(lit("*").as("nat"), lit("*").as("seg"), col("n"),
+        lit("suppressed").as("tier"))
+    full.unionByName(gen).unionByName(supp)
+      .select(col("nat").as("nation_qi"), col("seg").as("segment_qi"),
+        col("n").as("n_rows"), col("tier"))
+      .orderBy("tier", "nation_qi", "segment_qi")
+  }
+
   /** Null-rate profile per column of a frame — the completeness summary
     * a landing-zone monitor tracks day over day (one pass, one row). */
   def nullProfile(df: DataFrame): DataFrame = {

@@ -476,4 +476,87 @@ object TextQueries {
       .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
       .limit(20)
   }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    * adapted to the whitespace corpus) with PER-RULE attribution — the
+    * production question is never just "how many passed" but "which
+    * rule is doing the filtering" per source. Rules, all as exact
+    * integer cross-multiplications (no float ratios):
+    *   r1 word count in [50, 100000]
+    *   r2 mean word length in [3, 10]       (3n ≤ chars ≤ 10n)
+    *   r3 top-word share ≤ 20%              (5·max_cnt ≤ n)
+    *   r4 ≥ 2 stopword tokens
+    *   r5 short-word (<3 chars) share ≤ 20% (5·n_short ≤ n)
+    * Plan: one explode → (doc, token) hash-agg → per-doc stats →
+    * per-source conditional counts. Two keyed exchanges, both
+    * vocabulary/doc-sized — linear at any corpus scale. */
+  val qualityRules = {
+    val sw = StopwordTable("en")
+    val swIn = sw.map(w => s"'$w'").mkString(", ")
+    Q(
+      "q_quality_rules",
+      s"""WITH tok AS (SELECT doc_id, source, unnest($W) AS t
+         |            FROM documents WHERE len($W) >= 1),
+         |tc AS (SELECT doc_id, source, t, count(*) AS cnt
+         |       FROM tok GROUP BY doc_id, source, t),
+         |ds AS (SELECT doc_id, source,
+         |         CAST(sum(cnt) AS BIGINT) AS n_words,
+         |         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |         CAST(sum(cnt * length(t)) AS BIGINT) AS total_chars,
+         |         CAST(sum(CASE WHEN t IN ($swIn) THEN cnt ELSE 0 END)
+         |           AS BIGINT) AS sw_toks,
+         |         CAST(sum(CASE WHEN length(t) < 3 THEN cnt ELSE 0 END)
+         |           AS BIGINT) AS n_short
+         |       FROM tc GROUP BY doc_id, source),
+         |fl AS (SELECT source,
+         |         (n_words BETWEEN 50 AND 100000) AS r1,
+         |         (3 * n_words <= total_chars
+         |           AND total_chars <= 10 * n_words) AS r2,
+         |         (5 * max_cnt <= n_words) AS r3,
+         |         (sw_toks >= 2) AS r4,
+         |         (5 * n_short <= n_words) AS r5
+         |       FROM ds)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS r1_len_fail,
+         |  CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS r2_wordlen_fail,
+         |  CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS r3_repeat_fail,
+         |  CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS r4_stopword_fail,
+         |  CAST(sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS r5_short_fail
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 1)
+      val ds = docs
+        .select(col("doc_id"), col("source"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "source", "t")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "source")
+        .agg(
+          sum("cnt").as("n_words"),
+          max("cnt").as("max_cnt"),
+          sum(col("cnt") * length(col("t"))).as("total_chars"),
+          sum(when(col("t").isin(sw: _*), col("cnt")).otherwise(0L)).as("sw_toks"),
+          sum(when(length(col("t")) < 3, col("cnt")).otherwise(0L)).as("n_short"))
+      val fl = ds.select(col("source"),
+        col("n_words").between(50, 100000).as("r1"),
+        (lit(3) * col("n_words") <= col("total_chars") &&
+          col("total_chars") <= lit(10) * col("n_words")).as("r2"),
+        (lit(5) * col("max_cnt") <= col("n_words")).as("r3"),
+        (col("sw_toks") >= 2).as("r4"),
+        (lit(5) * col("n_short") <= col("n_words")).as("r5"))
+      fl.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"),
+            1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("r1"), 1L).otherwise(0L)).as("r1_len_fail"),
+          sum(when(!col("r2"), 1L).otherwise(0L)).as("r2_wordlen_fail"),
+          sum(when(!col("r3"), 1L).otherwise(0L)).as("r3_repeat_fail"),
+          sum(when(!col("r4"), 1L).otherwise(0L)).as("r4_stopword_fail"),
+          sum(when(!col("r5"), 1L).otherwise(0L)).as("r5_short_fail"))
+        .orderBy("source")
+    }
+  }
 }
