@@ -140,6 +140,41 @@ object DataQualityQueries {
       .orderBy("tier", "nation_qi", "segment_qi")
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the gate
+    * k-anonymity alone cannot close: a QI group can be k-large yet
+    * carry ONE sensitive value, so membership still discloses it
+    * (the homogeneity attack). Sensitive attribute here is the account
+    * balance band `floor(c_acctbal / 2000)` (both engines FLOOR the
+    * exact decimal quotient, so negative balances band identically);
+    * a (nation, segment) group is l-diverse when it carries ≥ l = 3
+    * distinct bands. Output is the full per-group audit frame plus its
+    * verdict — the table a publisher reviews before release, the
+    * companion to [[kAnonymity]]'s generalization pass.
+    *
+    * Plan: ONE grouped count-distinct on the big table (two-phase
+    * hash-agg on the QI key); nothing after it exceeds group count. */
+  val lDiversity = Q(
+    "q_l_diversity",
+    """SELECT CAST(c_nationkey AS VARCHAR) AS nation_qi,
+      |  c_mktsegment AS segment_qi,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT)
+      |    AS n_sensitive,
+      |  count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 3 AS diverse
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY nation_qi, segment_qi""".stripMargin) { (s, d) =>
+    val band = floor(col("c_acctbal") / 2000).cast("long")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("string").as("nation_qi"),
+        col("c_mktsegment").as("segment_qi"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(band).as("n_sensitive"))
+      .select(col("nation_qi"), col("segment_qi"), col("n_rows"),
+        col("n_sensitive"), (col("n_sensitive") >= 3).as("diverse"))
+      .orderBy("nation_qi", "segment_qi")
+  }
+
   /** Null-rate profile per column of a frame — the completeness summary
     * a landing-zone monitor tracks day over day (one pass, one row). */
   def nullProfile(df: DataFrame): DataFrame = {

@@ -490,6 +490,58 @@ object TextQueries {
     * Plan: one explode → (doc, token) hash-agg → per-doc stats →
     * per-source conditional counts. Two keyed exchanges, both
     * vocabulary/doc-sized — linear at any corpus scale. */
+  /** Lexical-diversity audit per source — the mode-collapse detector a
+    * synthetic-data pipeline runs on generator output (Holtzman et al.
+    * 2020's degeneration shows up as collapsing distinct-n-gram ratios
+    * long before humans notice): per source, the unigram type/token
+    * ratio and the distinct-bigram ratio, both in floor-ppm so the cut
+    * is hash-stable. Complements `q_text_repetition` (WITHIN-doc
+    * repetition) and `q_source_divergence` (source-vs-global unigram
+    * shift) with the CROSS-doc, within-source axis — a generator
+    * emitting the same fluent paragraph a million times passes both and
+    * fails only here.
+    *
+    * Plan: one token explode → per-source hash-agg (count + two
+    * count-distincts over word / bigram, Spark's two-phase distinct
+    * expansion); output is |sources| rows. */
+  val ngramDiversity = Q(
+    "q_ngram_diversity",
+    s"""WITH t AS (SELECT source, $W AS w FROM documents),
+       |u AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+       |  FROM (SELECT source, unnest(w) AS tok FROM t) GROUP BY source
+       |), b AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(DISTINCT bg) AS BIGINT) AS n_bigram_types
+       |  FROM (SELECT source,
+       |          unnest([array_to_string(w[i:i+1], ' ')
+       |                  for i in range(1, len(w))]) AS bg
+       |        FROM t) GROUP BY source
+       |)
+       |SELECT u.source, u.n_tokens, u.n_types,
+       |  u.n_types * 1000000 // u.n_tokens AS ttr_ppm,
+       |  b.n_bigrams, b.n_bigram_types,
+       |  b.n_bigram_types * 1000000 // b.n_bigrams AS bigram_ttr_ppm
+       |FROM u JOIN b USING (source)
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("w"))
+    val u = t.select(col("source"), explode(col("w")).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+    val b = t.select(col("source"), explode(wordShingles(col("w"), 2)).as("bg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_bigram_types"))
+    u.join(b, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        col("n_bigrams"), col("n_bigram_types"),
+        expr("n_bigram_types * 1000000 div n_bigrams").as("bigram_ttr_ppm"))
+      .orderBy("source")
+  }
+
   val qualityRules = {
     val sw = StopwordTable("en")
     val swIn = sw.map(w => s"'$w'").mkString(", ")

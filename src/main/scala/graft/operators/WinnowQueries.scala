@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+  * algorithm): hash every k-word shingle, slide a window of w
+  * consecutive shingle hashes over each document, and select the MINIMUM
+  * hash per window (ties → rightmost occurrence). The selected set is
+  * the document's fingerprint, with two properties the MinHash/SimHash
+  * family cannot give:
+  *
+  *  - POSITIONAL guarantee: any shared run of at least w + k − 1 words
+  *    between two documents selects at least one common fingerprint —
+  *    detection is certain, not probabilistic (the LSH band contract is
+  *    only a collision probability);
+  *  - LOCALITY: a fingerprint pins the match to a word position, so a
+  *    hit is directly actionable (excise/attribute), where a MinHash
+  *    collision only says "somewhere".
+  *
+  * Density is bounded by the winnowing theorem at ~2/(w+1) of windows,
+  * so the fingerprint tier is a FIXED FRACTION of the corpus gram count
+  * — the property that makes the index affordable at 100 TB where
+  * storing all positional grams ([[DedupQueries.substringShare]]'s
+  * working set) would not be.
+  *
+  * Engine-exactness: the shingle hash is the md5-u32 idiom (domain tag
+  * `wn|`), and the rightmost-tie-break min is ONE window `min` over the
+  * combined key `hash·2²⁰ + (2²⁰−1−pos)` — monotone in (hash, −pos), so
+  * both engines select the identical fingerprint set with no argmax
+  * gymnastics. All windows are partitioned by doc_id (never global).
+  *
+  * Scale shape: one scan → per-doc window min (shuffle on doc_id) →
+  * distinct. Match detection is the LSH-style bucket join on the
+  * fingerprint hash with the family's bucket cap ([[WinnowMaxBucket]],
+  * same guard class as [[DedupQueries.LshMaxBucket]]): a boilerplate
+  * fingerprint shared by millions of docs is excluded from pair
+  * generation (telemetry-visible) instead of going quadratic. */
+object WinnowQueries {
+
+  /** Shingle width (words). Smaller than [[DedupQueries.SubstringK]] on
+    * purpose: winnowing's guarantee threshold is t = k + w − 1 words, so
+    * k = 4, w = 4 detects any shared run of ≥ 7 words. */
+  private[graft] final val WinnowK = 4
+
+  /** Window width (shingle hashes per window). */
+  private[graft] final val WinnowW = 4
+
+  /** Minimum shared fingerprints for a reported match — one shared
+    * fingerprint is a 7-word overlap (often idiom); three distinct
+    * fingerprints is the MOSS-style report threshold. */
+  private[graft] final val MatchMin = 3
+
+  /** Fingerprint-bucket cap, same guard class as
+    * [[DedupQueries.LshMaxBucket]]: buckets above the cap are excluded
+    * from pair generation (work bounded at cap²/2 per bucket) and
+    * recall degrades only for the dropped boilerplate fingerprint —
+    * the pair usually still meets [[MatchMin]] through its other
+    * shared fingerprints. Replayed verbatim in the oracle. */
+  private[graft] final val WinnowMaxBucket = 500
+
+  /** Position packing: key = hash·2²⁰ + (2²⁰−1−pos). 2²⁰ words bounds
+    * the per-doc position (docs here are ~60 words; a 100 TB corpus
+    * pre-chunks anything longer); u32 hash · 2²⁰ tops out at 2⁵² —
+    * exact in a BIGINT/Long in both engines. */
+  private final val PosSpan = 1048576L
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB: first 8 hex chars of md5 expression `m` as an integer
+    * (the SampleQueries digit-arithmetic fragment). */
+  private def hexU8(m: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** Shared DuckDB CTEs: positional shingles → packed keys → window min
+    * → the distinct selected fingerprint set (doc_id, fkey), plus the
+    * per-doc gram/window counts. */
+  private val selCtes =
+    s"""t AS (SELECT doc_id, $W AS w FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    [array_to_string(w[i:i+${WinnowK - 1}], ' ')
+       |     for i in range(1, len(w) - ${WinnowK - 2})] AS sh
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, len(sh) AS ng,
+       |    generate_subscripts(sh, 1) - 1 AS pos, unnest(sh) AS gr
+       |  FROM s
+       |), k AS (
+       |  SELECT doc_id, ng, pos,
+       |    ${hexU8("md5('wn|' || gr)")} * $PosSpan
+       |      + (${PosSpan - 1} - pos) AS key
+       |  FROM g
+       |), wmin AS (
+       |  SELECT doc_id, ng, pos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN CURRENT ROW
+       |                   AND ${WinnowW - 1} FOLLOWING) AS fkey
+       |  FROM k
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, fkey FROM wmin
+       |  WHERE pos <= ng - $WinnowW
+       |)""".stripMargin
+
+  /** Spark frame of selected fingerprints: (doc_id, fkey) distinct,
+    * fkey = hash·2²⁰ + (2²⁰−1−pos). Shared by both queries and the
+    * streaming twin — the selection is STATELESS per document, which is
+    * what makes the streaming twin exact. */
+  private[graft] def selected(docs: org.apache.spark.sql.DataFrame) = {
+    val grams = docs
+      .select(col("doc_id"), wordShingles(tokens(col("text")), WinnowK).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("ng"),
+        posexplode(col("sh")).as(Seq("pos", "gr")))
+    val keyed = grams.withColumn("key",
+      conv(substring(md5(concat(lit("wn|"), col("gr"))), 1, 8), 16, 10)
+        .cast("long") * PosSpan + (lit(PosSpan - 1) - col("pos")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowW - 1)
+    keyed
+      .withColumn("fkey", min("key").over(win))
+      .filter(col("pos") <= col("ng") - WinnowW)
+      .select("doc_id", "fkey").distinct()
+  }
+
+  /** Per-document fingerprint profile: gram/window/fingerprint counts
+    * and the selection density (floor-percent of windows) — the
+    * winnowing theorem puts expected density at ~2/(w+1) of windows for
+    * hash-diverse text. The rightmost tie-break makes a CONSTANT-hash
+    * run select every window's own last position (density → 100%), so a
+    * density spike is a repetition signal, not an index bug — the
+    * repetition gates (`q_text_repetition`, the Gopher rules) clean
+    * those docs upstream, exactly as MOSS assumes lexed input. Docs
+    * shorter than k + w − 1 words have no full window and ship zeros —
+    * the honest contract (winnowing has no guarantee below the
+    * threshold). */
+  val fingerprints = Q(
+    "q_winnow_fingerprint",
+    s"""WITH $selCtes,
+       |f AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM sel GROUP BY doc_id
+       |), base AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(greatest(len(w) - ${WinnowK - 1}, 0) AS BIGINT) AS n_grams,
+       |    CAST(greatest(len(w) - ${WinnowK + WinnowW - 2}, 0) AS BIGINT) AS n_windows
+       |  FROM t
+       |)
+       |SELECT b.doc_id, b.n_words, b.n_grams, b.n_windows,
+       |  coalesce(f.n_fp, 0) AS n_fp,
+       |  CASE WHEN b.n_windows > 0
+       |       THEN (coalesce(f.n_fp, 0) * 100) // b.n_windows
+       |       ELSE 0 END AS density_pct
+       |FROM base b LEFT JOIN f USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val f = selected(docs).groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val base = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        greatest(col("n_words") - (WinnowK - 1), lit(0L)).as("n_grams"),
+        greatest(col("n_words") - (WinnowK + WinnowW - 2), lit(0L)).as("n_windows"))
+    base.join(f, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_grams"), col("n_windows"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        when(col("n_windows") > 0,
+          (coalesce(col("n_fp"), lit(0L)) * 100) / col("n_windows"))
+          .otherwise(lit(0L)).cast("long").as("density_pct"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct (doc_id, fh) fingerprint-HASH set of a document frame —
+    * position stripped. Shared by [[matches]], the spec, and the
+    * streaming twin. */
+  private[graft] def fingerprintHashes(docs: org.apache.spark.sql.DataFrame) =
+    selected(docs)
+      .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"))
+      .distinct()
+
+  /** Document pairs sharing ≥ [[MatchMin]] distinct fingerprint HASHES
+    * (position stripped — the same span at different offsets still
+    * matches, the plagiarism/mirror-detection semantics). Pair
+    * generation is the capped bucket join: fingerprints collapse to
+    * distinct (doc, hash), hash buckets of 2..[[WinnowMaxBucket]] docs
+    * self-join, shared-hash counts filter at the threshold. */
+  val matches = Q(
+    "q_winnow_matches",
+    s"""WITH $selCtes,
+       |fp AS (SELECT DISTINCT doc_id, fkey // $PosSpan AS fh FROM sel),
+       |bk AS (SELECT fh, count(*) AS n FROM fp GROUP BY fh),
+       |ok AS (SELECT fh FROM bk WHERE n BETWEEN 2 AND $WinnowMaxBucket),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.fh = a.fh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared FROM pairs
+       |WHERE n_shared >= $MatchMin
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fp = fingerprintHashes(Tables.documents(s, d))
+    val ok = fp.groupBy("fh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= WinnowMaxBucket)
+      .select("fh")
+    val keyed = fp.join(ok, Seq("fh"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MatchMin)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -31,6 +31,60 @@ class GovernanceSpec extends SparkSpec {
     assert(out.exists(_.getString(3) != "full"))
   }
 
+  test("l-diversity: covers every QI group, verdict consistent, " +
+    "crafted homogeneous group flags despite being k-large") {
+    val out = DataQualityQueries.lDiversity.run(spark, sf0001).collect()
+    val nGroups = graft.Tables.customer(spark, sf0001)
+      .select("c_nationkey", "c_mktsegment").distinct().count()
+    assert(out.length == nGroups, "audit must cover every QI group")
+    out.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2))
+      assert(r.getBoolean(4) == (r.getLong(3) >= 3), r.mkString(","))
+    }
+
+    // crafted: a 10-member group with ONE balance band (k-anonymous at
+    // k=3, yet homogeneous — the attack l-diversity exists to catch)
+    val dir = "/tmp/graft_ldiv_spec"
+    val rows =
+      (0 until 10).map(i => (i.toLong, s"c$i", 0, "HOMOG", BigDecimal(100.00))) ++
+      (0 until 10).map(i => (100L + i, s"d$i", 1, "DIVERSE", BigDecimal(i * 2500.00)))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = DataQualityQueries.lDiversity.run(spark, dir).collect()
+      .map(x => x.getString(1) -> x).toMap
+    assert(!r("HOMOG").getBoolean(4) && r("HOMOG").getLong(2) == 10,
+      "k-large homogeneous group must fail l-diversity")
+    assert(r("DIVERSE").getBoolean(4))
+  }
+
+  test("ngram diversity: one row per source, ratios in range, " +
+    "crafted mode-collapsed source scores far below the diverse one") {
+    val out = TextQueries.ngramDiversity.run(spark, sf0001).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 1000000)
+      assert(r.getLong(6) >= 1 && r.getLong(6) <= 1000000)
+    }
+
+    // crafted: a generator emitting ONE fluent doc 50 times vs 50
+    // distinct docs — per-doc repetition gates see nothing, this does
+    val dir = "/tmp/graft_ngram_div_spec"
+    val para = (0 until 40).map("w" + _).mkString(" ")
+    val docs =
+      (0 until 50).map(i => (i.toLong, para, "en", "collapsed")) ++
+      (0 until 50).map(i =>
+        (100L + i, (0 until 40).map(j => s"u${i}_$j").mkString(" "), "en", "diverse"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextQueries.ngramDiversity.run(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("collapsed").getLong(3) * 10 < r("diverse").getLong(3),
+      "collapsed TTR must be an order of magnitude below diverse")
+    assert(r("collapsed").getLong(6) * 10 < r("diverse").getLong(6))
+    assert(r("diverse").getLong(3) == 1000000, "fully distinct corpus TTR = 1")
+  }
+
   test("quality rules: doc counts conserved, attribution consistent " +
     "with the pass count, crafted rule-by-rule failures attribute") {
     val out = TextQueries.qualityRules.run(spark, sf0001).collect()

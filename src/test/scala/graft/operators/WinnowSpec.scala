@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Winnowing fingerprints (`q_winnow_fingerprint` / `q_winnow_matches`):
+  * pins (a) the real-corpus invariants (counts, density bound, match
+  * threshold), (b) the WINNOWING GUARANTEE — two docs sharing a run of
+  * exactly k + w − 1 words select at least one common fingerprint hash,
+  * (c) the sub-threshold contract (no full window → zero fingerprints),
+  * (d) the rightmost tie-break on a constant-hash doc (density 100 —
+  * the documented repetition signal), and (e) the bucket cap's graceful
+  * recall degradation (an over-cap fingerprint bucket generates no
+  * pairs). */
+class WinnowSpec extends SparkSpec {
+
+  import spark.implicits._
+  import WinnowQueries.{WinnowK, WinnowW, MatchMin, WinnowMaxBucket}
+
+  private val dir = "/tmp/graft_winnow_spec"
+  private val T = WinnowK + WinnowW - 1 // guarantee threshold (7 words)
+
+  private def writeDocs(rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, t) => (id, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def fpHashes(sfDir: String): Map[Long, Set[Long]] =
+    WinnowQueries.fingerprintHashes(graft.Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("real corpus: profile invariants and match threshold") {
+    val prof = WinnowQueries.fingerprints.run(spark, sf0001).collect()
+    assert(prof.length == 500)
+    prof.foreach { r =>
+      val (words, grams, wins, fp, dens) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(grams == math.max(words - (WinnowK - 1), 0), r.toString)
+      assert(wins == math.max(words - (T - 1), 0), r.toString)
+      assert(fp <= wins, s"more fingerprints than windows: $r")
+      if (wins > 0) assert(fp >= 1, s"a full window must select: $r")
+      assert(dens == (if (wins > 0) fp * 100 / wins else 0L))
+    }
+    // hash-diverse corpus: median density near the 2/(w+1) theorem bound
+    val longDocs = prof.filter(_.getLong(3) >= 20).map(_.getLong(5)).sorted
+    val median = longDocs(longDocs.length / 2)
+    assert(median >= 20 && median <= 80, s"implausible median density $median")
+
+    val m = WinnowQueries.matches.run(spark, sf0001).collect()
+    assert(m.nonEmpty, "replica-heavy corpus must produce matches")
+    m.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= MatchMin)
+    }
+  }
+
+  test("guarantee: a shared run of k+w-1 words selects a common fingerprint") {
+    def ws(r: Range, p: String) = r.map(p + _).mkString(" ")
+    val shared = ws(0 until T, "sh") // exactly the guarantee threshold
+    writeDocs(Seq(
+      0L -> s"${ws(0 until 12, "a")} $shared ${ws(0 until 12, "b")}",
+      1L -> s"${ws(0 until 12, "c")} $shared ${ws(0 until 12, "d")}",
+      2L -> ws(0 until 30, "e"),          // disjoint control
+      3L -> ws(0 until T - 1, "f")))      // one word below threshold
+    val fp = fpHashes(dir)
+    assert((fp(0L) intersect fp(1L)).nonEmpty,
+      "winnowing guarantee violated: shared 7-word run, no common fingerprint")
+    assert((fp(0L) intersect fp.getOrElse(2L, Set.empty)).isEmpty)
+    assert(!fp.contains(3L), "doc below k+w-1 words must select nothing")
+  }
+
+  test("constant-hash doc: rightmost tie-break selects every window (density 100)") {
+    writeDocs(Seq(0L -> Seq.fill(20)("rep").mkString(" ")))
+    val r = WinnowQueries.fingerprints.run(spark, dir).collect().head
+    assert(r.getLong(4) == r.getLong(3), s"expected one fp per window: $r")
+    assert(r.getLong(5) == 100)
+  }
+
+  test("bucket cap: an over-cap fingerprint bucket generates no pairs") {
+    // 30 hash-diverse words: >= ceil(24/4) = 6 distinct fingerprints per
+    // doc (a selection survives at most w window shifts), clearing
+    // MatchMin; every doc identical, so each bucket holds the whole set
+    val body = (0 until 30).map("q" + _).mkString(" ")
+    val clique = (0L until (WinnowMaxBucket + 2L)).map(_ -> body)
+    writeDocs(clique)
+    // every fingerprint bucket is 502 > cap -> excluded
+    val m = WinnowQueries.matches.run(spark, dir).collect()
+    assert(m.isEmpty, "over-cap buckets must be excluded from pair generation")
+
+    // under the cap the same clique pairs fully at n_shared >= MatchMin
+    writeDocs(clique.take(6))
+    val m2 = WinnowQueries.matches.run(spark, dir).collect()
+    assert(m2.length == 15, s"expected C(6,2)=15 pairs, got ${m2.length}")
+    m2.foreach(r => assert(r.getLong(2) >= MatchMin))
+  }
+}
