@@ -157,7 +157,13 @@ object ScaleSmoke {
       "q_lm_kn", "q_quality_tertiles", "q_semantic_contamination",
       // round-11 curation: segment hash-agg + broadcast list join and
       // bucket model + broadcast normalizer — both expected linear
-      "q_line_excise", "q_dsir_weights")
+      "q_line_excise", "q_dsir_weights",
+      // round-11 winnowing: per-doc window min (shuffle on doc_id) +
+      // the capped fingerprint bucket join — near-dup replicas share
+      // most fingerprints, so this is the adversarial shape for the
+      // match join (buckets grow ~replicas×, pairs ~replicas²× within
+      // the cap); the diversity audit is two count-distinct hash-aggs
+      "q_winnow_matches", "q_ngram_diversity")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

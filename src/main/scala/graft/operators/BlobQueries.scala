@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.multimodal.BlobChunker
+
+/** Binary-payload dedup via content-defined chunking — the storage
+  * grain below the text/image/audio operators: a multimodal corpus at
+  * 100 TB is mostly opaque bytes (tarballs, PDFs, video containers),
+  * and the dedup that pays for the cluster is chunk-level CDC (the
+  * rsync/LBFS/backup-dedup recipe, [[BlobChunker]]) — shared runs
+  * dedupe even when an insertion has SHIFTED them, which is exactly
+  * where fixed-size blocks fail (BlobSpec measures the fixed grid at
+  * zero on the same corpus).
+  *
+  * Pipeline: chunk boundaries are per-row imperative byte work (the
+  * AudioCodec mapPartitions lifecycle — bytes never shuffle; only
+  * (doc_id, start, len, md5) chunk records do, ~1/64 of input volume);
+  * everything after is declarative: one corpus-wide hash-agg on the
+  * chunk md5, re-joined for per-doc shares — the
+  * [[DedupQueries.substringShare]] plan shape at byte grain, no pair
+  * generation anywhere. The synthetic blobs are closed-form
+  * ([[BlobChunker.syntheticBlob]]), so the DuckDB oracle replays
+  * generator + rolling hash + chunking entirely in SQL (a 16-row
+  * power-table join), proving the Scala chunker byte-exact. */
+object BlobQueries {
+
+  import BlobChunker.{Mod, Threshold, Window}
+
+  /** Shared oracle CTEs: closed-form bytes → windowed polynomial hash →
+    * boundaries → chunks with md5. */
+  private val chunkCtes =
+    s"""params AS (
+       |  SELECT doc_id, 700 + (doc_id % 13) * 37 AS total,
+       |    1 + doc_id % 17 AS p, doc_id % 25 AS g
+       |  FROM documents WHERE doc_id < 500),
+       |bytes AS (
+       |  SELECT doc_id, total, t.range AS i,
+       |    CASE WHEN t.range < p
+       |      THEN (doc_id * 2654435761 + t.range * 40503)
+       |             % 4294967296 // 65536 % 256
+       |      WHEN t.range < p + 512
+       |      THEN (g * 1099087573 + (t.range - p) * 2654435761)
+       |             % 4294967296 // 65536 % 256
+       |      ELSE (doc_id * 1812433253 + t.range * 2654435761)
+       |             % 4294967296 // 65536 % 256 END AS b
+       |  FROM params, range(1150) t WHERE t.range < total),
+       |roll AS (
+       |  SELECT x.doc_id, x.i, sum(y.b * pw.pw) % $Mod AS h
+       |  FROM bytes x
+       |  JOIN bytes y ON y.doc_id = x.doc_id
+       |    AND y.i BETWEEN x.i - ${Window - 1} AND x.i
+       |  JOIN ${BlobChunker.powerTableSql} ON pw.k = x.i - y.i
+       |  WHERE x.i >= ${Window - 1}
+       |  GROUP BY x.doc_id, x.i),
+       |bnd AS (
+       |  SELECT doc_id, i AS e FROM roll WHERE h < $Threshold
+       |  UNION
+       |  SELECT doc_id, total - 1 FROM params),
+       |ck AS (
+       |  SELECT doc_id, e,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e) + 1, 0) AS s
+       |  FROM bnd),
+       |ch AS (
+       |  SELECT c.doc_id, c.s AS start, c.e - c.s + 1 AS len,
+       |    md5(string_agg(CAST(b.b AS VARCHAR), '|' ORDER BY b.i)) AS h
+       |  FROM ck c JOIN bytes b
+       |    ON b.doc_id = c.doc_id AND b.i BETWEEN c.s AND c.e
+       |  GROUP BY c.doc_id, c.s, c.e)""".stripMargin
+
+  /** Spark chunk frame (doc_id, start, len, h) — the chunker runs in
+    * mapPartitions over ids (bytes never leave the task); the md5 is
+    * the codegen'd column function over the chunk's byte string. */
+  private[graft] def chunkFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          BlobChunker.chunks(BlobChunker.syntheticBlob(id)).map {
+            case (start, len, bstr) => (id, start, len, bstr)
+          }
+        }
+      }
+      .toDF("doc_id", "start", "len", "bstr")
+      .withColumn("h", md5(col("bstr")))
+      .drop("bstr")
+  }
+
+  /** Per-blob chunking profile: chunk count, within-blob distinct
+    * chunks, extremes, and the mean chunk length in milli-bytes
+    * (expected ≈ Divisor·1000) — the dial a storage tier watches when
+    * tuning the divisor. Conservation (Σ len = n_bytes) is part of the
+    * oracle hash. */
+  val blobChunks = Q(
+    "q_blob_chunks",
+    s"""WITH $chunkCtes
+       |SELECT doc_id,
+       |  CAST(sum(len) AS BIGINT) AS n_bytes,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       |  CAST(min(len) AS BIGINT) AS min_len,
+       |  CAST(max(len) AS BIGINT) AS max_len,
+       |  CAST(sum(len) * 1000 // count(*) AS BIGINT) AS mean_len_milli
+       |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    chunkFrame(s, d)
+      .groupBy("doc_id")
+      .agg(sum("len").as("n_bytes"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        min("len").cast("long").as("min_len"),
+        max("len").cast("long").as("max_len"))
+      .select(col("doc_id"), col("n_bytes"), col("n_chunks"), col("n_distinct"),
+        col("min_len"), col("max_len"),
+        expr("n_bytes * 1000 div n_chunks").as("mean_len_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-blob dedup share against the whole corpus — the byte-grain
+    * [[DedupQueries.substringShare]]: a chunk is DUP when its hash
+    * occurs ≥ 2 times corpus-wide (another blob, or again in this one).
+    * One corpus hash-agg on h, re-joined onto the chunk stream. */
+  val blobDedup = Q(
+    "q_blob_dedup",
+    s"""WITH $chunkCtes,
+       |cnt AS (SELECT h, count(*) AS cn FROM ch GROUP BY h),
+       |agg AS (
+       |  SELECT ch.doc_id,
+       |    CAST(sum(ch.len) AS BIGINT) AS n_bytes,
+       |    CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(CASE WHEN cnt.cn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |    CAST(sum(CASE WHEN cnt.cn >= 2 THEN ch.len ELSE 0 END) AS BIGINT)
+       |      AS bytes_dup
+       |  FROM ch JOIN cnt USING (h) GROUP BY ch.doc_id)
+       |SELECT doc_id, n_bytes, n_chunks, n_dup, bytes_dup,
+       |  bytes_dup * 100 // n_bytes AS dup_pct
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ch = chunkFrame(s, d)
+    val cnt = ch.groupBy("h").agg(count(lit(1)).as("cn"))
+    ch.join(cnt, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum("len").as("n_bytes"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cn") >= 2, col("len")).otherwise(0L)).as("bytes_dup"))
+      .select(col("doc_id"), col("n_bytes"), col("n_chunks"), col("n_dup"),
+        col("bytes_dup"),
+        expr("bytes_dup * 100 div n_bytes").as("dup_pct"))
+      .orderBy("doc_id")
+  }
+
+  /** The storage-tier headline: ONE row — blobs, raw bytes, chunk
+    * stores before/after dedup, and the floor-percent saving a
+    * content-addressed chunk store realizes on this corpus. Unique
+    * bytes = Σ len over DISTINCT chunk hashes (md5-equal chunks are
+    * byte-equal, so each hash has one length). */
+  val blobStorage = Q(
+    "q_blob_storage",
+    s"""WITH $chunkCtes,
+       |u AS (SELECT h, min(len) AS len FROM ch GROUP BY h)
+       |SELECT
+       |  CAST((SELECT count(DISTINCT doc_id) FROM ch) AS BIGINT) AS n_blobs,
+       |  CAST((SELECT sum(len) FROM ch) AS BIGINT) AS bytes_total,
+       |  CAST((SELECT count(*) FROM ch) AS BIGINT) AS n_chunks,
+       |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_chunks_unique,
+       |  CAST((SELECT sum(len) FROM u) AS BIGINT) AS bytes_unique,
+       |  CAST(100 - (SELECT sum(len) FROM u) * 100
+       |    // (SELECT sum(len) FROM ch) AS BIGINT) AS saving_pct""".stripMargin) {
+    (s, d) =>
+      val ch = chunkFrame(s, d)
+      val tot = ch.agg(
+        countDistinct(col("doc_id")).as("n_blobs"),
+        sum("len").as("bytes_total"),
+        count(lit(1)).as("n_chunks"))
+      val u = ch.groupBy("h").agg(min("len").as("len"))
+        .agg(count(lit(1)).as("n_chunks_unique"), sum("len").as("bytes_unique"))
+      tot.crossJoin(u) // two 1-row aggregates
+        .select(col("n_blobs"), col("bytes_total"), col("n_chunks"),
+          col("n_chunks_unique"), col("bytes_unique"),
+          expr("100 - bytes_unique * 100 div bytes_total").as("saving_pct"))
+  }
+}
