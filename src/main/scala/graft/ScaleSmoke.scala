@@ -163,7 +163,11 @@ object ScaleSmoke {
       // most fingerprints, so this is the adversarial shape for the
       // match join (buckets grow ~replicas×, pairs ~replicas²× within
       // the cap); the diversity audit is two count-distinct hash-aggs
-      "q_winnow_matches", "q_ngram_diversity")
+      "q_winnow_matches", "q_ngram_diversity",
+      // round-11 MMR: the candidate fetch is broadcast-queries × full
+      // vector scan (expected linear); the greedy supersteps are
+      // constant-size — serving should grow like one corpus pass
+      "q_mmr_select")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -151,6 +151,74 @@ object BlobQueries {
       .orderBy("doc_id")
   }
 
+  /** The CONTROL experiment: the same corpus chunked on a fixed
+    * 64-byte grid — the naive storage layout CDC replaces. Same six
+    * columns as [[blobStorage]], so the two rows read side by side:
+    * the group-shared runs sit at DIFFERENT offsets per blob (the
+    * 1 + id mod 17 prefix shift), so grid blocks only align for the
+    * id-pairs whose shifts happen to coincide — measured saving 14%
+    * vs CDC's 63% on the same corpus, the number that justifies
+    * content-defined boundaries. Grid chunking in SQL is pure
+    * arithmetic (i // 64), no rolling hash. */
+  val blobGrid = Q(
+    "q_blob_grid",
+    s"""WITH params AS (
+       |  SELECT doc_id, 700 + (doc_id % 13) * 37 AS total,
+       |    1 + doc_id % 17 AS p, doc_id % 25 AS g
+       |  FROM documents WHERE doc_id < 500),
+       |bytes AS (
+       |  SELECT doc_id, total, t.range AS i,
+       |    CASE WHEN t.range < p
+       |      THEN (doc_id * 2654435761 + t.range * 40503)
+       |             % 4294967296 // 65536 % 256
+       |      WHEN t.range < p + 512
+       |      THEN (g * 1099087573 + (t.range - p) * 2654435761)
+       |             % 4294967296 // 65536 % 256
+       |      ELSE (doc_id * 1812433253 + t.range * 2654435761)
+       |             % 4294967296 // 65536 % 256 END AS b
+       |  FROM params, range(1150) t WHERE t.range < total),
+       |ch AS (
+       |  SELECT doc_id, i // 64 AS blk, CAST(count(*) AS BIGINT) AS len,
+       |    md5(string_agg(CAST(b AS VARCHAR), '|' ORDER BY i)) AS h
+       |  FROM bytes GROUP BY doc_id, i // 64),
+       |u AS (SELECT h, min(len) AS len FROM ch GROUP BY h)
+       |SELECT
+       |  CAST((SELECT count(DISTINCT doc_id) FROM ch) AS BIGINT) AS n_blobs,
+       |  CAST((SELECT sum(len) FROM ch) AS BIGINT) AS bytes_total,
+       |  CAST((SELECT count(*) FROM ch) AS BIGINT) AS n_chunks,
+       |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_chunks_unique,
+       |  CAST((SELECT sum(len) FROM u) AS BIGINT) AS bytes_unique,
+       |  CAST(100 - (SELECT sum(len) FROM u) * 100
+       |    // (SELECT sum(len) FROM ch) AS BIGINT) AS saving_pct""".stripMargin) {
+    (s, d) =>
+      import s.implicits._
+      val ch = Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            BlobChunker.syntheticBlob(id)
+              .grouped(64).zipWithIndex.map { case (blk, bi) =>
+                (id, bi, blk.length,
+                  blk.map(b => (b & 0xff).toString).mkString("|"))
+              }
+          }
+        }
+        .toDF("doc_id", "blk", "len", "bstr")
+        .withColumn("h", md5(col("bstr")))
+        .drop("bstr")
+      val tot = ch.agg(
+        countDistinct(col("doc_id")).as("n_blobs"),
+        sum("len").as("bytes_total"),
+        count(lit(1)).as("n_chunks"))
+      val u = ch.groupBy("h").agg(min(col("len")).cast("long").as("len"))
+        .agg(count(lit(1)).as("n_chunks_unique"), sum("len").as("bytes_unique"))
+      tot.crossJoin(u)
+        .select(col("n_blobs"), col("bytes_total"), col("n_chunks"),
+          col("n_chunks_unique"), col("bytes_unique"),
+          expr("100 - bytes_unique * 100 div bytes_total").as("saving_pct"))
+  }
+
   /** The storage-tier headline: ONE row — blobs, raw bytes, chunk
     * stores before/after dedup, and the floor-percent saving a
     * content-addressed chunk store realizes on this corpus. Unique

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — DIVERSIFIED
+  * top-k: the selection rule a training-data pipeline uses where plain
+  * nearest-neighbor returns k copies of the same thing (few-shot
+  * example selection, dedup-aware retrieval augmentation, eval-set
+  * construction). Greedy: pick the most relevant candidate, then
+  * repeatedly pick  argmax  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s);
+  * at λ = 1/2 the argmax is integer-exact as `rel − redundancy`.
+  *
+  * Exactness: vectors are int8-grid quantized (the `q_ann_int8`
+  * scheme — per-dim min/max, floor to 0..255) and BOTH metrics are the
+  * raw integer dot product in that space, so every score is a BIGINT
+  * and the greedy trace is engine-identical; DuckDB replays all K
+  * selection supersteps as unrolled CTEs (the `q_bpe_merges`
+  * discipline) with correlated max-sim subqueries.
+  *
+  * Scale shape: the only corpus-sized work is the candidate fetch —
+  * broadcast query batch × corpus scan, TakeOrdered top-[[MmrCand]]
+  * per query (the `q_ann_bruteforce` plan; an IVF-pruned fetch slots
+  * in unchanged). The K greedy supersteps then run on
+  * |queries|·[[MmrCand]] rows — driver-free, constant-size frames, the
+  * unrolled-BSP pattern. Greedy MMR is inherently sequential in k;
+  * unrolling K = [[MmrK]] fixed steps is the honest distributed form
+  * (each superstep is one tiny join + one windowed argmax). */
+object MmrQueries {
+
+  /** Queries diversified (vec_id < MmrQueries). */
+  private[graft] final val MmrQ = 3
+  /** Candidate pool per query (relevance top-N). */
+  private[graft] final val MmrCand = 12
+  /** Picks per query (unrolled supersteps). */
+  private[graft] final val MmrK = 5
+
+  /** Quantized-vector CTE (vec_id, e BIGINT[]) — the q_ann_int8 grid. */
+  private val qvCtes =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |dd AS (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v),
+      |stats AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM dd GROUP BY pos),
+      |qd AS (
+      |  SELECT vec_id, pos,
+      |    CASE WHEN hi > lo
+      |         THEN CAST(floor(((x - lo) * 255.0) / (hi - lo)) AS BIGINT)
+      |         ELSE 0 END AS qx
+      |  FROM dd JOIN stats USING (pos)
+      |), qv AS (SELECT vec_id, list(qx ORDER BY pos) AS e FROM qd GROUP BY vec_id)"""
+      .stripMargin
+
+  /** One unrolled selection superstep (oracle side): candidates not yet
+    * in `prev` score `rel − max sim-to-selected`; rank-1 wins. */
+  private def stepCte(t: Int, prev: String): String =
+    s"""r$t AS (
+       |  SELECT c.query_id, c.cand_id, c.rel, c.e,
+       |    (SELECT max(CAST(list_dot_product(c.e, s.e) AS BIGINT))
+       |     FROM $prev s WHERE s.query_id = c.query_id) AS red
+       |  FROM c0 c
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+       |                    WHERE s.query_id = c.query_id
+       |                      AND s.cand_id = c.cand_id)
+       |), p$t AS (
+       |  SELECT query_id, cand_id, rel, red, $t AS pick, e FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel - red DESC, cand_id) AS rn FROM r$t) WHERE rn = 1
+       |), s$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$t)"""
+      .stripMargin
+
+  private val mmrSql = {
+    val steps = (2 to MmrK).map(t => stepCte(t, s"s${t - 1}")).mkString(",\n")
+    s"""WITH $qvCtes,
+       |qs AS (SELECT vec_id, e FROM qv WHERE vec_id < $MmrQ),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(list_dot_product(q.e, c.e) AS BIGINT) AS rel, c.e AS e,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY CAST(list_dot_product(q.e, c.e) AS BIGINT) DESC,
+       |               c.vec_id) AS rk
+       |  FROM qs q JOIN qv c ON c.vec_id <> q.vec_id
+       |), c0 AS (SELECT query_id, cand_id, rel, e FROM cand WHERE rk <= $MmrCand),
+       |s1 AS (
+       |  SELECT query_id, cand_id, rel, CAST(0 AS BIGINT) AS red,
+       |    1 AS pick, e
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, cand_id) AS rn FROM c0) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(pick AS BIGINT) AS pick, cand_id AS vec_id,
+       |  rel, red, rel - red AS score
+       |FROM s$MmrK ORDER BY query_id, pick""".stripMargin
+  }
+
+  /** Integer dot product of two BIGINT arrays. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+  /** Candidate pool (query_id, cand_id, rel, e): broadcast query batch
+    * × corpus scan, relevance top-[[MmrCand]] per query — the only
+    * corpus-sized stage. Eagerly checkpointed: the greedy supersteps
+    * re-read this constant-size frame K times. Shared with MmrSpec's
+    * independent reference greedy. */
+  private[graft] def candFrame(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = v
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val statsRow = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").as("los"),
+      expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").as("his"))
+    val quantize =
+      """transform(e, (x, i) ->
+        |  CASE WHEN element_at(his, i + 1) > element_at(los, i + 1)
+        |       THEN CAST(floor(((x - element_at(los, i + 1)) * 255.0D)
+        |                  / (element_at(his, i + 1) - element_at(los, i + 1)))
+        |            AS BIGINT)
+        |       ELSE 0L END)""".stripMargin
+    val qv = v.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), expr(quantize).as("e"))
+    broadcast(
+        qv.filter(col("vec_id") < MmrQ)
+          .select(col("vec_id").as("query_id"), col("e").as("eq")))
+      .join(qv.select(col("vec_id").as("cand_id"), col("e")),
+        col("cand_id") =!= col("query_id"))
+      .withColumn("rel", dot("eq", "e"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rk") <= MmrCand)
+      .select("query_id", "cand_id", "rel", "e")
+      .localCheckpoint(eager = true)
+  }
+
+  /** The diversified selection trace: (query_id, pick 1..K, vec_id,
+    * rel, red, score) — pick 1 has red = 0 by definition. */
+  val mmrSelect = Q("q_mmr_select", mmrSql) { (s, d) =>
+    val cand = candFrame(s, d)
+    var sel = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        lit(0L).as("red"), lit(1).as("pick"), col("e"))
+    (2 to MmrK).foreach { t =>
+      val rem = cand.join(sel.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val red = rem
+        .join(sel.select(col("query_id"), col("e").as("es")), Seq("query_id"))
+        .withColumn("sim", dot("e", "es"))
+        .groupBy("query_id", "cand_id").agg(max("sim").as("red"))
+      val pick = rem.join(red, Seq("query_id", "cand_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy((col("rel") - col("red")).desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"), col("red"),
+          lit(t).as("pick"), col("e"))
+      // each superstep references sel several times (anti join, sim
+      // join, union); truncating the |queries|·t-row frame keeps the
+      // unrolled DAG linear instead of 3^K (the DedupResolve rule)
+      sel = sel.unionByName(pick).localCheckpoint(eager = true)
+    }
+    sel.select(col("query_id"), col("pick").cast("long").as("pick"),
+        col("cand_id").as("vec_id"), col("rel"), col("red"),
+        (col("rel") - col("red")).as("score"))
+      .orderBy("query_id", "pick")
+  }
+}

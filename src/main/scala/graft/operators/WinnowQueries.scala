@@ -107,11 +107,12 @@ object WinnowQueries {
        |  WHERE pos <= ng - $WinnowW
        |)""".stripMargin
 
-  /** Spark frame of selected fingerprints: (doc_id, fkey) distinct,
-    * fkey = hash·2²⁰ + (2²⁰−1−pos). Shared by both queries and the
-    * streaming twin — the selection is STATELESS per document, which is
-    * what makes the streaming twin exact. */
-  private[graft] def selected(docs: org.apache.spark.sql.DataFrame) = {
+  /** Raw window-min selections (doc_id, fkey), WITH the re-selection
+    * duplicates consecutive windows produce — consumers dedupe at
+    * their own grain (a countDistinct agg or an explicit distinct),
+    * which costs one exchange instead of this frame's distinct PLUS
+    * theirs. fkey = hash·2²⁰ + (2²⁰−1−pos). */
+  private def selectedRaw(docs: org.apache.spark.sql.DataFrame) = {
     val grams = docs
       .select(col("doc_id"), wordShingles(tokens(col("text")), WinnowK).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("ng"),
@@ -124,8 +125,15 @@ object WinnowQueries {
     keyed
       .withColumn("fkey", min("key").over(win))
       .filter(col("pos") <= col("ng") - WinnowW)
-      .select("doc_id", "fkey").distinct()
+      .select("doc_id", "fkey")
   }
+
+  /** Spark frame of selected fingerprints: (doc_id, fkey) distinct.
+    * Shared by the spec and the streaming twin — the selection is
+    * STATELESS per document, which is what makes the streaming twin
+    * exact. */
+  private[graft] def selected(docs: org.apache.spark.sql.DataFrame) =
+    selectedRaw(docs).distinct()
 
   /** Per-document fingerprint profile: gram/window/fingerprint counts
     * and the selection density (floor-percent of windows) — the
@@ -157,7 +165,8 @@ object WinnowQueries {
        |FROM base b LEFT JOIN f USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val f = selected(docs).groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val f = selectedRaw(docs).groupBy("doc_id")
+      .agg(countDistinct(col("fkey")).as("n_fp"))
     val base = docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_words"),
@@ -176,7 +185,7 @@ object WinnowQueries {
     * position stripped. Shared by [[matches]], the spec, and the
     * streaming twin. */
   private[graft] def fingerprintHashes(docs: org.apache.spark.sql.DataFrame) =
-    selected(docs)
+    selectedRaw(docs)
       .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"))
       .distinct()
 

@@ -82,5 +82,12 @@ class BlobSpec extends SparkSpec {
     val prof = BlobQueries.blobChunks.run(spark, sf0001).collect()
     assert(prof.map(_.getLong(2)).sum == st.getLong(2))
     assert(prof.map(_.getLong(1)).sum == st.getLong(1))
+
+    // the control: a fixed 64-byte grid on the same corpus saves a
+    // fraction of what CDC does (only shift-aligned id pairs dedup)
+    val grid = BlobQueries.blobGrid.run(spark, sf0001).collect().head
+    assert(grid.getLong(1) == st.getLong(1), "same corpus, same raw bytes")
+    assert(grid.getLong(5) * 3 < st.getLong(5),
+      s"grid saving ${grid.getLong(5)}% should trail CDC ${st.getLong(5)}% badly")
   }
 }
