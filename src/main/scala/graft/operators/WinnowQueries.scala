@@ -224,4 +224,53 @@ object WinnowQueries {
       .filter(col("n_shared") >= MatchMin)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Span ATTRIBUTION for every matched pair — the locality payoff that
+    * distinguishes winnowing from MinHash: each shared fingerprint hash
+    * is decoded back to its selection positions in BOTH documents
+    * (pos = 2²⁰−1 − fkey mod 2²⁰), so a hit names the word offsets
+    * `[pos, pos+k−1]` of a common ≥k-word run on each side — the frame
+    * an excision/attribution pass consumes directly (MOSS's highlighted
+    * report). A hash selected at several positions in one doc emits one
+    * row per alignment.
+    *
+    * Plan: the matched-pair frame (tiny, post-threshold) equi-joins the
+    * positional selection twice on (doc, fh) — bounded by
+    * |matches| × shared fingerprints, nothing corpus-quadratic. */
+  val matchSpans = Q(
+    "q_winnow_spans",
+    s"""WITH $selCtes,
+       |fp AS (SELECT DISTINCT doc_id, fkey // $PosSpan AS fh FROM sel),
+       |bk AS (SELECT fh, count(*) AS n FROM fp GROUP BY fh),
+       |ok AS (SELECT fh FROM bk WHERE n BETWEEN 2 AND $WinnowMaxBucket),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.fh = a.fh
+       |  GROUP BY 1, 2
+       |), m AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared >= $MatchMin),
+       |pos AS (
+       |  SELECT doc_id, fkey // $PosSpan AS fh,
+       |    ${PosSpan - 1} - fkey % $PosSpan AS pos
+       |  FROM sel
+       |)
+       |SELECT m.doc_a, m.doc_b, pa.fh AS fh,
+       |  CAST(pa.pos AS BIGINT) AS pos_a, CAST(pb.pos AS BIGINT) AS pos_b
+       |FROM m
+       |JOIN pos pa ON pa.doc_id = m.doc_a
+       |JOIN pos pb ON pb.doc_id = m.doc_b AND pb.fh = pa.fh
+       |ORDER BY doc_a, doc_b, pa.fh, pos_a, pos_b""".stripMargin) { (s, d) =>
+    val sel = selected(Tables.documents(s, d))
+    val pos = sel.select(col("doc_id"),
+      expr(s"fkey div ${PosSpan}L").as("fh"),
+      expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos"))
+    val m = matches.run(s, d).select("doc_a", "doc_b")
+    m.join(pos.select(col("doc_id").as("doc_a"), col("fh"),
+        col("pos").as("pos_a")), Seq("doc_a"))
+      .join(pos.select(col("doc_id").as("doc_b"), col("fh"),
+        col("pos").as("pos_b")), Seq("doc_b", "fh"))
+      .select(col("doc_a"), col("doc_b"), col("fh"), col("pos_a"), col("pos_b"))
+      .orderBy("doc_a", "doc_b", "fh", "pos_a", "pos_b")
+  }
 }

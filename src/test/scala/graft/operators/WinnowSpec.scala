@@ -54,6 +54,28 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("span attribution: every matched pair is attributed, and the " +
+    "named word offsets hold the SAME k words on both sides") {
+    val spans = WinnowQueries.matchSpans.run(spark, sf0001).collect()
+    val matches = WinnowQueries.matches.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byPair = spans.groupBy(r => (r.getLong(0), r.getLong(1)))
+    assert(byPair.keySet == matches.keySet, "attribution must cover exactly the matches")
+    byPair.foreach { case (pair, rows) =>
+      // spans may include over-cap shared hashes matches doesn't count
+      assert(rows.map(_.getLong(2)).distinct.length >= matches(pair))
+    }
+    val words = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS w")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    spans.take(20).foreach { r =>
+      val (a, b, pa, pb) = (r.getLong(0), r.getLong(1),
+        r.getLong(3).toInt, r.getLong(4).toInt)
+      assert(words(a).slice(pa, pa + WinnowK) == words(b).slice(pb, pb + WinnowK),
+        s"span at ($a:$pa, $b:$pb) is not the same $WinnowK words")
+    }
+  }
+
   test("guarantee: a shared run of k+w-1 words selects a common fingerprint") {
     def ws(r: Range, p: String) = r.map(p + _).mkString(" ")
     val shared = ws(0 until T, "sh") // exactly the guarantee threshold
