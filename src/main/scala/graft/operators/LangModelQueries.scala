@@ -465,7 +465,8 @@ object LangModelQueries {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import graft.sources.IndexCatalog
     val dir = IndexCatalog.ensure(s, s"kn_scores_${IndexCatalog.tag(d)}",
-      inputs = Seq(d), owners = Seq(LangModelQueries.getClass)) { dir =>
+      inputs = Seq(d),
+      owners = Seq(LangModelQueries.getClass, graft.Tables.getClass)) { dir =>
       knScoresLive(s, d).write.mode("overwrite").parquet(s"$dir/scores")
     }
     s.read.parquet(s"$dir/scores")

@@ -52,6 +52,10 @@ class PlanHygieneSpec extends SparkSpec {
     // before it broadcasts onto the raw token stream
     // (q_mixture_weights pattern)
     "q_dsir_weights", "q_dsir_sample",
+    // TWO one-row aggregates crossed (totals × unique-chunk store) —
+    // 1 × 1 by construction; the corpus-sized work is one hash-agg on
+    // the chunk md5 upstream of both
+    "q_blob_storage", "q_blob_grid",
     // ONE-row totals frame (grand tokens + fixed-order weight fold)
     // crossed onto the |sources|-row weights frame; the per-doc join
     // is a broadcast equi-join on source (q_token_budget pattern)
@@ -90,6 +94,10 @@ class PlanHygieneSpec extends SparkSpec {
     // consumes the sem_pairs artifact (eval↔train edge cut + counts);
     // pair generation swept via builderPlans("sem_pairs")
     "q_semantic_contamination",
+    // eagerly checkpoints its candidate pool at construction (the
+    // greedy supersteps re-read it); the fetch shape is the whitelisted
+    // q_ann_int8 bounded query-batch × scan + ONE-row stats frame
+    "q_mmr_select",
     // serve from the kn_scores artifact (doc-grain scan + per-source
     // ntile); the live train+score shape stays registered AND
     // hygiene-relevant via q_lm_kn_heldout (same joins, no windows'
