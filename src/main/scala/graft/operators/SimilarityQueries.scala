@@ -718,6 +718,85 @@ object SimilarityQueries {
         ((col("top_n") * 100) / col("n_vectors")).cast("long").as("purity_pct"))
       .orderBy("cell")
   }
+
+  /** Matryoshka truncation dims — the leading quarter of the 64-dim
+    * embedding (MRL serving truncates to a prefix; Kusupati et al.
+    * 2022). */
+  private[graft] final val MatDims = 16
+
+  /** Truncated-dimension top-k: rank by cosine over only the leading
+    * [[MatDims]] dims — the matryoshka serving trick (4× less memory
+    * bandwidth and index footprint per query; an MRL-trained model
+    * concentrates signal in the prefix, so recall holds). Same plan as
+    * the brute-force baseline — the truncation is a map-side `slice`
+    * that also SHRINKS the broadcast and scan width; on a real deploy
+    * the index stores only the prefix. */
+  val matryoshkaTopK = Q(
+    "q_ann_matryoshka",
+    s"""WITH v AS (SELECT vec_id,
+       |  (CAST(embedding AS DOUBLE[]))[1:$MatDims] AS e FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |  FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |  JOIN v c ON c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, MatDims).as("e"))
+    topK(
+      v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("e").as("eq")),
+      v.select(col("vec_id").as("neighbor_id"), col("e").as("ec")),
+      col("neighbor_id") =!= col("query_id"),
+      k = 5)
+  }
+
+  /** Recall of the truncated ranking against the full-dim exact top-5 —
+    * the measured cost of the 4× footprint cut. These embeddings are
+    * NOT MRL-trained, so this is the honest pessimistic floor; the
+    * harness is what a production matryoshka rollout needs either way
+    * (swap the model, watch this number). */
+  val matryoshkaRecall = Q(
+    "q_ann_matryoshka_recall",
+    s"""WITH vf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |vt AS (SELECT vec_id,
+       |  (CAST(embedding AS DOUBLE[]))[1:$MatDims] AS e FROM embeddings),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM vf WHERE vec_id < 10) q
+       |    JOIN vf c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |), mat AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM vt WHERE vec_id < 10) q
+       |    JOIN vt c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(mat.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(mat.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN mat
+       |  ON mat.query_id = bf.query_id AND mat.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val bf = bruteForceTopK.run(s, d).select("query_id", "neighbor_id")
+    val mt = matryoshkaTopK.run(s, d)
+      .select(col("query_id"), col("neighbor_id").as("mat_neighbor"))
+    bf.join(mt,
+        bf("query_id") === mt("query_id") &&
+          bf("neighbor_id") === mt("mat_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("mat_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
 }
 
 /** Persisted kNN-graph artifact: the edge set is a derived index like

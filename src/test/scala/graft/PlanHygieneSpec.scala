@@ -29,6 +29,9 @@ class PlanHygieneSpec extends SparkSpec {
     // int8 ANN: same bounded query-batch × corpus shape as bruteforce,
     // plus a ONE-row per-dim stats frame cross-joined onto the scan
     "q_ann_int8",
+    // matryoshka: the same bounded query-batch × corpus shape over the
+    // sliced prefix; the recall gauge composes two of them
+    "q_ann_matryoshka", "q_ann_matryoshka_recall",
     // ONE-row bounds frame broadcast onto the scan (q_ann_int8 pattern)
     "q_histogram",
     // ONE-row normalizer frame broadcast onto the |sources|-row agg
