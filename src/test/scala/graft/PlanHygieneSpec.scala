@@ -30,8 +30,11 @@ class PlanHygieneSpec extends SparkSpec {
     // plus a ONE-row per-dim stats frame cross-joined onto the scan
     "q_ann_int8",
     // matryoshka: the same bounded query-batch × corpus shape over the
-    // sliced prefix; the recall gauge composes two of them
+    // sliced prefix; the recall gauge composes two of them; the
+    // two-stage rerank shortlists through the same shape before its
+    // constant-size exact rerank join
     "q_ann_matryoshka", "q_ann_matryoshka_recall",
+    "q_ann_rerank", "q_ann_rerank_recall",
     // ONE-row bounds frame broadcast onto the scan (q_ann_int8 pattern)
     "q_histogram",
     // ONE-row normalizer frame broadcast onto the |sources|-row agg

@@ -34,6 +34,29 @@ class MatryoshkaSpec extends SparkSpec {
     rec.foreach(r => assert(r.getLong(1) == 5 && r.getDouble(2) == 1.0))
   }
 
+  test("two-stage rerank: never below raw truncation, equals exact when " +
+    "the shortlist holds the true top-5, lossless on the prefix corpus") {
+    // on the prefix-only corpus both stages are exact
+    val rec = SimilarityQueries.rerankRecall.run(spark, dir).collect()
+    rec.foreach(r => assert(r.getDouble(2) == 1.0, r.toString))
+
+    // real corpus: rerank recall >= raw truncated recall per query
+    // (stage two can only fix the shortlist's internal order)
+    val raw = SimilarityQueries.matryoshkaRecall.run(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rr = SimilarityQueries.rerankRecall.run(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.keys.foreach(q => assert(rr(q) >= raw(q), s"query $q: ${rr(q)} < ${raw(q)}"))
+    assert(rr.values.sum > raw.values.sum,
+      "the exact rerank should buy back some recall on this corpus")
+
+    val rrTop = SimilarityQueries.rerankTopK.run(spark, sf0001).collect()
+    assert(rrTop.length == 50)
+    rrTop.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+    }
+  }
+
   test("real corpus: well-formed ranking, recall consistent") {
     val mat = SimilarityQueries.matryoshkaTopK.run(spark, sf0001).collect()
     assert(mat.length == 50)
