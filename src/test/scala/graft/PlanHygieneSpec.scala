@@ -35,6 +35,9 @@ class PlanHygieneSpec extends SparkSpec {
     // constant-size exact rerank join
     "q_ann_matryoshka", "q_ann_matryoshka_recall",
     "q_ann_rerank", "q_ann_rerank_recall",
+    // margin mining: the same bounded query-batch × corpus shape, with
+    // a cross-label (non-equi) candidate filter
+    "q_bitext_mine",
     // ONE-row bounds frame broadcast onto the scan (q_ann_int8 pattern)
     "q_histogram",
     // ONE-row normalizer frame broadcast onto the |sources|-row agg
