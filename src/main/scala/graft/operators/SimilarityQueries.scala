@@ -674,6 +674,36 @@ object SimilarityQueries {
   def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     KnnIndex.edges(s, d)
 
+  /** Hubness audit — the k-occurrence distribution (Radovanović et al.
+    * 2010): how often each vector appears in OTHERS' top-k. Out-degree
+    * is k by construction; in-degree is wildly skewed in high
+    * dimensions, and a hub (in-degree ≫ k) silently dominates mined
+    * pairs, kNN graphs, and retrieval — this is the diagnostic that
+    * motivates `q_bitext_mine`'s margin and prices `q_knn_graph`'s
+    * downstream passes. One hash-agg on the persisted edge artifact,
+    * right-joined back so zero-in-degree vectors (including over-cap
+    * cell members excluded from the graph) stay visible. Hub flag at
+    * in-degree ≥ 3k. */
+  val knnHubness = Q(
+    "q_knn_hubness",
+    s"""WITH $knnEdgesCtes,
+       |deg AS (SELECT vec_b AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+       |        FROM knn GROUP BY vec_b)
+       |SELECT e.vec_id, coalesce(deg.in_degree, 0) AS in_degree,
+       |  coalesce(deg.in_degree, 0) >= ${3 * knnK} AS hub
+       |FROM embeddings e LEFT JOIN deg USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val deg = knnEdges(s, d)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    Tables.embeddings(s, d).select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("in_degree"), lit(0L)) >= 3 * knnK).as("hub"))
+      .orderBy("vec_id")
+  }
+
   val knnGraph = Q(
     "q_knn_graph",
     s"""WITH $knnEdgesCtes

@@ -129,6 +129,9 @@ class PlanHygieneSpec extends SparkSpec {
     // consumes the keep-list artifact; its one cross join broadcasts a
     // single-row sketch frame — bounded by construction
     "q_bloom_prefilter",
+    // serves from the knn edge artifact (one hash-agg + left join);
+    // edge construction swept via the knnEdgesFrom stand-in sweep
+    "q_knn_hubness",
     // serve from the er_labels artifact (DedupResolve's pointer-jumping
     // loop, run once per corpus via IndexCatalog); the underlying
     // blocked match-join shape IS plan-swept via q_er_fuzzy_match
