@@ -167,7 +167,13 @@ object ScaleSmoke {
       // round-11 MMR: the candidate fetch is broadcast-queries × full
       // vector scan (expected linear); the greedy supersteps are
       // constant-size — serving should grow like one corpus pass
-      "q_mmr_select")
+      "q_mmr_select",
+      // round-11 retrieval additions: prefix-truncated two-stage rerank
+      // (one truncated corpus scan + constant-size exact rerank),
+      // margin mining (one cross-label corpus scan), and the hubness
+      // audit (one hash-agg on the knn artifact) — all expected
+      // linear-or-flat
+      "q_ann_rerank", "q_bitext_mine", "q_knn_hubness")
     val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
