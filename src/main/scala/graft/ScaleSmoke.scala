@@ -194,7 +194,11 @@ object ScaleSmoke {
     // per decade: e = ln(t_hi/t_lo)/ln(vol_hi/vol_lo).
     deriveCorpus(spark, src, out30, replicas30)
     val growthNames = Seq("q_dedup_incremental", "q_dedup_verdict",
-      "q_tfidf_terms")
+      "q_tfidf_terms",
+      // round-11's steepest absolute serve lines: line-grain excision
+      // (claimed linear — one distinct-count hash-agg + broadcast list)
+      // and winnow matching (claimed sub-linear under the bucket cap)
+      "q_line_excise", "q_winnow_matches")
     val growthTiers = Seq(("1x", src, 1), ("10x", out, replicas),
       (s"${replicas30}x", out30, replicas30))
     val growth = growthNames.flatMap { name =>

@@ -293,6 +293,79 @@ object TextQueries {
     }
   }
 
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+    * GENERATIVE ranker next to [[bm25]]'s probabilistic-relevance one:
+    * score(d) = Σ_w log p(w | θ_d) with
+    * p(w | θ_d) = (tf + μ·cf_w/T) / (dl + μ), μ = [[QlMu]]. Unlike
+    * BM25, ABSENT query terms still contribute (the smoothed background
+    * mass), which is what makes QL length-aware without a tuned b.
+    *
+    * Exact-integer: multiply p through by T —
+    * (tf·T + μ·cf_w) / ((dl + μ)·T) — and take the house bit-length
+    * log2 surrogate of numerator and denominator, so every term score
+    * is a small integer in both engines (LOWER total bits = higher
+    * likelihood; rank ascending). At 100 TB magnitudes stay inside
+    * BIGINT: (dl+μ)·T ≲ 2·10¹⁶ for a 10¹³-token corpus. The surrogate
+    * quantizes at factor-2 resolution — sub-octave likelihood
+    * differences tie and break on doc_id (QueryLikelihoodSpec pins
+    * exactly where the length penalty becomes visible).
+    *
+    * Serving reads the SAME persisted inverted-index artifact as bm25
+    * (postings → tf and cf, doclens, the 1-row stats frame); candidates
+    * are docs with ≥ 1 query-term hit, scored against ALL query terms
+    * via a |terms|-row grid crossed onto the candidate set. */
+  private[graft] final val QlMu = 2000L
+  val queryLikelihood = {
+    val terms = Seq("scan", "join", "quantile")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    Q(
+      "q_text_ql",
+      s"""WITH post AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($W) AS term FROM documents
+         |  ) WHERE term IN ($termList) GROUP BY doc_id, term
+         |), cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+         |          FROM post GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(sum(len($W)) AS BIGINT) AS total_tokens
+         |       FROM documents),
+         |cand AS (SELECT DISTINCT doc_id FROM post),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |    length(bin((dl.dl + $QlMu) * st.total_tokens))
+         |      - length(bin(coalesce(p.tf, 0) * st.total_tokens
+         |                   + $QlMu * g.cf)) AS bits,
+         |    CASE WHEN p.tf IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM (SELECT cand.doc_id, cf.term, cf.cf
+         |        FROM cand CROSS JOIN cf) g
+         |  LEFT JOIN post p ON p.doc_id = g.doc_id AND p.term = g.term
+         |  JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN st
+         |)
+         |SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hit_terms,
+         |  CAST(sum(bits) AS BIGINT) AS score_bits
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_bits, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val post = invertedIndex(s, d)
+        .filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"))
+      val cf = post.groupBy("term").agg(sum("tf").as("cf"))
+      val cand = post.select("doc_id").distinct()
+      val grid = cand.crossJoin(broadcast(cf))
+      grid
+        .join(post, Seq("doc_id", "term"), "left")
+        .join(doclens(s, d), "doc_id")
+        .crossJoin(broadcast(textStats(s, d).select("total_tokens")))
+        .withColumn("bits",
+          expr(s"length(bin((dl + $QlMu) * total_tokens)) - " +
+            s"length(bin(coalesce(tf, 0L) * total_tokens + $QlMu * cf))"))
+        .withColumn("hit", when(col("tf").isNotNull, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum("hit").as("n_hit_terms"), sum("bits").cast("long").as("score_bits"))
+        .orderBy(col("score_bits"), col("doc_id"))
+        .limit(20)
+    }
+  }
+
   /** Per-doc phrase occurrence counts from the positional postings:
     * shift word i's positions back by i, and a phrase occurrence is
     * one (doc_id, start) value shared by ALL words — the adjacency

@@ -117,6 +117,10 @@ class PlanHygieneSpec extends SparkSpec {
     // cross join broadcasts the artifact's ONE-row collection-stats
     // frame — bounded by construction, the q_ann_int8 pattern
     "q_text_search", "q_text_bm25", "q_text_phrase",
+    // same artifact-served postings; its cross joins are the 3-row
+    // query-term cf frame and the 1-row stats frame — bounded by the
+    // query alphabet (the q_text_bm25 pattern)
+    "q_text_ql",
     // serves from BOTH persisted artifacts (inverted index + IVF);
     // its two cross joins broadcast the index's ONE-row stats frame
     // (the q_text_bm25 pattern); leg shapes are k-bounded windows
