@@ -40,13 +40,15 @@ object BlobChunker {
     * well-mixed high bits (measured 61.8-byte mean, vs 64 expected). */
   final val Divisor = 64
 
-  /** The boundary threshold Mod/Divisor. */
-  final val Threshold: Long = (1 << 25) / Divisor
-
-  /** Hash modulus 2^25 — big enough that `% Divisor` is unbiased,
-    * small enough that the oracle's sum-of-products (≤ 16·255·2^25 ≈
-    * 2^37) stays far inside BIGINT. */
+  /** Hash modulus 2^25 — big enough that the threshold test is
+    * unbiased, small enough that the oracle's sum-of-products
+    * (≤ 16·255·2^25 ≈ 2^37) stays far inside BIGINT. Declared BEFORE
+    * [[Threshold]]: object vals initialize in order, so the reverse
+    * order would fold Mod = 0 into the threshold. */
   final val Mod = 1 << 25
+
+  /** The boundary threshold Mod/Divisor. */
+  final val Threshold: Long = Mod.toLong / Divisor
 
   private final val K = 37L // order 16 mod 64; 31 has order 2 (31^2 = 961 ≡ 1)
   /** K^Window mod 2^25 — the outgoing byte's weight. */
