@@ -49,6 +49,7 @@ object IndexBuilds {
     // avro FIXTURES pre-built here so q_s10/q_s11 serving passes are
     // read-only (round-10 verdict №2: the lazy in-serving build raced
     // its own directory overwrite once per ~hundred runs)
+    "idx_winnow_fp"     -> ((s, d) => { WinnowQueries.fingerprintTable(s, d); () }),
     "idx_avro_docs"     -> ((s, d) => { SourceQueries.avroDocsFixture(s, d); () }),
     "idx_avro_vecs"     -> ((s, d) => { SourceQueries.avroVecsFixture(s, d); () }))
 }

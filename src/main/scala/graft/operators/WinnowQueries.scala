@@ -135,6 +135,32 @@ object WinnowQueries {
   private[graft] def selected(docs: org.apache.spark.sql.DataFrame) =
     selectedRaw(docs).distinct()
 
+  /** The persisted fingerprint artifact (doc_id, fh, pos), distinct,
+    * BUCKETED ON fh — fingerprinting the corpus is a train-once pass
+    * (the [[graft.sources.IndexCatalog]] discipline every other dedup
+    * family follows), and bucketing on the hash makes the match
+    * bucket-count, the pair self-join, and the span attribution joins
+    * all bucket-local (no Exchange on the fingerprint side).
+    * `q_winnow_fingerprint` deliberately stays LIVE — it is the
+    * construction-shape query the plan sweep guards. */
+  private[graft] def fingerprintTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IndexCatalog
+    val key = s"winnow_fp_${IndexCatalog.tag(d)}"
+    val table = IndexCatalog.tableName(key)
+    IndexCatalog.ensure(s, key, inputs = Seq(d),
+      owners = Seq(WinnowQueries.getClass, graft.Tables.getClass,
+        graft.functions.TextFunctions.getClass,
+        graft.plans.WordShingles.getClass)) { dir =>
+      IndexCatalog.persistBucketedTable(
+        selected(Tables.documents(s, d))
+          .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"),
+            expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos")),
+        dir, table, 8, Seq("fh"), Seq("doc_id"))
+    }
+    s.table(table)
+  }
+
   /** Per-document fingerprint profile: gram/window/fingerprint counts
     * and the selection density (floor-percent of windows) — the
     * winnowing theorem puts expected density at ~2/(w+1) of windows for
@@ -211,7 +237,10 @@ object WinnowQueries {
        |SELECT doc_a, doc_b, n_shared FROM pairs
        |WHERE n_shared >= $MatchMin
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val fp = fingerprintHashes(Tables.documents(s, d))
+    // serve from the persisted fingerprint artifact: the distinct, the
+    // bucket count, and the pair self-join are all clustered on fh, so
+    // none of them exchanges the fingerprint side
+    val fp = fingerprintTable(s, d).select("doc_id", "fh").distinct()
     val ok = fp.groupBy("fh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("n") <= WinnowMaxBucket)
       .select("fh")
@@ -261,10 +290,9 @@ object WinnowQueries {
        |JOIN pos pa ON pa.doc_id = m.doc_a
        |JOIN pos pb ON pb.doc_id = m.doc_b AND pb.fh = pa.fh
        |ORDER BY doc_a, doc_b, pa.fh, pos_a, pos_b""".stripMargin) { (s, d) =>
-    val sel = selected(Tables.documents(s, d))
-    val pos = sel.select(col("doc_id"),
-      expr(s"fkey div ${PosSpan}L").as("fh"),
-      expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos"))
+    // both the pair frame and the positional attribution read the SAME
+    // persisted artifact — fingerprints are computed once per corpus
+    val pos = fingerprintTable(s, d)
     val m = matches.run(s, d).select("doc_a", "doc_b")
     m.join(pos.select(col("doc_id").as("doc_a"), col("fh"),
         col("pos").as("pos_a")), Seq("doc_a"))

@@ -136,6 +136,11 @@ class PlanHygieneSpec extends SparkSpec {
     // serves from the knn edge artifact (one hash-agg + left join);
     // edge construction swept via the knnEdgesFrom stand-in sweep
     "q_knn_hubness",
+    // serve from the winnow fingerprint artifact (fh-bucketed:
+    // distinct, bucket count, pair join, and span joins all
+    // bucket-local); the window-selection construction shape stays
+    // swept via the LIVE q_winnow_fingerprint
+    "q_winnow_matches", "q_winnow_spans",
     // serve from the er_labels artifact (DedupResolve's pointer-jumping
     // loop, run once per corpus via IndexCatalog); the underlying
     // blocked match-join shape IS plan-swept via q_er_fuzzy_match

@@ -19,10 +19,10 @@ class WinnowSpec extends SparkSpec {
   private val dir = "/tmp/graft_winnow_spec"
   private val T = WinnowK + WinnowW - 1 // guarantee threshold (7 words)
 
-  private def writeDocs(rows: Seq[(Long, String)]): Unit =
+  private def writeDocs(rows: Seq[(Long, String)], d: String = dir): Unit =
     rows.map { case (id, t) => (id, t, "en", "web") }
       .toDF("doc_id", "text", "lang", "source")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
 
   private def fpHashes(sfDir: String): Map[Long, Set[Long]] =
     WinnowQueries.fingerprintHashes(graft.Tables.documents(spark, sfDir))
@@ -104,14 +104,17 @@ class WinnowSpec extends SparkSpec {
     // MatchMin; every doc identical, so each bucket holds the whole set
     val body = (0 until 30).map("q" + _).mkString(" ")
     val clique = (0L until (WinnowMaxBucket + 2L)).map(_ -> body)
-    writeDocs(clique)
+    // matches serves from the per-corpus IndexCatalog artifact, which
+    // memoizes per key within a JVM — each case gets its own dir so
+    // the second can't read the first's index
+    writeDocs(clique, s"${dir}_over")
     // every fingerprint bucket is 502 > cap -> excluded
-    val m = WinnowQueries.matches.run(spark, dir).collect()
+    val m = WinnowQueries.matches.run(spark, s"${dir}_over").collect()
     assert(m.isEmpty, "over-cap buckets must be excluded from pair generation")
 
     // under the cap the same clique pairs fully at n_shared >= MatchMin
-    writeDocs(clique.take(6))
-    val m2 = WinnowQueries.matches.run(spark, dir).collect()
+    writeDocs(clique.take(6), s"${dir}_under")
+    val m2 = WinnowQueries.matches.run(spark, s"${dir}_under").collect()
     assert(m2.length == 15, s"expected C(6,2)=15 pairs, got ${m2.length}")
     m2.foreach(r => assert(r.getLong(2) >= MatchMin))
   }
