@@ -174,7 +174,11 @@ object ScaleSmoke {
       // audit (one hash-agg on the knn artifact) — all expected
       // linear-or-flat
       "q_ann_rerank", "q_bitext_mine", "q_knn_hubness")
-    val serve = serveNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // a misspelled/renamed name must FAIL the smoke, not silently vanish
+    // from SCALE_SMOKE.json (r11 advice)
+    val unknown = serveNames.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"smoke serve list names unknown queries: $unknown")
+    val serve = serveNames.map(n => n -> SparkEntry.queries(n))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, out).queryExecution.toRdd.count(); true }
@@ -199,10 +203,13 @@ object ScaleSmoke {
       // (claimed linear — one distinct-count hash-agg + broadcast list)
       // and winnow matching (claimed sub-linear under the bucket cap)
       "q_line_excise", "q_winnow_matches")
+    val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
+    require(unknownGrowth.isEmpty,
+      s"smoke growth list names unknown queries: $unknownGrowth")
     val growthTiers = Seq(("1x", src, 1), ("10x", out, replicas),
       (s"${replicas30}x", out30, replicas30))
     val growth = growthNames.flatMap { name =>
-      SparkEntry.queries.get(name).toSeq.flatMap { fn =>
+      Seq(SparkEntry.queries(name)).flatMap { fn =>
         growthTiers.map { case (tag, dd, vol) =>
           def once(): Option[Double] =
             try {

@@ -28,7 +28,16 @@ object BitextQueries {
   private[graft] final val MineQ = 20
   /** Ratio-margin acceptance threshold, in milli (1.06 — the
     * CCMatrix-style operating point). Stored floor-milli so the
-    * verdict column is integer-stable. */
+    * verdict column is integer-stable.
+    *
+    * The ratio is only defined for a POSITIVE denominator: with
+    * cos_second <= 0 Spark's floor(Infinity).cast(long) saturates to
+    * Long.MaxValue while DuckDB's CAST raises, and a negative ratio
+    * would REJECT a query whose best clearly dominates a negative
+    * runner-up — inverted semantics. So margin_milli is NULL when
+    * cos_second <= 0, and acceptance falls back to cos_best > 0 (a
+    * positive best beats any non-positive second by unbounded ratio),
+    * guarded identically in the plan and the oracle. */
   private[graft] final val MarginMilli = 1060L
 
   private val cosSql = SimilarityQueries.cosSql
@@ -49,8 +58,13 @@ object BitextQueries {
        |SELECT b.query_id, b.query_label, b.cand_id AS best_id,
        |  b.cand_label AS best_label, b.cosine AS cos_best,
        |  s.cosine AS cos_second,
-       |  CAST(floor(1000 * b.cosine / s.cosine) AS BIGINT) AS margin_milli,
-       |  floor(1000 * b.cosine / s.cosine) >= $MarginMilli AS accepted
+       |  CASE WHEN s.cosine > 0
+       |       THEN CAST(floor(1000 * b.cosine / s.cosine) AS BIGINT)
+       |  END AS margin_milli,
+       |  CASE WHEN s.cosine > 0
+       |       THEN floor(1000 * b.cosine / s.cosine) >= $MarginMilli
+       |       ELSE b.cosine > 0
+       |  END AS accepted
        |FROM (SELECT * FROM ranked WHERE rank = 1) b
        |JOIN (SELECT * FROM ranked WHERE rank = 2) s USING (query_id)
        |ORDER BY query_id""".stripMargin) { (s, d) =>
@@ -77,10 +91,13 @@ object BitextQueries {
       .select(col("query_id"), col("cosine").as("cos_second"))
     best.join(second, Seq("query_id"))
       .withColumn("margin_milli",
-        floor(lit(1000) * col("cos_best") / col("cos_second")).cast("long"))
+        when(col("cos_second") > 0,
+          floor(lit(1000) * col("cos_best") / col("cos_second")).cast("long")))
       .select(col("query_id"), col("query_label"), col("best_id"),
         col("best_label"), col("cos_best"), col("cos_second"),
-        col("margin_milli"), (col("margin_milli") >= MarginMilli).as("accepted"))
+        col("margin_milli"),
+        when(col("cos_second") > 0, col("margin_milli") >= MarginMilli)
+          .otherwise(col("cos_best") > 0).as("accepted"))
       .orderBy("query_id")
   }
 }

@@ -28,9 +28,11 @@ object BlobQueries {
 
   import BlobChunker.{Mod, Threshold, Window}
 
-  /** Shared oracle CTEs: closed-form bytes → windowed polynomial hash →
-    * boundaries → chunks with md5. */
-  private val chunkCtes =
+  /** Synthetic-generator CTEs (params/bytes), shared by [[chunkCtes]]
+    * AND the fixed-grid control [[blobGrid]] — ONE copy, so an edit to
+    * the generator constants can never silently desynchronize the CDC
+    * family from its control while both still pass their own oracles. */
+  private val genCtes =
     s"""params AS (
        |  SELECT doc_id, 700 + (doc_id % 13) * 37 AS total,
        |    1 + doc_id % 17 AS p, doc_id % 25 AS g
@@ -45,7 +47,12 @@ object BlobQueries {
        |             % 4294967296 // 65536 % 256
        |      ELSE (doc_id * 1812433253 + t.range * 2654435761)
        |             % 4294967296 // 65536 % 256 END AS b
-       |  FROM params, range(1150) t WHERE t.range < total),
+       |  FROM params, range(1150) t WHERE t.range < total)""".stripMargin
+
+  /** Shared oracle CTEs: closed-form bytes → windowed polynomial hash →
+    * boundaries → chunks with md5. */
+  private val chunkCtes =
+    s"""$genCtes,
        |roll AS (
        |  SELECT x.doc_id, x.i, sum(y.b * pw.pw) % $Mod AS h
        |  FROM bytes x
@@ -162,21 +169,7 @@ object BlobQueries {
     * arithmetic (i // 64), no rolling hash. */
   val blobGrid = Q(
     "q_blob_grid",
-    s"""WITH params AS (
-       |  SELECT doc_id, 700 + (doc_id % 13) * 37 AS total,
-       |    1 + doc_id % 17 AS p, doc_id % 25 AS g
-       |  FROM documents WHERE doc_id < 500),
-       |bytes AS (
-       |  SELECT doc_id, total, t.range AS i,
-       |    CASE WHEN t.range < p
-       |      THEN (doc_id * 2654435761 + t.range * 40503)
-       |             % 4294967296 // 65536 % 256
-       |      WHEN t.range < p + 512
-       |      THEN (g * 1099087573 + (t.range - p) * 2654435761)
-       |             % 4294967296 // 65536 % 256
-       |      ELSE (doc_id * 1812433253 + t.range * 2654435761)
-       |             % 4294967296 // 65536 % 256 END AS b
-       |  FROM params, range(1150) t WHERE t.range < total),
+    s"""WITH $genCtes,
        |ch AS (
        |  SELECT doc_id, i // 64 AS blk, CAST(count(*) AS BIGINT) AS len,
        |    md5(string_agg(CAST(b AS VARCHAR), '|' ORDER BY i)) AS h

@@ -2,10 +2,11 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import graft.operators.WinnowQueries
-import graft.sources.UpsertBucketedSink
+import graft.sources.{BucketedTableSink, UpsertBucketedSink}
 
 /** Streaming winnowing — fingerprint-match-on-arrival, twin #15: each
   * micro-batch of documents is winnowed the moment it lands and matched
@@ -37,17 +38,43 @@ import graft.sources.UpsertBucketedSink
   * Replay safety: a re-applied micro-batch anti-joins its doc_ids out
   * of the base index, the pair write is a keyed merge, and the index
   * write overwrites its own `ingest_batch=<id>` partition — restart
-  * recovery changes no table. */
+  * recovery changes no table.
+  *
+  * Re-ingest (r11 advice, medium): a doc_id RE-FETCHED with new text in
+  * a later batch supersedes its older fingerprint set — [[readFp]] keeps
+  * only each doc's NEWEST ingest_batch (the BlobStreams.latest rule), so
+  * matches never count the union of old+new fingerprints; and pairs the
+  * superseded text produced are RETRACTED ([[purgeSupersededPairs]] —
+  * a bucketed staging swap scoped to the re-ingested ids) before the
+  * fresh text's pairs are merged, so the pair table reflects newest
+  * text only. First-time ingests skip the purge entirely (the common
+  * crawl case stays |delta|-proportional); a purge batch pays one
+  * co-bucketed anti-join rewrite of the pair table. Same-batch
+  * duplicate doc_ids collapse to one deterministic row (longest text,
+  * then lexicographically greatest — the QualityStreams rule) before
+  * fingerprinting, so a merged fingerprint set no batch run could
+  * produce is impossible. */
 object WinnowStreams {
 
-  private def readFp(s: SparkSession, fpDir: String,
-                     emptyLike: DataFrame): DataFrame = {
+  /** Raw accumulated index WITH the ingest_batch partition column. */
+  private def readFpRaw(s: SparkSession, fpDir: String): Option[DataFrame] = {
     val p = new Path(fpDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(fpDir).select("doc_id", "fh")
-    else emptyLike.select("doc_id", "fh").limit(0)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(fpDir))
+    else None
   }
+
+  /** Each doc's NEWEST ingested fingerprint set (superseding rule). */
+  private def readFp(s: SparkSession, fpDir: String,
+                     emptyLike: DataFrame): DataFrame =
+    readFpRaw(s, fpDir) match {
+      case Some(raw) =>
+        raw.withColumn("nb",
+            max("ingest_batch").over(Window.partitionBy("doc_id")))
+          .filter(col("ingest_batch") === col("nb"))
+          .select("doc_id", "fh")
+      case None => emptyLike.select("doc_id", "fh").limit(0)
+    }
 
   /** Incremental match plan: delta fingerprints against (stored ∪
     * delta), bucket-capped, canonical (min, max) orientation, shared
@@ -73,22 +100,70 @@ object WinnowStreams {
       .filter(col("n_shared") >= WinnowQueries.MatchMin)
   }
 
+  /** Retract every stored pair touching a re-ingested doc_id: its pairs
+    * were derived from superseded text, and the fresh text's matches are
+    * about to be recomputed against the full base — a keyed merge alone
+    * would leave pairs the new text no longer supports (including pairs
+    * that fell below MatchMin, which the merge would never see). One
+    * co-bucketed anti-join + staging swap, the UpsertBucketedSink
+    * discipline. */
+  private[streaming] def purgeSupersededPairs(s: SparkSession,
+      pairTable: String, ids: DataFrame, buckets: Int): Unit = {
+    if (!s.catalog.tableExists(pairTable)) return
+    val keep = s.table(pairTable)
+      .join(broadcast(ids.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(ids.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "n_shared")
+    val staging = pairTable + "_purge_staging"
+    BucketedTableSink(buckets, Seq("doc_a", "doc_b")).write(keep, staging)
+    s.sql(s"DROP TABLE IF EXISTS $pairTable")
+    s.sql(s"ALTER TABLE $staging RENAME TO $pairTable")
+    s.catalog.refreshTable(pairTable)
+    org.apache.spark.sql.SparkSession.getDefaultSession
+      .filter(_ ne s)
+      .filter(_.catalog.tableExists(pairTable))
+      .foreach(_.catalog.refreshTable(pairTable))
+  }
+
   /** One micro-batch application, exposed apart from the stream wiring
     * so tests can replay a batch directly. Expects document-shaped rows
     * (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long, pairTable: String,
                    fpDir: String, buckets: Int = 8): Unit = {
     val s = batch.sparkSession
-    val delta = WinnowQueries.fingerprintHashes(batch)
-    val deltaIds = batch.select("doc_id")
-    // replay-safety: a re-applied batch's rows leave the base slice
+    // same-batch re-fetch: one deterministic row per doc (longest text,
+    // then lexicographically greatest — the QualityStreams rule), so the
+    // fingerprint set is always one a batch run could produce
+    val one = batch
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(length(col("text")).desc, col("text").desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+    val delta = WinnowQueries.fingerprintHashes(one)
+    val deltaIds = one.select("doc_id")
+    // replay-safety AND supersede: the current batch's doc_ids leave the
+    // base slice entirely (their old fingerprints are dead); docs NOT in
+    // this batch contribute their newest ingest only (readFp)
     val base = readFp(s, fpDir, delta)
       .join(deltaIds, Seq("doc_id"), "left_anti")
+    // cross-batch re-ingest: ids already present under an OLDER batch
+    // must have their stale pairs retracted before the merge. Replays
+    // (same batchId) see only their own partition and skip the purge.
+    val reIngested = readFpRaw(s, fpDir)
+      .map(_.filter(col("ingest_batch") =!= batchId)
+        .select("doc_id").distinct()
+        .join(deltaIds, Seq("doc_id"), "left_semi"))
+      .getOrElse(deltaIds.limit(0))
+    if (!reIngested.isEmpty)
+      purgeSupersededPairs(s, pairTable, reIngested, buckets)
     val pairs = incrementalMatchAgainst(delta, base)
     UpsertBucketedSink(buckets, Seq("doc_a", "doc_b"), "n_shared")
       .write(pairs, pairTable)
-    // each document enters the stored index exactly once: the partition
-    // is keyed by batchId, so a replay rewrites it in place
+    // each document enters the stored index exactly once per batch: the
+    // partition is keyed by batchId, so a replay rewrites it in place
     delta.write.mode("overwrite").parquet(s"$fpDir/ingest_batch=$batchId")
   }
 

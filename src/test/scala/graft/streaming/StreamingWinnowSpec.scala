@@ -20,7 +20,7 @@ class StreamingWinnowSpec extends SparkSpec {
   private val fpD = "/tmp/graft_sw_fp"
 
   private def cleanup(): Unit = {
-    Seq(pairT, s"${pairT}_upsert_staging")
+    Seq(pairT, s"${pairT}_upsert_staging", s"${pairT}_purge_staging")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val p = new org.apache.hadoop.fs.Path(fpD)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -71,5 +71,76 @@ class StreamingWinnowSpec extends SparkSpec {
       q.stop()
       cleanup()
     }
+  }
+
+  // a run of ≥ 7 shared words is certainly detected (w + k - 1 = 7);
+  // these share ~30 words, far above MatchMin shared fingerprints
+  private def run(tag: String) =
+    (1 to 30).map(i => s"$tag$i").mkString(" ")
+  private def doc(tag: String, salt: String) =
+    s"$salt opening words here ${run(tag)} closing trailer $salt"
+
+  test("cross-batch re-ingest supersedes fingerprints and retracts stale pairs") {
+    cleanup()
+    try {
+      // batch 0: A(1) and B(2) share run alpha → pair (1,2); D(4) alone
+      WinnowStreams.processBatch(Seq(
+          (1L, doc("alpha", "sa")), (2L, doc("alpha", "sb")),
+          (4L, doc("delta", "sd"))).toDF("doc_id", "text"),
+        batchId = 0L, pairT, fpD, buckets = 4)
+      val p0 = spark.table(pairT).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p0 == Set((1L, 2L)), s"expected the alpha pair, got $p0")
+
+      // batch 1: A re-fetched with NEW text sharing delta with D —
+      // the alpha pair must retract, the (1,4) pair must appear
+      WinnowStreams.processBatch(
+        Seq((1L, doc("delta", "sa2"))).toDF("doc_id", "text"),
+        batchId = 1L, pairT, fpD, buckets = 4)
+      val p1 = spark.table(pairT).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 == Set((1L, 4L)),
+        s"stale alpha pair must retract, new delta pair must land: $p1")
+
+      // the served index counts ONLY A's newest fingerprints: matching
+      // state equals a from-scratch batch over the newest texts
+      val finalCorpus = Seq(
+        (1L, doc("delta", "sa2")), (2L, doc("alpha", "sb")),
+        (4L, doc("delta", "sd"))).toDF("doc_id", "text")
+      val fpAll = WinnowQueries.fingerprintHashes(finalCorpus)
+      val expected = WinnowStreams.incrementalMatchAgainst(
+          fpAll, fpAll.limit(0))
+        .select("doc_a", "doc_b", "n_shared").collect().map(pairKey).toSet
+      val got = spark.table(pairT).select("doc_a", "doc_b", "n_shared")
+        .collect().map(pairKey).toSet
+      assert(got == expected, s"stream state must equal newest-text batch: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+
+      // replaying the re-ingest batch is still a no-op
+      WinnowStreams.processBatch(
+        Seq((1L, doc("delta", "sa2"))).toDF("doc_id", "text"),
+        batchId = 1L, pairT, fpD, buckets = 4)
+      val replay = spark.table(pairT).select("doc_a", "doc_b", "n_shared")
+        .collect().map(pairKey).toSet
+      assert(replay == got, "replaying the re-ingest batch must be a no-op")
+    } finally cleanup()
+  }
+
+  test("same-batch duplicate doc_ids collapse to one deterministic row") {
+    cleanup()
+    try {
+      val keptText = doc("beta", "longsalt extra padding words making this strictly longer")
+      WinnowStreams.processBatch(Seq(
+          (7L, doc("gamma", "short")), (7L, keptText)).toDF("doc_id", "text"),
+        batchId = 0L, pairT, fpD, buckets = 4)
+      val stored = spark.read.parquet(fpD).select("doc_id", "fh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = WinnowQueries.fingerprintHashes(
+          Seq((7L, keptText)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == expect,
+        "the longest text's fingerprint set alone must be stored — " +
+          "never a union of two texts no batch run could produce")
+    } finally cleanup()
   }
 }
