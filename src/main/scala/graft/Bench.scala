@@ -134,11 +134,15 @@ object Bench {
     val bs = builtOk.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fl = failed.map(k => s"\"$k\"").mkString("[", ",", "]")
     val ad = adopted.map(k => s"\"$k\"").mkString("[", ",", "]")
+    // adopt-vs-rebuild attribution per artifact key (r11 verdict item 1:
+    // a stale-artifact straddle must be visible evidence, not forensics)
+    val prov = graft.sources.IndexCatalog.provenance.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val rg = regressions.map { case (k, p, c, r) =>
       s"""{"query":"$k","prev":$p,"cur":$c,"ratio":$r}"""
     }.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"regressions":$rg,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))

@@ -96,6 +96,26 @@ object BlobQueries {
       .drop("bstr")
   }
 
+  /** Chunk records persisted once per (run, corpus) through the catalog
+    * — the chunk-store manifest a content-addressed storage tier keeps
+    * anyway (bytes are chunked ONCE at ingest, never re-chunked per
+    * query), which the dedup/storage queries serve from and the
+    * delete-audit melt list covers via the declared doc_id (a deleted
+    * blob's chunk records are part of the right-to-be-forgotten
+    * surface). [[chunkFrame]] stays the live chunking plan (the builder
+    * body and the streaming twin's shape). */
+  private[graft] def chunkTable(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"blob_chunks_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(BlobQueries.getClass, BlobChunker.getClass,
+          graft.Tables.getClass)) { dir =>
+      chunkFrame(s, d).write.mode("overwrite").parquet(s"$dir/chunks")
+      IndexCatalog.declareIds("path", "chunks", Seq("doc_id"))
+    }
+    s.read.parquet(s"$dir/chunks")
+  }
+
   /** Per-blob chunking profile: chunk count, within-blob distinct
     * chunks, extremes, and the mean chunk length in milli-bytes
     * (expected ≈ Divisor·1000) — the dial a storage tier watches when
@@ -112,7 +132,7 @@ object BlobQueries {
        |  CAST(max(len) AS BIGINT) AS max_len,
        |  CAST(sum(len) * 1000 // count(*) AS BIGINT) AS mean_len_milli
        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    chunkFrame(s, d)
+    chunkTable(s, d)
       .groupBy("doc_id")
       .agg(sum("len").as("n_bytes"),
         count(lit(1)).as("n_chunks"),
@@ -144,7 +164,7 @@ object BlobQueries {
        |SELECT doc_id, n_bytes, n_chunks, n_dup, bytes_dup,
        |  bytes_dup * 100 // n_bytes AS dup_pct
        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ch = chunkFrame(s, d)
+    val ch = chunkTable(s, d)
     val cnt = ch.groupBy("h").agg(count(lit(1)).as("cn"))
     ch.join(cnt, Seq("h"))
       .groupBy("doc_id")
@@ -230,7 +250,7 @@ object BlobQueries {
        |  CAST(100 - (SELECT sum(len) FROM u) * 100
        |    // (SELECT sum(len) FROM ch) AS BIGINT) AS saving_pct""".stripMargin) {
     (s, d) =>
-      val ch = chunkFrame(s, d)
+      val ch = chunkTable(s, d)
       val tot = ch.agg(
         countDistinct(col("doc_id")).as("n_blobs"),
         sum("len").as("bytes_total"),

@@ -325,6 +325,7 @@ object DedupQueries {
       val sh = lshShingles(s, d).cache()
       try lshPairsFrom(sh).write.mode("overwrite").parquet(s"$dir/pairs")
       finally sh.unpersist()
+      IndexCatalog.declareIds("path", "pairs", Seq("doc_a", "doc_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -337,6 +338,8 @@ object DedupQueries {
                                   owners = lshKeepOwners) { dir =>
       DedupResolve.keepList(lshPairs(s, d).select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(s"$dir/keep")
+      // the cluster label is itself a doc id (canonical min member)
+      IndexCatalog.declareIds("path", "keep", Seq("doc_id", "cluster"))
     }
     s.read.parquet(s"$dir/keep")
   }
@@ -633,6 +636,7 @@ object DedupQueries {
       val sig = simhashFrame(s, d).cache()
       try simhashPairsFrom(sig).write.mode("overwrite").parquet(s"$dir/pairs")
       finally sig.unpersist()
+      IndexCatalog.declareIds("path", "pairs", Seq("doc_a", "doc_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -932,6 +936,7 @@ object DedupQueries {
         embeddingPairsFrom(v, planes, bits)
           .write.mode("overwrite").parquet(s"$dir/pairs")
       } finally v.unpersist()
+      IndexCatalog.declareIds("path", "pairs", Seq("vec_a", "vec_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -944,6 +949,7 @@ object DedupQueries {
       DedupResolve.keepList(
           embPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
+      IndexCatalog.declareIds("path", "keep", Seq("doc_id", "cluster"))
     }
     s.read.parquet(s"$dir/keep")
   }
@@ -1180,6 +1186,7 @@ object DedupQueries {
           IvfIndex.assignments(s, d, ivfK, ivfIters),
           embeddingVectors(s, d))
         .write.mode("overwrite").parquet(s"$dir/pairs")
+      IndexCatalog.declareIds("path", "pairs", Seq("vec_a", "vec_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }
@@ -1215,6 +1222,7 @@ object DedupQueries {
       DedupResolve.keepList(
           semPairs(s, d).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .write.mode("overwrite").parquet(s"$dir/keep")
+      IndexCatalog.declareIds("path", "keep", Seq("doc_id", "cluster"))
     }
     s.read.parquet(s"$dir/keep")
   }
@@ -1265,6 +1273,7 @@ object DedupQueries {
           IvfIndex.cells(s, d, ivfK, ivfIters, nprobe = 2),
           embeddingVectors(s, d))
         .write.mode("overwrite").parquet(s"$dir/pairs")
+      IndexCatalog.declareIds("path", "pairs", Seq("vec_a", "vec_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }

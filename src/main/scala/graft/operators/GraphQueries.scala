@@ -329,6 +329,8 @@ object GraphQueries {
           graft.sources.BucketedTableSink.getClass)) { dir =>
       communitiesFrom(mutualUndirected(s, d))
         .write.mode("overwrite").parquet(s"$dir/labels")
+      // the community label is itself a vec id (canonical min member)
+      IndexCatalog.declareIds("path", "labels", Seq("vec_id", "community"))
     }
     s.read.parquet(s"$dir/labels")
   }

@@ -212,7 +212,8 @@ object IvfIndex {
       try {
         t.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
         IndexCatalog.persistBucketedTable(
-          IvfQuantizer.cellsOf(t, 1), dir, asnTable, 8, Seq("vec_id"))
+          IvfQuantizer.cellsOf(t, 1), dir, asnTable, 8, Seq("vec_id"),
+          idCols = Seq("vec_id"))
       } finally t.quantized.unpersist()
     }
     (dir, asnTable)

@@ -468,6 +468,7 @@ object LangModelQueries {
       inputs = Seq(d),
       owners = Seq(LangModelQueries.getClass, graft.Tables.getClass)) { dir =>
       knScoresLive(s, d).write.mode("overwrite").parquet(s"$dir/scores")
+      IndexCatalog.declareIds("path", "scores", Seq("doc_id"))
     }
     s.read.parquet(s"$dir/scores")
   }

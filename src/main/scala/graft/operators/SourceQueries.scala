@@ -83,6 +83,7 @@ object SourceQueries {
         graft.Tables.documents(s, d)
           .select("doc_id", "text", "lang", "source", "n_chars"),
         s"$dir/docs")
+      IndexCatalog.declareIds("avro", "docs", Seq("doc_id"))
     }
     s"$dir/docs"
   }
@@ -94,6 +95,7 @@ object SourceQueries {
         inputs = Seq(d),
         owners = Seq(AvroTable.getClass, graft.Tables.getClass)) { dir =>
       AvroTable.write(graft.Tables.embeddings(s, d), s"$dir/vecs")
+      IndexCatalog.declareIds("avro", "vecs", Seq("vec_id"))
     }
     s"$dir/vecs"
   }

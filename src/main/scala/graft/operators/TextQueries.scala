@@ -163,9 +163,11 @@ object TextQueries {
           graft.functions.TextFunctions.getClass,
           graft.sources.BucketedTableSink.getClass)) { dir =>
       IndexCatalog.persistBucketedTable(
-        invertedIndexPlan(s, d), dir, table, 8, Seq("term"))
+        invertedIndexPlan(s, d), dir, table, 8, Seq("term"),
+        idCols = Seq("doc_id"))
       val dl = doclensPlan(s, d)
       dl.write.mode("overwrite").parquet(s"$dir/doclens")
+      IndexCatalog.declareIds("path", "doclens", Seq("doc_id"))
       s.read.parquet(s"$dir/doclens")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("dl")).cast("long").as("total_tokens"))

@@ -62,6 +62,14 @@ object WinnowQueries {
     * shared fingerprints. Replayed verbatim in the oracle. */
   private[graft] final val WinnowMaxBucket = 500
 
+  /** Partners kept per document by the bounded serving surface
+    * (`q_winnow_matches_topk`) — the kNN top-3 discipline: output is
+    * ≤ MatchTopK rows per doc at ANY near-dup density (r11 verdict
+    * item 5: the unbounded pair set is output-quadratic in replica
+    * density; the bound makes the serving worst case contractual).
+    * The dropped tail is per-doc telemetry (`q_winnow_partners`). */
+  private[graft] final val MatchTopK = 3
+
   /** Position packing: key = hash·2²⁰ + (2²⁰−1−pos). 2²⁰ words bounds
     * the per-doc position (docs here are ~60 words; a 100 TB corpus
     * pre-chunks anything longer); u32 hash · 2²⁰ tops out at 2⁵² —
@@ -156,7 +164,7 @@ object WinnowQueries {
         selected(Tables.documents(s, d))
           .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"),
             expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos")),
-        dir, table, 8, Seq("fh"), Seq("doc_id"))
+        dir, table, 8, Seq("fh"), Seq("doc_id"), idCols = Seq("doc_id"))
     }
     s.table(table)
   }
@@ -215,15 +223,11 @@ object WinnowQueries {
       .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"))
       .distinct()
 
-  /** Document pairs sharing ≥ [[MatchMin]] distinct fingerprint HASHES
-    * (position stripped — the same span at different offsets still
-    * matches, the plagiarism/mirror-detection semantics). Pair
-    * generation is the capped bucket join: fingerprints collapse to
-    * distinct (doc, hash), hash buckets of 2..[[WinnowMaxBucket]] docs
-    * self-join, shared-hash counts filter at the threshold. */
-  val matches = Q(
-    "q_winnow_matches",
-    s"""WITH $selCtes,
+  /** Shared oracle CTE chain through the thresholded pair set `thr`:
+    * selections → distinct hashes → capped buckets → pairs → MatchMin
+    * threshold. Reused by matches / top-k / partner-telemetry / spans. */
+  private val pairCtes =
+    s"""$selCtes,
        |fp AS (SELECT DISTINCT doc_id, fkey // $PosSpan AS fh FROM sel),
        |bk AS (SELECT fh, count(*) AS n FROM fp GROUP BY fh),
        |ok AS (SELECT fh FROM bk WHERE n BETWEEN 2 AND $WinnowMaxBucket),
@@ -233,13 +237,22 @@ object WinnowQueries {
        |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
        |  JOIN ok ON ok.fh = a.fh
        |  GROUP BY 1, 2
-       |)
-       |SELECT doc_a, doc_b, n_shared FROM pairs
-       |WHERE n_shared >= $MatchMin
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // serve from the persisted fingerprint artifact: the distinct, the
-    // bucket count, and the pair self-join are all clustered on fh, so
-    // none of them exchanges the fingerprint side
+       |),
+       |thr AS (SELECT doc_a, doc_b, n_shared FROM pairs
+       |        WHERE n_shared >= $MatchMin)""".stripMargin
+
+  /** Directed symmetric view of `thr` (each pair once per endpoint). */
+  private val symCte =
+    """sym AS (SELECT doc_a AS doc_id, doc_b AS partner, n_shared FROM thr
+      |        UNION ALL
+      |        SELECT doc_b, doc_a, n_shared FROM thr)""".stripMargin
+
+  /** Spark pair frame (doc_a, doc_b, n_shared), unordered — served from
+    * the persisted fingerprint artifact: the distinct, the bucket
+    * count, and the pair self-join are all clustered on fh, so none of
+    * them exchanges the fingerprint side. */
+  private def matchPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = fingerprintTable(s, d).select("doc_id", "fh").distinct()
     val ok = fp.groupBy("fh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("n") <= WinnowMaxBucket)
@@ -251,7 +264,90 @@ object WinnowQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MatchMin)
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Directed symmetric view of [[matchPairs]]. */
+  private def symPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val p = matchPairs(s, d)
+    p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("n_shared"))
+      .unionByName(p.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner"), col("n_shared")))
+  }
+
+  /** Document pairs sharing ≥ [[MatchMin]] distinct fingerprint HASHES
+    * (position stripped — the same span at different offsets still
+    * matches, the plagiarism/mirror-detection semantics). Pair
+    * generation is the capped bucket join: fingerprints collapse to
+    * distinct (doc, hash), hash buckets of 2..[[WinnowMaxBucket]] docs
+    * self-join, shared-hash counts filter at the threshold.
+    *
+    * OUTPUT CONTRACT (r11 verdict item 5): this is the UNBOUNDED pair
+    * set — its row count grows with the square of near-dup density
+    * within the bucket cap (the 30× smoke measured e≈1.46, provably
+    * output-bound), which a monitoring tier should read as telemetry
+    * ([[partnerStats]] summarizes it per doc). The bounded serving
+    * surface is [[matchesTopK]]. */
+  val matches = Q(
+    "q_winnow_matches",
+    s"""WITH $pairCtes
+       |SELECT doc_a, doc_b, n_shared FROM thr
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    matchPairs(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  /** Bounded partners per document — the kNN top-3 discipline
+    * ([[MatchTopK]]): each doc emits its top-K partners by shared
+    * count (partner id tie-break), as a DIRECTED frame (doc_id,
+    * partner, n_shared, rank). Output is ≤ K rows per document BY
+    * CONSTRUCTION — a replica-dense corpus (every doc near-duplicating
+    * hundreds of others) emits corpus-LINEAR rows where [[matches]]
+    * grows with density² — and single-linkage connectivity survives
+    * (every doc links to its best partner, so a copier cluster stays
+    * one component when the directed edges are unioned). The dropped
+    * tail is visible per doc in [[partnerStats]], never silent. */
+  val matchesTopK = Q(
+    "q_winnow_matches_topk",
+    s"""WITH $pairCtes,
+       |$symCte,
+       |rk AS (SELECT doc_id, partner, n_shared,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY n_shared DESC, partner) AS rank
+       |       FROM sym)
+       |SELECT doc_id, partner, n_shared, CAST(rank AS BIGINT) AS rank
+       |FROM rk WHERE rank <= $MatchTopK
+       |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("partner"))
+    symPairs(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= MatchTopK)
+      .select("doc_id", "partner", "n_shared", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Per-document partner telemetry: the unbounded partner count and
+    * how many rows the [[MatchTopK]] bound keeps vs drops — the
+    * monitoring surface that makes the top-k truncation visible
+    * instead of silent (the no-silent-caps rule). */
+  val partnerStats = Q(
+    "q_winnow_partners",
+    s"""WITH $pairCtes,
+       |$symCte
+       |SELECT doc_id, n_partners,
+       |  least(n_partners, $MatchTopK) AS n_kept,
+       |  greatest(n_partners - $MatchTopK, 0) AS n_dropped
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners
+       |      FROM sym GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    symPairs(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"))
+      .select(col("doc_id"), col("n_partners"),
+        least(col("n_partners"), lit(MatchTopK.toLong)).as("n_kept"),
+        greatest(col("n_partners") - MatchTopK, lit(0L)).as("n_dropped"))
+      .orderBy("doc_id")
   }
 
   /** Span ATTRIBUTION for every matched pair — the locality payoff that
@@ -268,17 +364,8 @@ object WinnowQueries {
     * |matches| × shared fingerprints, nothing corpus-quadratic. */
   val matchSpans = Q(
     "q_winnow_spans",
-    s"""WITH $selCtes,
-       |fp AS (SELECT DISTINCT doc_id, fkey // $PosSpan AS fh FROM sel),
-       |bk AS (SELECT fh, count(*) AS n FROM fp GROUP BY fh),
-       |ok AS (SELECT fh FROM bk WHERE n BETWEEN 2 AND $WinnowMaxBucket),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
-       |  JOIN ok ON ok.fh = a.fh
-       |  GROUP BY 1, 2
-       |), m AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared >= $MatchMin),
+    s"""WITH $pairCtes,
+       |m AS (SELECT doc_a, doc_b FROM thr),
        |pos AS (
        |  SELECT doc_id, fkey // $PosSpan AS fh,
        |    ${PosSpan - 1} - fkey % $PosSpan AS pos

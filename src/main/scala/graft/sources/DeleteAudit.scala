@@ -122,4 +122,22 @@ object DeleteAudit {
       .select(col("artifact"), col("id_col"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
+
+  /** [[survivors]] over the melt list DERIVED from the catalog: every
+    * relation any ensured artifact declared id columns for
+    * ([[IndexCatalog.declaredIdRelations]]). This is the audit a
+    * right-to-be-forgotten pass runs — a hand-written artifact list
+    * goes silently stale as the tier grows (r11 verdict item 3: the
+    * winnow fingerprints, blob chunks, and KN scores were in no wired
+    * list), while the manifest-driven list grows with the catalog by
+    * construction. Callers with NON-catalog state (e.g. streaming
+    * generationed tables) append those explicitly via `extra`. */
+  def survivorsFromCatalog(
+      s: org.apache.spark.sql.SparkSession, deleted: DataFrame,
+      extra: Seq[(String, DataFrame, Seq[String])] = Nil): DataFrame = {
+    val fromCatalog = IndexCatalog.declaredIdRelations(s)
+    require(fromCatalog.nonEmpty || extra.nonEmpty,
+      "no artifact declared id columns — an empty audit certifies nothing")
+    survivors(deleted, fromCatalog ++ extra)
+  }
 }

@@ -71,9 +71,27 @@ object IndexCatalog {
     * but thread-local so a parallel test suite cannot cross wires). */
   private val ddlBuffer = new ThreadLocal[ListBuffer[String]]
 
+  /** Id-relation declarations collected while a build block runs:
+    * (kind, name, idCols) with kind ∈ path (parquet subdir of the
+    * artifact dir) | table (metastore table) | avro (AvroTable subdir).
+    * Committed into the manifest, so the delete-audit melt list is
+    * DERIVED from the catalog instead of hand-picked (r11 verdict item
+    * 3: a `Seq` literal silently omits new artifacts — a false
+    * zero-survivors certificate for a right-to-be-forgotten pass). */
+  private val idRelBuffer =
+    new ThreadLocal[ListBuffer[(String, String, Seq[String])]]
+
   /** Builds executed by THIS process — the reuse spec pins this at 0 on
     * a warm-catalog rerun. */
   val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-process provenance ledger: key → "adopted" or "built:<reason>"
+    * (r11 verdict item 1 — the round's one red correctness row traced to
+    * a suspected stale artifact at driver-verify time, and nothing in the
+    * gate's output could attribute it; Verify/Bench now report this
+    * ledger so an adopt-vs-rebuild straddle is visible evidence, not
+    * forensics). Recorded once per key, at the ensure that decided. */
+  val provenance = TrieMap.empty[String, String]
 
   /** Test hook: point the catalog at a scratch root. */
   private[graft] var rootOverride: Option[String] = None
@@ -234,7 +252,8 @@ object IndexCatalog {
 
   private def writeManifest(s: SparkSession, dir: String, key: String,
                             version: String, inputFp: String, codeFp: String,
-                            ddls: Seq[String]): Unit = {
+                            ddls: Seq[String],
+                            idRels: Seq[(String, String, Seq[String])]): Unit = {
     val f = fs(s, dir)
     ddls.zipWithIndex.foreach { case (ddl, i) =>
       val out = f.create(new Path(dir, s"_ddl_$i.sql"), true)
@@ -246,6 +265,10 @@ object IndexCatalog {
     props.setProperty("graft.input.fingerprint", inputFp)
     props.setProperty("graft.code.fingerprint", codeFp)
     props.setProperty("graft.ddl.count", ddls.size.toString)
+    props.setProperty("graft.idrel.count", idRels.size.toString)
+    idRels.zipWithIndex.foreach { case ((kind, name, cols), i) =>
+      props.setProperty(s"graft.idrel.$i", s"$kind|$name|${cols.mkString(",")}")
+    }
     // manifest is the COMMIT marker: written last, after every artifact
     // byte and DDL file, so a crash mid-build leaves an invalid dir
     val out = f.create(new Path(dir, ManifestFile), true)
@@ -299,24 +322,47 @@ object IndexCatalog {
       }
       manifest match {
         case Some(m) =>
+          provenance.put(key, "adopted")
           replayDdls(s, dir, m.getProperty("graft.ddl.count", "0").toInt)
         case None =>
+          // attribute WHY the rebuild happened before destroying the
+          // evidence (the old manifest)
+          val reason =
+            if (force) "forced"
+            else readManifest(s, dir) match {
+              case None => "no-manifest"
+              case Some(m0) =>
+                val stale = Seq(
+                  "key" -> (m0.getProperty("graft.key") != key),
+                  "version" -> (m0.getProperty("graft.version") != version),
+                  "input" -> (m0.getProperty("graft.input.fingerprint") != inputFp),
+                  "code" -> (m0.getProperty("graft.code.fingerprint") != codeFp))
+                  .collect { case (k, true) => k }
+                s"stale-${stale.mkString("+")}"
+            }
+          provenance.put(key, s"built:$reason")
           f.delete(new Path(dir), true)
           val ddls = ListBuffer.empty[String]
-          // save/restore the enclosing build's buffer: a builder that
+          val idRels = ListBuffer.empty[(String, String, Seq[String])]
+          // save/restore the enclosing build's buffers: a builder that
           // calls into another artifact's accessor (e.g. a semantic pair
           // builder ensuring the IVF index) nests ensure() safely — the
           // inner build's DDLs land in the inner manifest, and the outer
           // build keeps collecting into its own
           val enclosing = ddlBuffer.get()
+          val enclosingIds = idRelBuffer.get()
           ddlBuffer.set(ddls)
+          idRelBuffer.set(idRels)
           try {
             build(dir)
             buildCount.incrementAndGet()
-            writeManifest(s, dir, key, version, inputFp, codeFp, ddls.toList)
+            writeManifest(s, dir, key, version, inputFp, codeFp,
+              ddls.toList, idRels.toList)
           } finally {
             if (enclosing == null) ddlBuffer.remove()
             else ddlBuffer.set(enclosing)
+            if (enclosingIds == null) idRelBuffer.remove()
+            else idRelBuffer.set(enclosingIds)
           }
       }
       dir
@@ -329,10 +375,12 @@ object IndexCatalog {
     * block. */
   def persistBucketedTable(df: DataFrame, dir: String, table: String,
                            buckets: Int, bucketCols: Seq[String],
-                           sortCols: Seq[String] = Nil): Unit = {
+                           sortCols: Seq[String] = Nil,
+                           idCols: Seq[String] = Nil): Unit = {
     val buf = ddlBuffer.get()
     require(buf != null,
       "persistBucketedTable must be called inside an IndexCatalog.ensure build")
+    if (idCols.nonEmpty) declareIds("table", table, idCols)
     val loc = s"$dir/tables/$table"
     BucketedTableSink(buckets, bucketCols, sortCols, Some(loc)).write(df, table)
     val sspec =
@@ -343,4 +391,44 @@ object IndexCatalog {
     buf += s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
       (bucketCols ++ sortCols).distinct.mkString(", ")
   }
+
+  /** Declare, inside an `ensure` build block, that relation `name` of
+    * the artifact under construction carries corpus ids in `cols`:
+    * kind "path" (parquet subdir of the artifact dir), "table"
+    * (metastore table — [[persistBucketedTable]] declares these via its
+    * `idCols` parameter), or "avro" ([[AvroTable]] subdir). Recorded in
+    * the manifest; [[declaredIdRelations]] melts every declaration into
+    * the delete-audit list. Builders whose artifacts are vocabulary- or
+    * centroid-grain (no corpus ids) declare nothing. */
+  def declareIds(kind: String, name: String, cols: Seq[String]): Unit = {
+    require(Set("path", "table", "avro")(kind),
+      s"unknown id-relation kind '$kind'")
+    require(cols.nonEmpty, "declareIds needs at least one id column")
+    val buf = idRelBuffer.get()
+    require(buf != null,
+      "declareIds must be called inside an IndexCatalog.ensure build")
+    buf += ((kind, name, cols))
+  }
+
+  /** Every (relation label, frame, id columns) declared by the artifacts
+    * THIS process has ensured — the catalog-derived melt list for
+    * [[DeleteAudit.survivors]]. Reads the committed manifests, so an
+    * adopted artifact's declarations (written by the process that built
+    * it) surface identically to a fresh build's. */
+  def declaredIdRelations(s: SparkSession): Seq[(String, DataFrame, Seq[String])] =
+    built.toSeq.sortBy(_._1).flatMap { case (key, dir) =>
+      readManifest(s, dir).toSeq.flatMap { m =>
+        val n = m.getProperty("graft.idrel.count", "0").toInt
+        (0 until n).map { i =>
+          val Array(kind, name, cols) =
+            m.getProperty(s"graft.idrel.$i").split("\\|", 3)
+          val df = kind match {
+            case "table" => s.table(name)
+            case "avro"  => AvroTable.read(s, s"$dir/$name")
+            case _       => s.read.parquet(s"$dir/$name")
+          }
+          (s"$key/$name", df, cols.split(",").toSeq)
+        }
+      }
+    }
 }

@@ -24,6 +24,13 @@ import graft.sources.{DeleteAudit, GenerationedTable}
   * Spark streaming checkpoint for correctness — the same contract as
   * the other streaming twins.
   *
+  * Scope: this twin's certificate covers its OWN state — the
+  * generationed (pairs, keep) tables it owns. The catalog artifact tier
+  * (winnow fingerprints, blob chunks, KN scores, …) is certified by
+  * [[DeleteAudit.survivorsFromCatalog]] after a corpus purge + rebuild,
+  * with the melt list derived from each builder's manifest-declared id
+  * columns — never a hand-picked literal (r11 verdict item 3).
+  *
   * Scale shape per batch: everything is |delta|-proportional
   * (broadcast anti-joins + re-election scoped to affected clusters —
   * the batch purge's own cost model); the certificate is one melt +

@@ -31,20 +31,29 @@ class DeleteAuditSpec extends SparkSpec {
       .coalesce(2)
       .write.mode("overwrite").parquet(s"$corpusD/documents.parquet")
 
-  /** The three artifact families the audit exercises: pair-grain
-    * (doc_a/doc_b), resolution-grain (doc_id, cluster — the cluster
-    * label is itself a doc id), and signature-grain (doc_id). */
-  private def artifacts() = Seq(
-    ("idx_lsh_pairs", DedupQueries.lshPairs(spark, corpusD),
-      Seq("doc_a", "doc_b")),
-    ("idx_lsh_keep", DedupQueries.lshKeepList(spark, corpusD),
-      Seq("doc_id", "cluster")),
-    ("idx_wav_phash", MultimodalQueries.wavPhashFrame(spark, corpusD),
-      Seq("doc_id")))
+  /** Build the artifact tier the audit exercises — pair-grain
+    * (doc_a/doc_b), resolution-grain (doc_id, cluster), signature-grain
+    * (doc_id), plus the round-11 additions the r11 verdict found in no
+    * wired melt list: the winnow fingerprint index and the blob chunk
+    * store. The melt list itself is NOT written here — it derives from
+    * the id columns each builder declared into its catalog manifest. */
+  private def buildTier(): Int = {
+    Seq(
+      DedupQueries.lshPairs(spark, corpusD),
+      DedupQueries.lshKeepList(spark, corpusD),
+      MultimodalQueries.wavPhashFrame(spark, corpusD),
+      graft.operators.WinnowQueries.fingerprintTable(spark, corpusD),
+      graft.operators.BlobQueries.chunkTable(spark, corpusD))
+      .foreach(_.count())
+    5 // distinct ensure keys built above
+  }
 
   test("deleting docs invalidates, rebuilds, and purges the artifact tier") {
     cleanup()
     IndexCatalog.rootOverride = Some(s"$base/catalog")
+    // the catalog-derived melt list below must enumerate THIS tier only,
+    // not artifacts other suites ensured earlier in the process
+    IndexCatalog.resetProcessMemo()
     try {
       val log = LogTable(logD, keyCols = Seq("doc_id"), versionCol = "version")
       val docs = Tables.documents(spark, sf0001)
@@ -54,17 +63,27 @@ class DeleteAuditSpec extends SparkSpec {
       materialize(log)
 
       val before = IndexCatalog.buildCount.get()
-      artifacts().foreach(_._2.count()) // build the tier over v1
-      assert(IndexCatalog.buildCount.get() == before + 3)
+      val nKeys = buildTier()
+      assert(IndexCatalog.buildCount.get() == before + nKeys)
 
       // the deletion request: every doc_id ≡ 3 (mod 17)
       val deleted = docs.select("doc_id").filter(col("doc_id") % 17 === 3)
       val delIds = deleted.as[Long].collect().toSet
       assert(delIds.nonEmpty)
-      // non-vacuous: the v1 tier DOES reference soon-deleted ids
-      val pre = DeleteAudit.survivors(deleted, artifacts())
-        .agg(sum("n_rows")).first().getLong(0)
-      assert(pre > 0, "delete set never appears in the tier; test is vacuous")
+      // non-vacuous, per artifact family: the melt list comes from the
+      // catalog manifests, and the winnow fingerprints and blob chunks
+      // MUST be seen carrying soon-deleted ids pre-purge (r11 verdict
+      // item 3: both were silently absent from the hand-picked lists)
+      val pre = DeleteAudit.survivorsFromCatalog(spark, deleted)
+        .groupBy("artifact").agg(sum("n_rows").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def preHits(prefix: String) =
+        pre.collect { case (k, v) if k.startsWith(prefix) => v }.sum
+      assert(preHits("lsh_pairs_") > 0, s"lsh pairs unseen pre-purge: $pre")
+      assert(preHits("winnow_fp_") > 0,
+        s"winnow fingerprints unseen pre-purge — vacuous audit: $pre")
+      assert(preHits("blob_chunks_") > 0,
+        s"blob chunks unseen pre-purge — vacuous audit: $pre")
 
       // delete = tombstone upsert; the CDC diff is the audited feed
       val gen2 = log.append(
@@ -78,14 +97,16 @@ class DeleteAuditSpec extends SparkSpec {
       materialize(log) // same path, purged content
       IndexCatalog.resetProcessMemo() // fresh-process adoption decision
       val mid = IndexCatalog.buildCount.get()
-      val rebuilt = artifacts()
-      rebuilt.foreach(_._2.count())
-      assert(IndexCatalog.buildCount.get() == mid + 3,
+      buildTier()
+      assert(IndexCatalog.buildCount.get() == mid + nKeys,
         "changed corpus content behind the same path did not invalidate")
 
-      // zero-survivors certificate across the rebuilt tier
-      val post = DeleteAudit.survivors(deleted, rebuilt)
-      assert(post.count() == 5) // one row per (artifact, id column)
+      // zero-survivors certificate across the rebuilt tier, melt list
+      // derived from the catalog: one row per declared (artifact,
+      // id column) — pairs 2 + keep 2 + wav 1 + winnow 1 + blob 1
+      val post = DeleteAudit.survivorsFromCatalog(spark, deleted)
+      assert(post.count() == 7,
+        s"unexpected certificate shape: ${post.collect().mkString}")
       assert(post.agg(sum("n_rows")).first().getLong(0) == 0,
         s"deleted ids survive: ${post.filter(col("n_rows") > 0).collect().mkString}")
 
