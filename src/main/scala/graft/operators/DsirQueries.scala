@@ -99,7 +99,8 @@ object DsirQueries {
       (length(bin(col("nr") + 1)) - length(bin(col("nt") + 1)))
 
   /** Spark frame of (doc_id, source, n_tokens, weight_bits) over the raw
-    * pool, unordered (callers order/limit). */
+    * pool, unordered (callers order/limit) — the live train+score plan
+    * (also the artifact builder's body). */
   private def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bk = bucketTokens(Tables.documents(s, d))
     val bt = bucketModel(bk)
@@ -112,14 +113,43 @@ object DsirQueries {
         sum(col("s").cast("long")).as("weight_bits"))
   }
 
-  /** Per-document DSIR log importance weight over the whole raw pool
-    * (quantized bit-log units). Target-slice docs are excluded — they
-    * are the distribution, not candidates. */
-  val dsirWeights = Q(
-    "q_dsir_weights",
+  /** Doc-grain weights persisted once per (run, corpus) — the kn_scores
+    * train-once/serve-many shape (r11 verdict item 4: DSIR weights were
+    * the second-steepest smoke line; a production mix is resampled MANY
+    * times from one scored pool). Weight rows carry doc ids, declared
+    * for the delete audit. */
+  private[graft] def weightsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"dsir_weights_${IndexCatalog.tag(d)}",
+        inputs = Seq(d),
+        owners = Seq(DsirQueries.getClass, graft.Tables.getClass,
+          graft.functions.TextFunctions.getClass)) { dir =>
+      weightsFrame(s, d).write.mode("overwrite").parquet(s"$dir/weights")
+      IndexCatalog.declareIds("path", "weights", Seq("doc_id"))
+    }
+    s.read.parquet(s"$dir/weights")
+  }
+
+  private val weightsSql =
     s"""WITH $scoreCtes
        |SELECT doc_id, source, n_tokens, weight_bits
-       |FROM wts ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM wts ORDER BY doc_id""".stripMargin
+
+  /** Per-document DSIR log importance weight over the whole raw pool
+    * (quantized bit-log units). Target-slice docs are excluded — they
+    * are the distribution, not candidates. Served from the persisted
+    * weights artifact. */
+  val dsirWeights = Q("q_dsir_weights", weightsSql) { (s, d) =>
+    weightsTable(s, d)
+      .select("doc_id", "source", "n_tokens", "weight_bits")
+      .orderBy("doc_id")
+  }
+
+  /** The UNSERVED live train+score plan, kept registered so the
+    * construction shape stays correctness-checked and plan-swept — the
+    * kn_scores / q_lm_kn_heldout discipline. */
+  val dsirWeightsLive = Q("q_dsir_weights_live", weightsSql) { (s, d) =>
     weightsFrame(s, d)
       .select("doc_id", "source", "n_tokens", "weight_bits")
       .orderBy("doc_id")
@@ -127,15 +157,15 @@ object DsirQueries {
 
   /** The selection itself: the 30 raw documents with the highest
     * importance weight (doc_id tie-break), i.e. the slice DSIR would
-    * resample into the training mix. A full-frame top-k — one final
-    * ordered limit, no global sort survives at scale (TakeOrdered). */
+    * resample into the training mix — one TakeOrdered over the persisted
+    * weights (no global sort, no rescore). */
   val dsirSample = Q(
     "q_dsir_sample",
     s"""WITH $scoreCtes
        |SELECT doc_id, source, n_tokens, weight_bits FROM (
        |  SELECT * FROM wts ORDER BY weight_bits DESC, doc_id LIMIT 30
        |) ORDER BY doc_id""".stripMargin) { (s, d) =>
-    weightsFrame(s, d)
+    weightsTable(s, d)
       .orderBy(col("weight_bits").desc, col("doc_id"))
       .limit(30)
       .select("doc_id", "source", "n_tokens", "weight_bits")

@@ -59,8 +59,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_token_budget",
     // ONE-row token-totals frame crossed onto the 256-row bucket model
     // before it broadcasts onto the raw token stream
-    // (q_mixture_weights pattern)
-    "q_dsir_weights", "q_dsir_sample",
+    // (q_mixture_weights pattern); the _live twin keeps the
+    // construction plan registered after r12 artifact-serving
+    "q_dsir_weights", "q_dsir_sample", "q_dsir_weights_live",
     // TWO one-row aggregates crossed (totals × unique-chunk store) —
     // 1 × 1 by construction; the corpus-sized work is one hash-agg on
     // the chunk md5 upstream of both

@@ -57,6 +57,71 @@ class MatryoshkaSpec extends SparkSpec {
     }
   }
 
+  test("MRL-shaped fixture: geometric per-dim decay lifts prefix-16 " +
+    "recall >= 0.8 while the isotropic floor stays documented") {
+    // r11 verdict item 6: the raw fixture embeddings are NOT
+    // MRL-trained, so q_ann_matryoshka_recall honestly reports a
+    // 0-0.4 floor that UNDERSELLS the operator. This derives the
+    // MRL-shaped set the dial is for — the same vectors with
+    // geometrically decaying per-dim scale (dim i scaled by 0.9^i,
+    // front-loaded information, the Kusupati et al. training outcome) —
+    // and shows the real deploy tradeoff on it.
+    val mrlDir = "/tmp/graft_matryoshka_mrl"
+    val decay = 0.9f
+    graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id",
+        s"transform(embedding, (x, i) -> cast(x * pow(${decay}D, i) as float)) AS embedding",
+        "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$mrlDir/embeddings.parquet")
+
+    // the registered dial on the MRL-shaped set
+    val mrlRec = SimilarityQueries.matryoshkaRecall.run(spark, mrlDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mrlMean = mrlRec.values.sum.toDouble / (mrlRec.size * 5)
+    assert(mrlMean >= 0.8,
+      s"prefix-${MatDims} recall on the MRL-shaped set is $mrlMean < 0.8")
+
+    // the isotropic floor stays what the scaladoc documents (the
+    // honest pessimistic number on untrained vectors)
+    val isoRec = SimilarityQueries.matryoshkaRecall.run(spark, sf0001)
+      .collect().map(r => r.getLong(1)).sum.toDouble / (mrlRec.size * 5)
+    assert(mrlMean > isoRec,
+      s"decay must front-load signal: mrl=$mrlMean iso=$isoRec")
+
+    // recall CURVE at prefix 8/16/32 via an independent plain-Scala
+    // reference (the MmrSpec discipline): mean recall must not
+    // decrease as the prefix widens, and every point >= the point
+    // before — the dial a deploy reads to pick its truncation
+    val vecs = spark.read.parquet(s"$mrlDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def top5(prefix: Int): Map[Long, Set[Long]] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < prefix) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      (0L until 10L).map { q =>
+        q -> vecs.keys.filter(_ != q).toSeq
+          .map(c => (c, cos(vecs(q), vecs(c))))
+          .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+      }.toMap
+    }
+    val exact = top5(64)
+    val curve = Seq(8, 16, 32).map { p =>
+      val t = top5(p)
+      p -> (0L until 10L).map(q => (t(q) intersect exact(q)).size).sum / 50.0
+    }
+    curve.sliding(2).foreach { case Seq((pLo, rLo), (pHi, rHi)) =>
+      assert(rHi >= rLo, s"recall curve not monotone: $curve")
+    }
+    assert(curve.toMap.apply(16) >= 0.8, s"curve point 16 below 0.8: $curve")
+  }
+
   test("real corpus: well-formed ranking, recall consistent") {
     val mat = SimilarityQueries.matryoshkaTopK.run(spark, sf0001).collect()
     assert(mat.length == 50)

@@ -98,6 +98,61 @@ class WinnowSpec extends SparkSpec {
     assert(r.getLong(5) == 100)
   }
 
+  test("top-k bound: partners per doc capped at MatchTopK, dropped tail " +
+    "visible in telemetry, connectivity preserved") {
+    import WinnowQueries.MatchTopK
+    // clique of 6 (ids 0-5, 5 partners each — above the bound) plus a
+    // disjoint pair (ids 10-11, 1 partner each — below the bound)
+    val body = (0 until 30).map("q" + _).mkString(" ")
+    val other = (0 until 30).map("z" + _).mkString(" ")
+    writeDocs((0L until 6L).map(_ -> body) ++ Seq(10L -> other, 11L -> other),
+      s"${dir}_topk")
+    val pairs = WinnowQueries.matches.run(spark, s"${dir}_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.size == 16, s"C(6,2)+1 pairs expected, got ${pairs.size}")
+
+    val topk = WinnowQueries.matchesTopK.run(spark, s"${dir}_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-doc bound and rank discipline
+    topk.groupBy(_._1).foreach { case (doc, rows) =>
+      assert(rows.length <= MatchTopK, s"doc $doc exceeds the bound")
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks of doc $doc are not 1..k")
+    }
+    // clique docs keep exactly K (equal counts -> smallest partner ids);
+    // the disjoint pair keeps its single partner
+    assert(topk.count(_._1 < 6L) == 6 * MatchTopK)
+    assert(topk.filter(_._1 == 0L).map(_._2).toSet ==
+      (1L to MatchTopK.toLong).toSet)
+    assert(topk.filter(_._1 == 10L).map(_._2).toSeq == Seq(11L))
+    // every kept row is a real thresholded match with the same count
+    topk.foreach { case (doc, p, n, _) =>
+      val key = (math.min(doc, p), math.max(doc, p))
+      assert(pairs.get(key).contains(n), s"kept row $key not in the pair set")
+    }
+    // single-linkage connectivity survives the bound: the directed
+    // top-k edges still connect the whole clique (every doc keeps its
+    // best partner)
+    val adj = topk.map(t => Set(t._1, t._2)).toSeq
+    val comp = scala.collection.mutable.Set(0L)
+    var grew = true
+    while (grew) {
+      val before = comp.size
+      adj.foreach(e => if (e.intersect(comp).nonEmpty) comp ++= e)
+      grew = comp.size > before
+    }
+    assert(comp == (0L until 6L).toSet, s"clique split by the bound: $comp")
+
+    // telemetry: the dropped tail is counted, never silent
+    val stats = WinnowQueries.partnerStats.run(spark, s"${dir}_topk").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0L until 6L).foreach { doc =>
+      assert(stats(doc) == ((5L, MatchTopK.toLong, 5L - MatchTopK)),
+        s"clique doc $doc telemetry: ${stats(doc)}")
+    }
+    assert(stats(10L) == ((1L, 1L, 0L)) && stats(11L) == ((1L, 1L, 0L)))
+  }
+
   test("bucket cap: an over-cap fingerprint bucket generates no pairs") {
     // 30 hash-diverse words: >= ceil(24/4) = 6 distinct fingerprints per
     // doc (a selection survives at most w window shifts), clearing
