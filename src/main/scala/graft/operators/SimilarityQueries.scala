@@ -870,28 +870,44 @@ object SimilarityQueries {
        |  JOIN vf q ON q.vec_id = s.query_id
        |  JOIN vf c ON c.vec_id = s.neighbor_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val vt = Tables.embeddings(s, d)
-      .select(col("vec_id"), slice(col("embedding"), 1, MatDims).as("e"))
+    rerankSearch(s, d,
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Two-stage search for an ARBITRARY (query_id, embedding) batch —
+    * the kernel behind `q_ann_rerank` and the streaming twin
+    * ([[graft.streaming.RetrievalStreams]]): prefix-[[MatDims]]
+    * shortlist of [[RerankShortlist]] against the corpus, then a
+    * constant-size full-dim rescore of only the shortlist. Unordered;
+    * callers order. Deterministic (exact codegen cosine, neighbor_id
+    * tie-break), so streamed results for a query vector are IDENTICAL
+    * to the batch answer — the AnnStreams contract. */
+  private[graft] def rerankSearch(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
     val short = topK(
-      vt.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("e").as("eq")),
-      vt.select(col("vec_id").as("neighbor_id"), col("e").as("ec")),
+      queries.select(col("query_id"),
+        slice(col("embedding"), 1, MatDims).as("eq")),
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"),
+          slice(col("embedding"), 1, MatDims).as("ec")),
       col("neighbor_id") =!= col("query_id"),
       k = RerankShortlist)
       .select("query_id", "neighbor_id")
-    val vf = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     short
-      .join(vf.select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+      .join(queries.select(col("query_id"), col("embedding").as("eq")),
         Seq("query_id"))
-      .join(vf.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
+      .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
         Seq("neighbor_id"))
       .withColumn("cosine", cosineSim(col("eq"), col("ec")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
-      .orderBy("query_id", "rank")
   }
 
   /** Recall of the two-stage ranking against the full-dim exact top-5 —

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming two-stage retrieval parity: query vectors streamed through
+  * [[RetrievalStreams.rerankStream]] must accumulate EXACTLY the batch
+  * `q_ann_rerank` results for those queries (deterministic prefix
+  * shortlist + exact rescore), on any arrival split, and replaying a
+  * micro-batch must change nothing. */
+class StreamingRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val resultT = "rerank_stream_results"
+
+  private def cleanup(): Unit =
+    Seq(resultT, s"${resultT}_upsert_staging")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+
+  test("streamed reranks accumulate the batch two-stage answers exactly") {
+    cleanup()
+    val expected = SimilarityQueries.rerankTopK.run(spark, sf0001)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .collect().map(key).toSet
+    assert(expected.size == 50, "premise: 10 queries x top-5")
+
+    val queries = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    // out-of-order arrival: late ids first
+    val (batch1, batch2) = queries.partition(_._1 >= 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = RetrievalStreams.rerankStream(
+      mem.toDF().toDF("query_id", "embedding"), sf0001, resultT, buckets = 4)
+      .start()
+    try {
+      mem.addData(batch1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table(resultT).collect().map(key).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+
+      // replay a micro-batch: the keyed merge must not move
+      RetrievalStreams.processBatch(
+        batch1.toIndexedSeq.toDF("query_id", "embedding"), sf0001, resultT,
+        buckets = 4)
+      assert(spark.table(resultT).collect().map(key).toSet == expected,
+        "replayed micro-batch changed the results table")
+    } finally { q.stop(); cleanup() }
+  }
+}
