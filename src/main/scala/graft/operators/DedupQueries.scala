@@ -450,6 +450,58 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** SOFT deduplication — reweight instead of drop (the SoftDeDup
+    * recipe, He et al. 2024): every document gets a sampling/loss
+    * weight inversely proportional to its near-dup CLUSTER size, so
+    * duplicated content contributes ~one effective copy to training
+    * while unique documents keep full weight — the alternative to hard
+    * dropping when duplicates carry complementary context (mirrors
+    * with different boilerplate, quote-heavy threads). Weight is exact
+    * fixed-point ppm (10⁶ div cluster size); a loader multiplies its
+    * per-doc sampling rate (or loss scale) by weight_ppm/10⁶.
+    *
+    * Serving composes the PERSISTED [[lshKeepList]] artifact: one
+    * cluster-size hash-agg (|clusters| rows) + two left equi-joins onto
+    * the corpus scan — corpus-linear, no pair generation, AQE
+    * broadcasts the cluster-size side. Singletons (no cluster) default
+    * to csize 1 / full weight. The invariant Σ weights per cluster ≈
+    * 10⁶ (floor loss < csize) is spec-pinned. */
+  val softWeights = Q(
+    "q_dedup_softweights",
+    s"""WITH RECURSIVE $lshCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM vpairs
+       |), walk(id, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+       |), kl AS (
+       |  SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id
+       |), cs AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM kl GROUP BY cluster
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(kl.cluster, d.doc_id) AS cluster,
+       |  COALESCE(cs.csize, 1) AS csize,
+       |  CAST(1000000 // COALESCE(cs.csize, 1) AS BIGINT) AS weight_ppm
+       |FROM documents d
+       |LEFT JOIN kl ON kl.doc_id = d.doc_id
+       |LEFT JOIN cs ON cs.cluster = kl.cluster
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val kl = lshKeepList(s, d).select("doc_id", "cluster")
+    val cs = kl.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(kl, Seq("doc_id"), "left")
+      .join(cs, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("weight_ppm", expr("1000000 div csize"))
+      .orderBy("doc_id")
+  }
+
   /** The dedup ENSEMBLE verdict: every release pipeline runs several
     * dedup passes and a document's fate is the union of their drops —
     * this query emits the per-document final decision with the gate

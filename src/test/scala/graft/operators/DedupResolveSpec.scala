@@ -38,6 +38,36 @@ class DedupResolveSpec extends SparkSpec {
     assert(resolved.filter(col("keep")).count() <= n)
   }
 
+  test("soft-dedup weights: 1/cluster-size ppm, singletons full, " +
+    "per-cluster mass ~1e6") {
+    val w = DedupQueries.softWeights.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one row per corpus document, weights in (0, 1e6]
+    assert(w.length == 500)
+    w.foreach { case (_, _, csize, ppm) =>
+      assert(csize >= 1 && ppm == 1000000L / csize, s"bad weight: $ppm/$csize")
+    }
+    // singletons keep full weight; some cluster actually bites
+    assert(w.exists(r => r._3 == 1 && r._4 == 1000000L))
+    assert(w.exists(_._3 > 1), "replica-heavy corpus must have clusters")
+    // per-cluster effective mass: sum of weights = csize * (1e6 div
+    // csize) — within floor loss (< csize) of one effective copy
+    w.groupBy(_._2).foreach { case (c, rows) =>
+      val n = rows.head._3
+      assert(rows.length == n, s"cluster $c rows ${rows.length} != csize $n")
+      val mass = rows.map(_._4).sum
+      assert(mass <= 1000000L && 1000000L - mass < n,
+        s"cluster $c mass $mass outside [1e6-n, 1e6]")
+    }
+    // consistency with the keep-list clusters
+    val kl = DedupQueries.resolveClusters.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w.foreach { case (doc, cluster, csize, _) =>
+      if (csize > 1) assert(kl(doc) == cluster)
+      else assert(cluster == doc && !kl.contains(doc))
+    }
+  }
+
   test("NFC normalization canonicalizes composed vs decomposed Vietnamese") {
     val composed = "ph\u00edm"    // precomposed U+00ED
     val decomposed = "phi\u0301m" // i + combining acute U+0301
