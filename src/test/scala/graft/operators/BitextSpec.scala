@@ -54,4 +54,35 @@ class BitextSpec extends SparkSpec {
     assert(q1.getLong(2) == 101L && !q1.getBoolean(7),
       s"101 is query 1's best, but the ambiguous margin must REJECT it: $q1")
   }
+
+  test("non-positive second-best: ratio undefined (NULL margin), " +
+    "acceptance falls back to cos_best > 0") {
+    def vec(parts: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    // query 0: best is an exact-direction twin (cos 1.0), second is
+    // ORTHOGONAL (cos exactly 0.0) — the floor(Infinity) engine trap
+    // the r11 advice flagged; must accept with a NULL margin.
+    // query 1: ALL cross-label candidates orthogonal (best = second =
+    // 0.0) — nothing positive to accept.
+    val rows = Seq(
+      (0L, vec(0 -> 1f), 0),
+      (1L, vec(2 -> 1f), 0),
+      (100L, vec(0 -> 0.8f), 1), // cos(q0)=1, cos(q1)=0
+      (101L, vec(1 -> 1f), 1))   // cos(q0)=0, cos(q1)=0
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${dir}_guard/embeddings.parquet")
+    val out = BitextQueries.bitextMine.run(spark, s"${dir}_guard").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q0 = out(0L)
+    assert(q0.getLong(2) == 100L && q0.getDouble(5) == 0.0, q0.toString)
+    assert(q0.isNullAt(6), s"margin must be NULL on a zero denominator: $q0")
+    assert(q0.getBoolean(7), s"positive best over zero second must accept: $q0")
+    val q1 = out(1L)
+    assert(q1.getDouble(4) == 0.0 && q1.isNullAt(6) && !q1.getBoolean(7),
+      s"non-positive best must not accept: $q1")
+  }
 }
