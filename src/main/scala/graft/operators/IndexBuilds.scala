@@ -50,6 +50,7 @@ object IndexBuilds {
     // read-only (round-10 verdict №2: the lazy in-serving build raced
     // its own directory overwrite once per ~hundred runs)
     "idx_winnow_fp"     -> ((s, d) => { WinnowQueries.fingerprintTable(s, d); () }),
+    "idx_winnow_topk"   -> ((s, d) => { WinnowQueries.topkDir(s, d); () }),
     "idx_blob_chunks"   -> ((s, d) => { BlobQueries.chunkTable(s, d); () }),
     "idx_boilerplate"   -> ((s, d) => { BoilerplateQueries.boilerplateDir(s, d); () }),
     "idx_dsir_weights"  -> ((s, d) => { DsirQueries.weightsTable(s, d); () }),

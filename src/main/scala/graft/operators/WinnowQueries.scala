@@ -266,14 +266,49 @@ object WinnowQueries {
       .filter(col("n_shared") >= MatchMin)
   }
 
-  /** Directed symmetric view of [[matchPairs]]. */
-  private def symPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val p = matchPairs(s, d)
+  /** Directed symmetric view of a pair frame. */
+  private def symOf(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
         col("n_shared"))
       .unionByName(p.select(col("doc_b").as("doc_id"),
         col("doc_a").as("partner"), col("n_shared")))
+
+  /** The persisted MATCH-GRAPH artifact — the idx_knn discipline at the
+    * winnow tier: pair generation is a train-once pass over the
+    * fingerprint artifact (its worst case is contractual — the bucket
+    * cap bounds per-bucket pair work at cap²/2, so total build work is
+    * corpus-LINEAR once buckets saturate), and both serving surfaces
+    * read stored relations: `topk` (each doc's top-[[MatchTopK]]
+    * partners, directed) and `partners` (the unbounded per-doc partner
+    * telemetry). Built in ONE pair computation; both relations declare
+    * their doc ids for the delete audit. */
+  private[graft] def topkDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.sources.IndexCatalog
+    IndexCatalog.ensure(s, s"winnow_topk_${IndexCatalog.tag(d)}",
+      inputs = Seq(d),
+      owners = Seq(WinnowQueries.getClass, graft.Tables.getClass,
+        graft.functions.TextFunctions.getClass,
+        graft.plans.WordShingles.getClass)) { dir =>
+      // one pair computation feeds both relations: cache, write, release
+      val sym = symOf(matchPairs(s, d)).cache()
+      try {
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("n_shared").desc, col("partner"))
+        sym.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= MatchTopK)
+          .select("doc_id", "partner", "n_shared", "rank")
+          .write.mode("overwrite").parquet(s"$dir/topk")
+        IndexCatalog.declareIds("path", "topk", Seq("doc_id", "partner"))
+        sym.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_partners"))
+          .select(col("doc_id"), col("n_partners"),
+            least(col("n_partners"), lit(MatchTopK.toLong)).as("n_kept"),
+            greatest(col("n_partners") - MatchTopK, lit(0L)).as("n_dropped"))
+          .write.mode("overwrite").parquet(s"$dir/partners")
+        IndexCatalog.declareIds("path", "partners", Seq("doc_id"))
+      } finally sym.unpersist()
+    }
   }
 
   /** Document pairs sharing ≥ [[MatchMin]] distinct fingerprint HASHES
@@ -306,7 +341,9 @@ object WinnowQueries {
     * grows with density² — and single-linkage connectivity survives
     * (every doc links to its best partner, so a copier cluster stays
     * one component when the directed edges are unioned). The dropped
-    * tail is visible per doc in [[partnerStats]], never silent. */
+    * tail is visible per doc in [[partnerStats]], never silent.
+    * Served from the persisted match-graph artifact ([[topkDir]]) —
+    * warm serving is a bounded read, never a pair recomputation. */
   val matchesTopK = Q(
     "q_winnow_matches_topk",
     s"""WITH $pairCtes,
@@ -318,11 +355,7 @@ object WinnowQueries {
        |SELECT doc_id, partner, n_shared, CAST(rank AS BIGINT) AS rank
        |FROM rk WHERE rank <= $MatchTopK
        |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("n_shared").desc, col("partner"))
-    symPairs(s, d)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= MatchTopK)
+    s.read.parquet(s"${topkDir(s, d)}/topk")
       .select("doc_id", "partner", "n_shared", "rank")
       .orderBy("doc_id", "rank")
   }
@@ -330,7 +363,8 @@ object WinnowQueries {
   /** Per-document partner telemetry: the unbounded partner count and
     * how many rows the [[MatchTopK]] bound keeps vs drops — the
     * monitoring surface that makes the top-k truncation visible
-    * instead of silent (the no-silent-caps rule). */
+    * instead of silent (the no-silent-caps rule). Served from the
+    * persisted match-graph artifact. */
   val partnerStats = Q(
     "q_winnow_partners",
     s"""WITH $pairCtes,
@@ -341,12 +375,8 @@ object WinnowQueries {
        |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_partners
        |      FROM sym GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    symPairs(s, d)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_partners"))
-      .select(col("doc_id"), col("n_partners"),
-        least(col("n_partners"), lit(MatchTopK.toLong)).as("n_kept"),
-        greatest(col("n_partners") - MatchTopK, lit(0L)).as("n_dropped"))
+    s.read.parquet(s"${topkDir(s, d)}/partners")
+      .select("doc_id", "n_partners", "n_kept", "n_dropped")
       .orderBy("doc_id")
   }
 
