@@ -144,6 +144,8 @@ object ScaleSmoke {
       "q_chunk_dedup", "q_bpe_merges", "q_pack_curriculum",
       "q_pack_sequences", "q_pack_sequences_bpe", "q_dedup_verdict",
       "q_mixture_sample", "q_sample_per_cluster", "q_chunk_contamination",
+      // round-12: soft-dedup weights compose the persisted keep-list
+      "q_dedup_softweights",
       // round-10 surfaces: corpus-wide BPE encode, avro round trip
       // (first serve builds the container fixture — reported as-is),
       // and the three-artifact multimodal verdict composition
