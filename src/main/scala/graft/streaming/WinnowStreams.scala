@@ -167,6 +167,28 @@ object WinnowStreams {
     delta.write.mode("overwrite").parquet(s"$fpDir/ingest_batch=$batchId")
   }
 
+  /** Bounded top-k partners over the ACCUMULATED pair table — the
+    * stream-side counterpart of `q_winnow_matches_topk`: the same rank
+    * rule (shared count desc, partner id) over the stream's keyed-merge
+    * pair state. A pair's n_shared is final on arrival, but a doc's
+    * top-k is a VIEW — a later-arriving better partner displaces an
+    * earlier one — so this is a read-time ranking over stored pairs,
+    * never stored ranks; after full ingest it equals the batch top-k
+    * exactly (spec-pinned). */
+  def topkView(s: SparkSession, pairTable: String,
+               k: Int = WinnowQueries.MatchTopK): DataFrame = {
+    val p = s.table(pairTable)
+    val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("n_shared"))
+      .unionByName(p.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner"), col("n_shared")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("partner"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "partner", "n_shared", "rank")
+  }
+
   /** Continuous wiring: a stream of documents applied micro-batch by
     * micro-batch through [[processBatch]]. */
   def winnowMatchStream(docs: DataFrame, pairTable: String, fpDir: String,

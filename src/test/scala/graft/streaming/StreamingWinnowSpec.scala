@@ -50,6 +50,18 @@ class StreamingWinnowSpec extends SparkSpec {
         .collect().map(pairKey).toSet
       assert(got == expected,
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      // the bounded top-k VIEW over the accumulated pair state equals
+      // the batch top-k serving surface exactly after full ingest
+      val topkGot = WinnowStreams.topkView(spark, pairT).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val topkWant = WinnowQueries.matchesTopK.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(topkGot == topkWant,
+        s"stream top-k view diverges: missing=${(topkWant -- topkGot).take(3)} " +
+          s"extra=${(topkGot -- topkWant).take(3)}")
+
       // the stored index holds every doc's full stateless fingerprint set
       val fpStream = spark.read.parquet(fpD).select("doc_id", "fh")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
