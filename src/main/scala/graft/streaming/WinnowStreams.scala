@@ -167,6 +167,56 @@ object WinnowStreams {
     delta.write.mode("overwrite").parquet(s"$fpDir/ingest_batch=$batchId")
   }
 
+  /** Compact the accumulated fingerprint index to newest-only rows in a
+    * single partition keyed by the CURRENT MAX batch id — the
+    * maintenance pass that keeps [[readFp]]'s newest-wins window from
+    * re-scanning every superseded generation forever (the
+    * Compaction.compact discipline at stream-state grain). Correctness
+    * is unaffected at every point:
+    *
+    *  - the compacted partition carries every doc's newest row set, so
+    *    newest-wins resolves to it whether or not the older partitions
+    *    are gone yet (a crash between the write and the deletes leaves
+    *    only superseded rows behind — ignored by the window);
+    *  - recovery replay (structured streaming re-applies only the
+    *    LATEST uncommitted batch — batch ids are monotone past the
+    *    checkpoint) stays a no-op: the latest batch's partition id is
+    *    above the compacted one, so its rewrite and purge decisions
+    *    see exactly the state the original application saw. Replaying
+    *    an ANCIENT batch out of order was never in any twin's replay
+    *    contract (its text is superseded); compaction neither adds nor
+    *    removes that caveat.
+    *
+    * Idempotent: recompacting an already-compact index rewrites the
+    * same single partition. */
+  def compactIndex(s: SparkSession, fpDir: String): Unit =
+    readFpRaw(s, fpDir).foreach { raw =>
+      // partition discovery infers ingest_batch as int or long
+      // depending on the values seen — widen explicitly
+      val maxB = raw.agg(max(col("ingest_batch").cast("long")))
+        .head().getLong(0)
+      val newest = raw
+        .withColumn("nb",
+          max("ingest_batch").over(Window.partitionBy("doc_id")))
+        .filter(col("ingest_batch") === col("nb"))
+        .select("doc_id", "fh")
+      // stage outside the partition tree, then commit: the overwrite of
+      // ingest_batch=<maxB> below must not read its own target
+      val staging = s"$fpDir/_compact_staging"
+      newest.write.mode("overwrite").parquet(staging)
+      s.read.parquet(staging)
+        .write.mode("overwrite").parquet(s"$fpDir/ingest_batch=$maxB")
+      val p = new Path(fpDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(staging), true)
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("ingest_batch=") &&
+            name.stripPrefix("ingest_batch=").toLong < maxB)
+          fs.delete(st.getPath, true)
+      }
+    }
+
   /** Bounded top-k partners over the ACCUMULATED pair table — the
     * stream-side counterpart of `q_winnow_matches_topk`: the same rank
     * rule (shared count desc, partner id) over the stream's keyed-merge

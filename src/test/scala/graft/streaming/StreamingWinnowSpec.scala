@@ -138,6 +138,60 @@ class StreamingWinnowSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("index compaction: newest-only single partition, matching and " +
+    "replay unaffected") {
+    cleanup()
+    try {
+      WinnowStreams.processBatch(Seq(
+          (1L, doc("alpha", "sa")), (2L, doc("alpha", "sb"))).toDF("doc_id", "text"),
+        batchId = 0L, pairT, fpD, buckets = 4)
+      WinnowStreams.processBatch(
+        Seq((1L, doc("delta", "sa2")), (4L, doc("delta", "sd")))
+          .toDF("doc_id", "text"),
+        batchId = 1L, pairT, fpD, buckets = 4)
+      import org.apache.spark.sql.functions.{col, max}
+      val servedBefore = spark.read.parquet(fpD)
+        .withColumn("nb", max("ingest_batch")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .filter(col("ingest_batch") === col("nb"))
+        .select("doc_id", "fh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pairsBefore = spark.table(pairT).collect().map(pairKey).toSet
+
+      WinnowStreams.compactIndex(spark, fpD)
+      // one partition, newest rows only (doc 1's alpha set is GONE)
+      val parts = new org.apache.hadoop.fs.Path(fpD)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(fpD))
+        .map(_.getPath.getName).filter(_.startsWith("ingest_batch="))
+      assert(parts.toSeq == Seq("ingest_batch=1"), parts.mkString(","))
+      val after = spark.read.parquet(fpD).select("doc_id", "fh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == servedBefore, "compaction changed the served rows")
+
+      // matching continues identically: a new batch matching doc 4's
+      // delta run pairs with BOTH delta carriers, never old alpha
+      WinnowStreams.processBatch(
+        Seq((7L, doc("delta", "sg"))).toDF("doc_id", "text"),
+        batchId = 2L, pairT, fpD, buckets = 4)
+      val pairsNow = spark.table(pairT).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsNow == Set((1L, 4L), (1L, 7L), (4L, 7L)),
+        s"post-compaction matching wrong: $pairsNow")
+
+      // recovery replay (the LATEST batch, the structured-streaming
+      // model) after compaction is still a no-op
+      val beforeReplay = spark.table(pairT).collect().map(pairKey).toSet
+      WinnowStreams.processBatch(
+        Seq((7L, doc("delta", "sg"))).toDF("doc_id", "text"),
+        batchId = 2L, pairT, fpD, buckets = 4)
+      assert(spark.table(pairT).collect().map(pairKey).toSet == beforeReplay,
+        "replaying the latest batch after compaction must be a no-op")
+      assert(pairsBefore.subsetOf(beforeReplay),
+        "pre-compaction pairs must survive compaction")
+    } finally cleanup()
+  }
+
   test("same-batch duplicate doc_ids collapse to one deterministic row") {
     cleanup()
     try {
