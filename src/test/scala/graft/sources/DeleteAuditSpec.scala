@@ -43,9 +43,13 @@ class DeleteAuditSpec extends SparkSpec {
       DedupQueries.lshKeepList(spark, corpusD),
       MultimodalQueries.wavPhashFrame(spark, corpusD),
       graft.operators.WinnowQueries.fingerprintTable(spark, corpusD),
-      graft.operators.BlobQueries.chunkTable(spark, corpusD))
+      graft.operators.BlobQueries.chunkTable(spark, corpusD),
+      graft.operators.DsirQueries.weightsTable(spark, corpusD))
       .foreach(_.count())
-    5 // distinct ensure keys built above
+    // dir-returning builders (their relations melt all the same)
+    graft.operators.BoilerplateQueries.boilerplateDir(spark, corpusD)
+    graft.operators.WinnowQueries.topkDir(spark, corpusD)
+    8 // distinct ensure keys built above (winnow_fp shared by topk)
   }
 
   test("deleting docs invalidates, rebuilds, and purges the artifact tier") {
@@ -103,9 +107,11 @@ class DeleteAuditSpec extends SparkSpec {
 
       // zero-survivors certificate across the rebuilt tier, melt list
       // derived from the catalog: one row per declared (artifact,
-      // id column) — pairs 2 + keep 2 + wav 1 + winnow 1 + blob 1
+      // id column) — pairs 2 + keep 2 + wav 1 + winnow fp 1 + blob 1
+      // + dsir weights 1 + boilerplate (list first_doc + excised) 2
+      // + winnow topk (doc_id + partner, partners doc_id) 3
       val post = DeleteAudit.survivorsFromCatalog(spark, deleted)
-      assert(post.count() == 7,
+      assert(post.count() == 13,
         s"unexpected certificate shape: ${post.collect().mkString}")
       assert(post.agg(sum("n_rows")).first().getLong(0) == 0,
         s"deleted ids survive: ${post.filter(col("n_rows") > 0).collect().mkString}")
