@@ -37,8 +37,18 @@ object BitextQueries {
     * runner-up — inverted semantics. So margin_milli is NULL when
     * cos_second <= 0, and acceptance falls back to cos_best > 0 (a
     * positive best beats any non-positive second by unbounded ratio),
-    * guarded identically in the plan and the oracle. */
+    * guarded identically in the plan and the oracle.
+    *
+    * A TINY positive denominator is the same divergence class: the
+    * ratio can exceed BIGINT range, where Spark's double→long cast
+    * saturates while DuckDB's CAST raises — so the stored margin is
+    * capped at [[MarginCapMilli]] before the cast, identically in both
+    * engines (9·10¹⁸ is exactly double-representable, below Long.Max,
+    * and far above any meaningful margin; acceptance is unaffected). */
   private[graft] final val MarginMilli = 1060L
+
+  /** Saturation cap for the stored ratio margin (see above). */
+  private[graft] final val MarginCapMilli = 9000000000000000000L
 
   private val cosSql = SimilarityQueries.cosSql
 
@@ -59,7 +69,8 @@ object BitextQueries {
        |  b.cand_label AS best_label, b.cosine AS cos_best,
        |  s.cosine AS cos_second,
        |  CASE WHEN s.cosine > 0
-       |       THEN CAST(floor(1000 * b.cosine / s.cosine) AS BIGINT)
+       |       THEN CAST(least(floor(1000 * b.cosine / s.cosine),
+       |                       $MarginCapMilli) AS BIGINT)
        |  END AS margin_milli,
        |  CASE WHEN s.cosine > 0
        |       THEN floor(1000 * b.cosine / s.cosine) >= $MarginMilli
@@ -92,7 +103,8 @@ object BitextQueries {
     best.join(second, Seq("query_id"))
       .withColumn("margin_milli",
         when(col("cos_second") > 0,
-          floor(lit(1000) * col("cos_best") / col("cos_second")).cast("long")))
+          least(floor(lit(1000) * col("cos_best") / col("cos_second")),
+            lit(MarginCapMilli)).cast("long")))
       .select(col("query_id"), col("query_label"), col("best_id"),
         col("best_label"), col("cos_best"), col("cos_second"),
         col("margin_milli"),

@@ -469,15 +469,8 @@ object DedupQueries {
   val softWeights = Q(
     "q_dedup_softweights",
     s"""WITH RECURSIVE $lshCtes,
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-       |  UNION
-       |  SELECT doc_b, doc_a FROM vpairs
-       |), walk(id, reach) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
-       |), kl AS (
+       |${ccWalkCtes("")},
+       |kl AS (
        |  SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id
        |), cs AS (
        |  SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM kl GROUP BY cluster

@@ -198,7 +198,8 @@ object ResolutionQueries {
         .select(col("id").as("cust_id"), col("cluster").as("entity"))
         .write.mode("overwrite").parquet(s"$dir/labels")
       // the entity label is itself a customer id (canonical min member)
-      IndexCatalog.declareIds("path", "labels", Seq("cust_id", "entity"))
+      IndexCatalog.declareIds("path", "labels", Seq("cust_id", "entity"),
+        space = "cust")
     }
     s.read.parquet(s"$dir/labels")
   }
@@ -302,7 +303,8 @@ object ResolutionQueries {
                                   owners = Seq(ResolutionQueries.getClass,
                                     graft.Tables.getClass)) { dir =>
       multiBlockPlan(s, d).write.mode("overwrite").parquet(s"$dir/pairs")
-      IndexCatalog.declareIds("path", "pairs", Seq("cust_a", "cust_b"))
+      IndexCatalog.declareIds("path", "pairs", Seq("cust_a", "cust_b"),
+        space = "cust")
     }
     s.read.parquet(s"$dir/pairs")
   }

@@ -266,12 +266,26 @@ object WinnowQueries {
       .filter(col("n_shared") >= MatchMin)
   }
 
-  /** Directed symmetric view of a pair frame. */
-  private def symOf(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  /** Directed symmetric view of a (doc_a, doc_b, n_shared) pair frame —
+    * shared by the artifact build and the stream twin's view. */
+  private[graft] def symOf(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
         col("n_shared"))
       .unionByName(p.select(col("doc_b").as("doc_id"),
         col("doc_a").as("partner"), col("n_shared")))
+
+  /** The top-[[MatchTopK]] rank rule over a directed symmetric frame —
+    * ONE definition (shared count desc, partner id asc) so the batch
+    * artifact and the stream view can never drift on the tie-break the
+    * parity spec pins. */
+  private[graft] def topkOf(sym: org.apache.spark.sql.DataFrame,
+                            k: Int = MatchTopK): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("partner"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "partner", "n_shared", "rank")
+  }
 
   /** The persisted MATCH-GRAPH artifact — the idx_knn discipline at the
     * winnow tier: pair generation is a train-once pass over the
@@ -293,11 +307,7 @@ object WinnowQueries {
       // one pair computation feeds both relations: cache, write, release
       val sym = symOf(matchPairs(s, d)).cache()
       try {
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("n_shared").desc, col("partner"))
-        sym.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= MatchTopK)
-          .select("doc_id", "partner", "n_shared", "rank")
+        topkOf(sym)
           .write.mode("overwrite").parquet(s"$dir/topk")
         IndexCatalog.declareIds("path", "topk", Seq("doc_id", "partner"))
         sym.groupBy("doc_id")

@@ -134,8 +134,12 @@ object DeleteAudit {
     * generationed tables) append those explicitly via `extra`. */
   def survivorsFromCatalog(
       s: org.apache.spark.sql.SparkSession, deleted: DataFrame,
-      extra: Seq[(String, DataFrame, Seq[String])] = Nil): DataFrame = {
-    val fromCatalog = IndexCatalog.declaredIdRelations(s)
+      extra: Seq[(String, DataFrame, Seq[String])] = Nil,
+      space: String = "doc"): DataFrame = {
+    // scoped to the deleted ids' NAMESPACE: a doc-grain delete must not
+    // count a customer id that collides numerically (the ER tier
+    // declares space = "cust" and is audited by its own pass)
+    val fromCatalog = IndexCatalog.declaredIdRelations(s, space)
     require(fromCatalog.nonEmpty || extra.nonEmpty,
       "no artifact declared id columns — an empty audit certifies nothing")
     survivors(deleted, fromCatalog ++ extra)

@@ -72,14 +72,19 @@ object IndexCatalog {
   private val ddlBuffer = new ThreadLocal[ListBuffer[String]]
 
   /** Id-relation declarations collected while a build block runs:
-    * (kind, name, idCols) with kind ∈ path (parquet subdir of the
-    * artifact dir) | table (metastore table) | avro (AvroTable subdir).
-    * Committed into the manifest, so the delete-audit melt list is
-    * DERIVED from the catalog instead of hand-picked (r11 verdict item
-    * 3: a `Seq` literal silently omits new artifacts — a false
-    * zero-survivors certificate for a right-to-be-forgotten pass). */
+    * (kind, name, idCols, space) with kind ∈ path (parquet subdir of
+    * the artifact dir) | table (metastore table) | avro (AvroTable
+    * subdir) and space the ID NAMESPACE the columns index ("doc" for
+    * the document corpus — vec_id co-indexes it, one embedding per
+    * document — and "cust" for the customer/ER tier). Committed into
+    * the manifest, so the delete-audit melt list is DERIVED from the
+    * catalog instead of hand-picked (r11 verdict item 3: a `Seq`
+    * literal silently omits new artifacts — a false zero-survivors
+    * certificate for a right-to-be-forgotten pass), and scoped by
+    * namespace so a doc-grain delete audit never counts an unrelated
+    * customer id that happens to collide numerically. */
   private val idRelBuffer =
-    new ThreadLocal[ListBuffer[(String, String, Seq[String])]]
+    new ThreadLocal[ListBuffer[(String, String, Seq[String], String)]]
 
   /** Builds executed by THIS process — the reuse spec pins this at 0 on
     * a warm-catalog rerun. */
@@ -253,7 +258,7 @@ object IndexCatalog {
   private def writeManifest(s: SparkSession, dir: String, key: String,
                             version: String, inputFp: String, codeFp: String,
                             ddls: Seq[String],
-                            idRels: Seq[(String, String, Seq[String])]): Unit = {
+                            idRels: Seq[(String, String, Seq[String], String)]): Unit = {
     val f = fs(s, dir)
     ddls.zipWithIndex.foreach { case (ddl, i) =>
       val out = f.create(new Path(dir, s"_ddl_$i.sql"), true)
@@ -266,8 +271,9 @@ object IndexCatalog {
     props.setProperty("graft.code.fingerprint", codeFp)
     props.setProperty("graft.ddl.count", ddls.size.toString)
     props.setProperty("graft.idrel.count", idRels.size.toString)
-    idRels.zipWithIndex.foreach { case ((kind, name, cols), i) =>
-      props.setProperty(s"graft.idrel.$i", s"$kind|$name|${cols.mkString(",")}")
+    idRels.zipWithIndex.foreach { case ((kind, name, cols, space), i) =>
+      props.setProperty(s"graft.idrel.$i",
+        s"$kind|$name|${cols.mkString(",")}|$space")
     }
     // manifest is the COMMIT marker: written last, after every artifact
     // byte and DDL file, so a crash mid-build leaves an invalid dir
@@ -343,7 +349,7 @@ object IndexCatalog {
           provenance.put(key, s"built:$reason")
           f.delete(new Path(dir), true)
           val ddls = ListBuffer.empty[String]
-          val idRels = ListBuffer.empty[(String, String, Seq[String])]
+          val idRels = ListBuffer.empty[(String, String, Seq[String], String)]
           // save/restore the enclosing build's buffers: a builder that
           // calls into another artifact's accessor (e.g. a semantic pair
           // builder ensuring the IVF index) nests ensure() safely — the
@@ -376,11 +382,12 @@ object IndexCatalog {
   def persistBucketedTable(df: DataFrame, dir: String, table: String,
                            buckets: Int, bucketCols: Seq[String],
                            sortCols: Seq[String] = Nil,
-                           idCols: Seq[String] = Nil): Unit = {
+                           idCols: Seq[String] = Nil,
+                           idSpace: String = "doc"): Unit = {
     val buf = ddlBuffer.get()
     require(buf != null,
       "persistBucketedTable must be called inside an IndexCatalog.ensure build")
-    if (idCols.nonEmpty) declareIds("table", table, idCols)
+    if (idCols.nonEmpty) declareIds("table", table, idCols, idSpace)
     val loc = s"$dir/tables/$table"
     BucketedTableSink(buckets, bucketCols, sortCols, Some(loc)).write(df, table)
     val sspec =
@@ -396,38 +403,54 @@ object IndexCatalog {
     * the artifact under construction carries corpus ids in `cols`:
     * kind "path" (parquet subdir of the artifact dir), "table"
     * (metastore table — [[persistBucketedTable]] declares these via its
-    * `idCols` parameter), or "avro" ([[AvroTable]] subdir). Recorded in
-    * the manifest; [[declaredIdRelations]] melts every declaration into
-    * the delete-audit list. Builders whose artifacts are vocabulary- or
-    * centroid-grain (no corpus ids) declare nothing. */
-  def declareIds(kind: String, name: String, cols: Seq[String]): Unit = {
+    * `idCols` parameter), or "avro" ([[AvroTable]] subdir); `space`
+    * names the id NAMESPACE ("doc" default — documents and their
+    * co-indexed embeddings; "cust" for the customer/ER tier), so a
+    * delete audit melts only the relations keyed by the deleted ids'
+    * namespace. Recorded in the manifest; [[declaredIdRelations]] melts
+    * every matching declaration into the delete-audit list. Builders
+    * whose artifacts are vocabulary- or centroid-grain (no corpus ids)
+    * declare nothing. */
+  def declareIds(kind: String, name: String, cols: Seq[String],
+                 space: String = "doc"): Unit = {
     require(Set("path", "table", "avro")(kind),
       s"unknown id-relation kind '$kind'")
     require(cols.nonEmpty, "declareIds needs at least one id column")
+    require(space.nonEmpty && space.forall(c => c.isLetterOrDigit || c == '_'),
+      s"bad id namespace '$space'")
     val buf = idRelBuffer.get()
     require(buf != null,
       "declareIds must be called inside an IndexCatalog.ensure build")
-    buf += ((kind, name, cols))
+    buf += ((kind, name, cols, space))
   }
 
-  /** Every (relation label, frame, id columns) declared by the artifacts
-    * THIS process has ensured — the catalog-derived melt list for
-    * [[DeleteAudit.survivors]]. Reads the committed manifests, so an
-    * adopted artifact's declarations (written by the process that built
-    * it) surface identically to a fresh build's. */
-  def declaredIdRelations(s: SparkSession): Seq[(String, DataFrame, Seq[String])] =
+  /** Every (relation label, frame, id columns) declared IN `space` by
+    * the artifacts THIS process has ensured — the catalog-derived melt
+    * list for [[DeleteAudit.survivors]]. Reads the committed manifests,
+    * so an adopted artifact's declarations (written by the process that
+    * built it) surface identically to a fresh build's. */
+  def declaredIdRelations(s: SparkSession, space: String = "doc")
+      : Seq[(String, DataFrame, Seq[String])] =
     built.toSeq.sortBy(_._1).flatMap { case (key, dir) =>
       readManifest(s, dir).toSeq.flatMap { m =>
         val n = m.getProperty("graft.idrel.count", "0").toInt
-        (0 until n).map { i =>
-          val Array(kind, name, cols) =
-            m.getProperty(s"graft.idrel.$i").split("\\|", 3)
-          val df = kind match {
-            case "table" => s.table(name)
-            case "avro"  => AvroTable.read(s, s"$dir/$name")
-            case _       => s.read.parquet(s"$dir/$name")
+        (0 until n).flatMap { i =>
+          val parts = m.getProperty(s"graft.idrel.$i").split("\\|", 4)
+          // a 3-field declaration predates id namespaces; guessing its
+          // space could mis-scope a delete audit — rebuild instead
+          require(parts.length == 4,
+            s"artifact $key declares ids in a pre-namespace manifest " +
+              "format — rebuild it (GRAFT_CATALOG_REBUILD=1)")
+          val Array(kind, name, cols, sp) = parts
+          if (sp != space) None
+          else {
+            val df = kind match {
+              case "table" => s.table(name)
+              case "avro"  => AvroTable.read(s, s"$dir/$name")
+              case _       => s.read.parquet(s"$dir/$name")
+            }
+            Some((s"$key/$name", df, cols.split(",").toSeq))
           }
-          (s"$key/$name", df, cols.split(",").toSeq)
         }
       }
     }

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import graft.operators.SimilarityQueries
 import graft.sources.UpsertBucketedSink
@@ -26,11 +28,25 @@ object AnnStreams {
 
   /** One micro-batch application (exposed for replay tests): search the
     * batch of (query_id, embedding) rows, merge results into
-    * `resultTable` (query_id, neighbor_id, rank, cosine). */
-  def processBatch(batch: DataFrame, dir: String, resultTable: String,
-                   k: Int = 5, buckets: Int = 8): Unit = {
-    val out = SimilarityQueries.ivfSearch(batch.sparkSession, dir, batch, k)
-    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "neighbor_id")
+    * `resultTable` (query_id, neighbor_id, rank, cosine, _gen).
+    *
+    * Batch hygiene (shared with [[RetrievalStreams]]): same-batch
+    * duplicate query_ids collapse to one deterministic row (greatest
+    * embedding hash), and the merge is versioned by the BATCH id so a
+    * query re-streamed with a changed embedding supersedes its old
+    * results wholesale instead of mixing generations per rank key.
+    * Replay (same batchId) rewrites identical rows — a no-op. */
+  def processBatch(batch: DataFrame, batchId: Long, dir: String,
+                   resultTable: String, k: Int = 5, buckets: Int = 8): Unit = {
+    val one = batch
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(xxhash64(col("embedding")).desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+    val out = SimilarityQueries.ivfSearch(batch.sparkSession, dir, one, k)
+      .withColumn("_gen", lit(batchId))
+    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen")
       .write(out, resultTable)
   }
 
@@ -40,7 +56,8 @@ object AnnStreams {
                    k: Int = 5, buckets: Int = 8): DataStreamWriter[Row] =
     queries.writeStream
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) processBatch(batch, dir, resultTable, k, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, dir, resultTable, k, buckets)
       }
 }

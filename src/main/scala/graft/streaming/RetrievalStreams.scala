@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import graft.operators.SimilarityQueries
 import graft.sources.UpsertBucketedSink
@@ -32,12 +34,30 @@ object RetrievalStreams {
 
   /** One micro-batch application (exposed for replay tests): rerank the
     * batch of (query_id, embedding) rows against corpus `d`, merge
-    * results into `resultTable` (query_id, neighbor_id, rank, cosine). */
-  def processBatch(batch: DataFrame, d: String, resultTable: String,
-                   k: Int = 5, buckets: Int = 8): Unit = {
-    val out = SimilarityQueries.rerankSearch(batch.sparkSession, d,
-      batch.select("query_id", "embedding"), k)
-    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "neighbor_id")
+    * results into `resultTable` (query_id, neighbor_id, rank, cosine,
+    * _gen).
+    *
+    * Batch hygiene (the same classes the document twins guard):
+    * same-batch duplicate query_ids collapse to ONE deterministic row
+    * (greatest embedding hash — an at-least-once source would otherwise
+    * multiply through both join stages and rank k copies of one
+    * neighbor), and the merge is versioned by the BATCH id, so a query
+    * re-streamed later with a CHANGED embedding supersedes its old
+    * results wholesale (every (query_id, rank) key is rewritten — the
+    * newest generation's row set is exactly the batch answer for the
+    * new vector, never a mix). Replay (same batchId) rewrites identical
+    * rows — a no-op. */
+  def processBatch(batch: DataFrame, batchId: Long, d: String,
+                   resultTable: String, k: Int = 5, buckets: Int = 8): Unit = {
+    val one = batch.select("query_id", "embedding")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(xxhash64(col("embedding")).desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+    val out = SimilarityQueries.rerankSearch(batch.sparkSession, d, one, k)
+      .withColumn("_gen", lit(batchId))
+    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen")
       .write(out, resultTable)
   }
 
@@ -47,7 +67,8 @@ object RetrievalStreams {
                    k: Int = 5, buckets: Int = 8): DataStreamWriter[Row] =
     queries.writeStream
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) processBatch(batch, d, resultTable, k, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(batch, batchId, d, resultTable, k, buckets)
       }
 }

@@ -56,10 +56,19 @@ import graft.sources.{BucketedTableSink, UpsertBucketedSink}
   * produce is impossible. */
 object WinnowStreams {
 
-  /** Raw accumulated index WITH the ingest_batch partition column. */
+  private def compactMarker(fpDir: String) = new Path(fpDir, "_COMPACT_COMMIT")
+  private def compactStaging(fpDir: String) = new Path(fpDir, "_compact_staging")
+
+  /** Raw accumulated index WITH the ingest_batch partition column.
+    * Refuses an index caught mid-compaction (commit marker present —
+    * partitions may be partially deleted): rerun [[compactIndex]] to
+    * complete the swap rather than silently serving a truncated set. */
   private def readFpRaw(s: SparkSession, fpDir: String): Option[DataFrame] = {
     val p = new Path(fpDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(compactMarker(fpDir)),
+      s"fingerprint index at $fpDir has an interrupted compaction — " +
+        "rerun WinnowStreams.compactIndex to complete it")
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(s.read.parquet(fpDir))
     else None
   }
@@ -150,8 +159,12 @@ object WinnowStreams {
     val base = readFp(s, fpDir, delta)
       .join(deltaIds, Seq("doc_id"), "left_anti")
     // cross-batch re-ingest: ids already present under an OLDER batch
-    // must have their stale pairs retracted before the merge. Replays
-    // (same batchId) see only their own partition and skip the purge.
+    // must have their stale pairs retracted before the merge. A replay
+    // of a re-ingest batch RE-RUNS the purge (the superseded older
+    // partition persists until compaction, so reIngested is non-empty
+    // again) and then regenerates the identical pairs — idempotent in
+    // result, at the cost of one pair-table rewrite per replay;
+    // first-time ingests (the common crawl case) skip it entirely.
     val reIngested = readFpRaw(s, fpDir)
       .map(_.filter(col("ingest_batch") =!= batchId)
         .select("doc_id").distinct()
@@ -171,51 +184,74 @@ object WinnowStreams {
     * single partition keyed by the CURRENT MAX batch id — the
     * maintenance pass that keeps [[readFp]]'s newest-wins window from
     * re-scanning every superseded generation forever (the
-    * Compaction.compact discipline at stream-state grain). Correctness
-    * is unaffected at every point:
+    * Compaction.compact discipline at stream-state grain).
     *
-    *  - the compacted partition carries every doc's newest row set, so
-    *    newest-wins resolves to it whether or not the older partitions
-    *    are gone yet (a crash between the write and the deletes leaves
-    *    only superseded rows behind — ignored by the window);
-    *  - recovery replay (structured streaming re-applies only the
-    *    LATEST uncommitted batch — batch ids are monotone past the
-    *    checkpoint) stays a no-op: the latest batch's partition id is
-    *    above the compacted one, so its rewrite and purge decisions
-    *    see exactly the state the original application saw. Replaying
-    *    an ANCIENT batch out of order was never in any twin's replay
-    *    contract (its text is superseded); compaction neither adds nor
-    *    removes that caveat.
+    * PRECONDITION: the stream is stopped and its last batch has
+    * COMMITTED to the checkpoint — recovery replay then only ever
+    * re-applies a batch id ABOVE the compacted partition, so the
+    * partition the compaction owns is never rewritten by a replay.
+    * (Replaying an ANCIENT batch out of order was never in any twin's
+    * replay contract; compaction neither adds nor removes that caveat.)
     *
-    * Idempotent: recompacting an already-compact index rewrites the
-    * same single partition. */
-  def compactIndex(s: SparkSession, fpDir: String): Unit =
-    readFpRaw(s, fpDir).foreach { raw =>
+    * Crash safety is the repo's two-phase commit-marker discipline:
+    * the complete newest-only row set is staged OUTSIDE the partition
+    * tree (hidden dir — readers never see it), then the marker commits
+    * the swap; only after the marker do partitions get deleted and the
+    * staging renamed in. A crash anywhere leaves either (a) no marker —
+    * the index untouched, a stale staging dir overwritten by the next
+    * run — or (b) the marker present — [[readFpRaw]] refuses the
+    * possibly-partial partition set LOUDLY and a rerun of this method
+    * resumes the swap to completion (idempotent: already-renamed
+    * staging is detected and only the leftover deletes re-run).
+    *
+    * Recompacting an already-compact index rewrites the same single
+    * partition. */
+  def compactIndex(s: SparkSession, fpDir: String): Unit = {
+    val root = new Path(fpDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val staging = compactStaging(fpDir)
+    val marker = compactMarker(fpDir)
+    if (!fs.exists(marker)) {
+      val raw = readFpRaw(s, fpDir).getOrElse(return)
       // partition discovery infers ingest_batch as int or long
       // depending on the values seen — widen explicitly
       val maxB = raw.agg(max(col("ingest_batch").cast("long")))
         .head().getLong(0)
-      val newest = raw
-        .withColumn("nb",
+      raw.withColumn("nb",
           max("ingest_batch").over(Window.partitionBy("doc_id")))
         .filter(col("ingest_batch") === col("nb"))
         .select("doc_id", "fh")
-      // stage outside the partition tree, then commit: the overwrite of
-      // ingest_batch=<maxB> below must not read its own target
-      val staging = s"$fpDir/_compact_staging"
-      newest.write.mode("overwrite").parquet(staging)
-      s.read.parquet(staging)
-        .write.mode("overwrite").parquet(s"$fpDir/ingest_batch=$maxB")
-      val p = new Path(fpDir)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(staging), true)
-      fs.listStatus(p).foreach { st =>
+        .write.mode("overwrite").parquet(staging.toString)
+      // the commit point: records the target partition id
+      val out = fs.create(marker, true)
+      try out.write(maxB.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // completion (fresh run or crash resume): the marker guarantees the
+    // staging held the COMPLETE newest set when written
+    val maxB = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+    val target = new Path(root, s"ingest_batch=$maxB")
+    if (fs.exists(staging)) {
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("ingest_batch="))
+          fs.delete(st.getPath, true)
+      }
+      fs.rename(staging, target)
+    } else {
+      // staging already renamed in (crash after the rename): only the
+      // superseded partitions are left to delete
+      fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("ingest_batch=") &&
-            name.stripPrefix("ingest_batch=").toLong < maxB)
+        if (name.startsWith("ingest_batch=") && st.getPath != target)
           fs.delete(st.getPath, true)
       }
     }
+    fs.delete(marker, false)
+  }
 
   /** Bounded top-k partners over the ACCUMULATED pair table — the
     * stream-side counterpart of `q_winnow_matches_topk`: the same rank
@@ -226,18 +262,10 @@ object WinnowStreams {
     * never stored ranks; after full ingest it equals the batch top-k
     * exactly (spec-pinned). */
   def topkView(s: SparkSession, pairTable: String,
-               k: Int = WinnowQueries.MatchTopK): DataFrame = {
-    val p = s.table(pairTable)
-    val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
-        col("n_shared"))
-      .unionByName(p.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("partner"), col("n_shared")))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("n_shared").desc, col("partner"))
-    sym.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("doc_id", "partner", "n_shared", "rank")
-  }
+               k: Int = WinnowQueries.MatchTopK): DataFrame =
+    WinnowQueries.topkOf(
+      WinnowQueries.symOf(s.table(pairTable)
+        .select("doc_a", "doc_b", "n_shared")), k)
 
   /** Continuous wiring: a stream of documents applied micro-batch by
     * micro-batch through [[processBatch]]. */

@@ -116,6 +116,22 @@ class DeleteAuditSpec extends SparkSpec {
       assert(post.agg(sum("n_rows")).first().getLong(0) == 0,
         s"deleted ids survive: ${post.filter(col("n_rows") > 0).collect().mkString}")
 
+      // namespace scoping: a CUSTOMER-space artifact ensured in the same
+      // process must NOT enter the doc-space certificate (a customer id
+      // colliding numerically with a deleted doc id would otherwise be
+      // a false survivor), and the cust-space audit must see it
+      Tables.customer(spark, sf0001).coalesce(1)
+        .write.mode("overwrite").parquet(s"$corpusD/customer.parquet")
+      graft.operators.ResolutionQueries.multiBlockPairs(spark, corpusD).count()
+      val postScoped = DeleteAudit.survivorsFromCatalog(spark, deleted)
+      assert(postScoped.count() == 13,
+        s"cust-space relations leaked into the doc audit: " +
+          s"${postScoped.select("artifact").distinct().collect().mkString}")
+      val custAudit = DeleteAudit.survivorsFromCatalog(spark,
+        Seq(1L).toDF("cust_id"), space = "cust")
+      assert(custAudit.count() == 2, // er_mb_pairs: cust_a + cust_b
+        s"cust-space audit shape: ${custAudit.collect().mkString}")
+
       // and the packed-sequence manifest path sees no deleted doc either
       val packed = graft.operators.ShardPacking.chunkSequences(
         spark.read.parquet(s"$corpusD/documents.parquet")

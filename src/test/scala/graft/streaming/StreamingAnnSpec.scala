@@ -47,10 +47,11 @@ class StreamingAnnSpec extends SparkSpec {
       assert(got == expected,
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
 
-      // replay the second batch: the keyed merge must not move
+      // replay the second batch (its own batch id): the keyed merge
+      // must not move
       AnnStreams.processBatch(
-        batch2.toIndexedSeq.toDF("query_id", "embedding"), sf0001, resultT,
-        buckets = 4)
+        batch2.toIndexedSeq.toDF("query_id", "embedding"), 1L, sf0001,
+        resultT, buckets = 4)
       assert(spark.table(resultT).collect().map(key).toSet == expected,
         "replayed micro-batch changed the results table")
     } finally { q.stop(); cleanup() }

@@ -48,12 +48,58 @@ class StreamingRetrievalSpec extends SparkSpec {
       assert(got == expected,
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
 
-      // replay a micro-batch: the keyed merge must not move
+      // replay a micro-batch (same batch id): the keyed merge must not
+      // move
       RetrievalStreams.processBatch(
-        batch1.toIndexedSeq.toDF("query_id", "embedding"), sf0001, resultT,
-        buckets = 4)
+        batch1.toIndexedSeq.toDF("query_id", "embedding"), 0L, sf0001,
+        resultT, buckets = 4)
       assert(spark.table(resultT).collect().map(key).toSet == expected,
         "replayed micro-batch changed the results table")
     } finally { q.stop(); cleanup() }
+  }
+
+  test("same-batch duplicate query_ids collapse; a re-streamed query " +
+    "with a changed embedding supersedes wholesale") {
+    cleanup()
+    try {
+      val vecs = Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toMap
+      // batch 0: query 0 carried TWICE — once with its true vector,
+      // once with query 5's (the at-least-once duplicate with a
+      // conflicting payload); the deterministic winner is the row with
+      // the greater embedding hash
+      val winner =
+        Seq(vecs(0L), vecs(5L)).maxBy(e =>
+          Seq((0L, e)).toDF("query_id", "embedding")
+            .select(xxhash64(col("embedding"))).head().getLong(0))
+      RetrievalStreams.processBatch(
+        Seq((0L, vecs(0L)), (0L, vecs(5L))).toDF("query_id", "embedding"),
+        0L, sf0001, resultT, buckets = 4)
+      val r0 = spark.table(resultT).collect()
+      assert(r0.length == 5, s"dup query must yield ONE top-5: ${r0.length}")
+      assert(r0.map(_.getInt(2)).sorted.toSeq == (1 to 5),
+        "ranks must be 1..5, never k copies of one neighbor")
+      val expectWinner = SimilarityQueries.rerankSearch(spark, sf0001,
+          Seq((0L, winner)).toDF("query_id", "embedding"))
+        .collect().map(key).toSet
+      assert(r0.map(key).toSet == expectWinner,
+        "the deterministic duplicate winner's answer must be stored")
+
+      // batch 1: query 0 re-streamed with a DIFFERENT embedding — the
+      // stored rows must equal the new batch answer exactly, never a
+      // per-rank mix of generations
+      val e2 = vecs(7L)
+      RetrievalStreams.processBatch(
+        Seq((0L, e2)).toDF("query_id", "embedding"),
+        1L, sf0001, resultT, buckets = 4)
+      val want = SimilarityQueries.rerankSearch(spark, sf0001,
+          Seq((0L, e2)).toDF("query_id", "embedding"))
+        .collect().map(key).toSet
+      val got = spark.table(resultT).collect().map(key).toSet
+      assert(got == want,
+        s"superseded results leaked: missing=${want -- got} extra=${got -- want}")
+    } finally cleanup()
   }
 }

@@ -189,6 +189,36 @@ class StreamingWinnowSpec extends SparkSpec {
         "replaying the latest batch after compaction must be a no-op")
       assert(pairsBefore.subsetOf(beforeReplay),
         "pre-compaction pairs must survive compaction")
+
+      // INTERRUPTED compaction at the worst point: staging + marker
+      // written, every partition already deleted, crash before the
+      // rename. Readers must refuse loudly; a rerun must complete the
+      // swap to exactly the pre-interruption served rows.
+      val servedNow = spark.read.parquet(fpD).select("doc_id", "fh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fs = new org.apache.hadoop.fs.Path(fpD)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(fpD).select("doc_id", "fh")
+        .write.mode("overwrite").parquet(s"$fpD/_compact_staging")
+      val mk = fs.create(
+        new org.apache.hadoop.fs.Path(fpD, "_COMPACT_COMMIT"), true)
+      try mk.write("2".getBytes("UTF-8")) finally mk.close()
+      fs.listStatus(new org.apache.hadoop.fs.Path(fpD)).foreach { st =>
+        if (st.getPath.getName.startsWith("ingest_batch="))
+          fs.delete(st.getPath, true)
+      }
+      val refused = intercept[IllegalArgumentException] {
+        WinnowStreams.processBatch(
+          Seq((9L, doc("omega", "so"))).toDF("doc_id", "text"),
+          batchId = 3L, pairT, fpD, buckets = 4)
+      }
+      assert(refused.getMessage.contains("interrupted compaction"),
+        s"mid-compaction reads must refuse loudly: ${refused.getMessage}")
+      WinnowStreams.compactIndex(spark, fpD) // resume completes the swap
+      val servedAfter = spark.read.parquet(fpD).select("doc_id", "fh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(servedAfter == servedNow,
+        "resumed compaction must restore the exact served rows")
     } finally cleanup()
   }
 
