@@ -159,6 +159,65 @@ class DeleteAuditSpec extends SparkSpec {
     }
   }
 
+  test("customer-grain delete: ER artifacts rebuild, cust-space certificate zero") {
+    cleanup()
+    IndexCatalog.rootOverride = Some(s"$base/catalog")
+    IndexCatalog.resetProcessMemo()
+    try {
+      import graft.operators.ResolutionQueries
+      // customers live behind the same tombstone contract as documents
+      val log = LogTable(s"$base/custlog", keyCols = Seq("c_custkey"),
+        versionCol = "version")
+      val cust = Tables.customer(spark, sf0001)
+      def materialize(): Unit = log.read(spark)
+        .filter(!col("tombstone")).drop("version", "tombstone")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$corpusD/customer.parquet")
+      log.append(cust.withColumn("version", lit(1L))
+        .withColumn("tombstone", lit(false)))
+      materialize()
+
+      val before = IndexCatalog.buildCount.get()
+      ResolutionQueries.erLabels(spark, corpusD).count()
+      ResolutionQueries.multiBlockPairs(spark, corpusD).count()
+      assert(IndexCatalog.buildCount.get() == before + 2)
+
+      // delete a slice KNOWN to the ER tier (drawn from the labels
+      // artifact itself, so the pre-check cannot be vacuous)
+      val delIds = ResolutionQueries.erLabels(spark, corpusD)
+        .select("cust_id").filter(col("cust_id") % 3 === 0)
+        .as[Long].collect().toSet
+      assert(delIds.nonEmpty, "no ER-labeled customer in the delete slice")
+      val deleted = delIds.toSeq.toDF("c_custkey")
+      val pre = DeleteAudit.survivorsFromCatalog(spark, deleted,
+          space = "cust")
+        .agg(sum("n_rows")).first().getLong(0)
+      assert(pre > 0, "cust delete set never appears in the ER tier")
+
+      // tombstone, re-materialize, rebuild (content fingerprint flips)
+      log.append(cust.join(deleted, Seq("c_custkey"))
+        .withColumn("version", lit(2L)).withColumn("tombstone", lit(true)))
+      materialize()
+      IndexCatalog.resetProcessMemo()
+      val mid = IndexCatalog.buildCount.get()
+      ResolutionQueries.erLabels(spark, corpusD).count()
+      ResolutionQueries.multiBlockPairs(spark, corpusD).count()
+      assert(IndexCatalog.buildCount.get() == mid + 2,
+        "purged customer content did not invalidate the ER artifacts")
+
+      // labels (cust_id, entity) + mb pairs (cust_a, cust_b) = 4 rows
+      val post = DeleteAudit.survivorsFromCatalog(spark, deleted,
+        space = "cust")
+      assert(post.count() == 4,
+        s"unexpected cust certificate shape: ${post.collect().mkString}")
+      assert(post.agg(sum("n_rows")).first().getLong(0) == 0,
+        s"deleted customers survive: ${post.filter(col("n_rows") > 0).collect().mkString}")
+    } finally {
+      IndexCatalog.rootOverride = None
+      IndexCatalog.resetProcessMemo()
+    }
+  }
+
   test("purge semantics: keeper promotion and bridge-deletion splits") {
     import graft.operators.DedupResolve
     def keepOf(pairs: Seq[(Long, Long)]) =
