@@ -50,6 +50,20 @@ object Verify {
         spark.catalog.clearCache()
       }
       if (sweep) sys.props.remove("graft.catalog.rebuild")
+      // Artifact-vs-live sentinel (r12 verdict item 2): before trusting
+      // any adopted artifact with a full-aggregate consumer, digest the
+      // served bytes against the live builder plan; a mismatch
+      // invalidates + rebuilds that artifact HERE, so a stale adopt
+      // becomes a logged auto-heal instead of a red gate row.
+      val sentinel = graft.sources.ArtifactSentinel
+        .run(spark, sfDir, graft.operators.SentinelChecks.all)
+      sentinel.foreach { case (k, v) =>
+        System.err.println(s"[verify] sentinel $k: $v")
+      }
+      Files.writeString(Paths.get(s"$outDir/sentinel_report.json"),
+        sentinel.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}"))
+      spark.catalog.clearCache()
     }
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

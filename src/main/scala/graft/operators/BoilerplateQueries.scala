@@ -65,8 +65,17 @@ object BoilerplateQueries {
           s"i -> array_join(slice(w, i*$SegWords + 1, $SegWords), ' '))"))
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
 
-  private def segments(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def segments(s: org.apache.spark.sql.SparkSession, d: String) =
     segmentsOf(Tables.documents(s, d))
+
+  /** The trained boilerplate-list frame (seg, n_docs, first_doc) —
+    * the artifact's `list` relation, shared by the builder and the
+    * [[graft.sources.ArtifactSentinel]] live recompute. */
+  private[graft] def listOf(seg: org.apache.spark.sql.DataFrame) =
+    seg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= MinDocs)
 
   /** The corpus boilerplate list: segments carried by >= MinDocs
     * distinct documents (one column `bseg`). */
@@ -122,10 +131,7 @@ object BoilerplateQueries {
       // (list agg + excise walk): cache, write, unpersist
       val seg = segments(s, d).cache()
       try {
-        seg.groupBy("seg")
-          .agg(countDistinct("doc_id").as("n_docs"),
-            min("doc_id").as("first_doc"))
-          .filter(col("n_docs") >= MinDocs)
+        listOf(seg)
           .write.mode("overwrite").parquet(s"$dir/list")
         IndexCatalog.declareIds("path", "list", Seq("first_doc"))
         exciseFrom(seg,

@@ -101,7 +101,7 @@ object DsirQueries {
   /** Spark frame of (doc_id, source, n_tokens, weight_bits) over the raw
     * pool, unordered (callers order/limit) — the live train+score plan
     * (also the artifact builder's body). */
-  private def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bk = bucketTokens(Tables.documents(s, d))
     val bt = bucketModel(bk)
     val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))

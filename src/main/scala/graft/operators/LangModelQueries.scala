@@ -466,7 +466,10 @@ object LangModelQueries {
     import graft.sources.IndexCatalog
     val dir = IndexCatalog.ensure(s, s"kn_scores_${IndexCatalog.tag(d)}",
       inputs = Seq(d),
-      owners = Seq(LangModelQueries.getClass, graft.Tables.getClass)) { dir =>
+      version = "2", // v2: owners now cover the tokenizer (one clean rebuild)
+      owners = Seq(LangModelQueries.getClass, graft.Tables.getClass,
+        graft.functions.TextFunctions.getClass,
+        classOf[graft.plans.WordShingles])) { dir =>
       knScoresLive(s, d).write.mode("overwrite").parquet(s"$dir/scores")
       IndexCatalog.declareIds("path", "scores", Seq("doc_id"))
     }

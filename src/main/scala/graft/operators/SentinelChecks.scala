@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.ArtifactSentinel.Check
+import graft.sources.IndexCatalog.tag
+
+/** Registry of [[graft.sources.ArtifactSentinel]] checks — every
+  * catalog artifact backing a FULL-AGGREGATE consumer (round-12 verdict
+  * items 2+7: a query that aggregates over the entire served relation is
+  * poisoned by any stale row, where a top-k consumer can stay green on a
+  * stale tail; `q_quality_tertiles` was the round-11/12 escape).
+  *
+  * Covered, with the consumer that motivates each:
+  *  - `kn_scores`           → `q_quality_tertiles` / `q_quality_mixture`
+  *    band the WHOLE score frame into tertiles;
+  *  - `boilerplate/list`    → `q_line_dupes` emits the whole list;
+  *  - `boilerplate/excised` → `q_line_excise` emits every doc's excision;
+  *  - `dsir_weights`        → `q_dsir_weights` emits every doc's weight;
+  *  - `winnow_fp`           → the root of the winnow chain: topk/partners
+  *    live plans RECOMPUTE FROM IT, so only a direct sentinel vs the
+  *    corpus-level plan can catch it stale;
+  *  - `winnow_topk/topk` and `/partners` → `q_winnow_matches_topk` /
+  *    `q_winnow_partner_stats` read the whole relation.
+  *
+  * Artifacts NOT listed are consumed through bounded/keyed reads (top-25
+  * serving joins, per-id probes) or are fixtures with no live twin
+  * (avro fixtures ARE the source of truth). Keep this list in sync when
+  * adding a full-aggregate consumer over a new artifact.
+  */
+object SentinelChecks {
+
+  val all: Seq[Check] = Seq(
+    Check("kn_scores",
+      d => s"kn_scores_${tag(d)}",
+      (s, d) => LangModelQueries.knScores(s, d),
+      (s, d) => LangModelQueries.knScoresLive(s, d)),
+    Check("boilerplate_list",
+      d => s"boilerplate_${tag(d)}",
+      (s, d) => s.read.parquet(s"${BoilerplateQueries.boilerplateDir(s, d)}/list"),
+      (s, d) => BoilerplateQueries.listOf(BoilerplateQueries.segments(s, d))),
+    Check("boilerplate_excised",
+      d => s"boilerplate_${tag(d)}",
+      (s, d) => s.read.parquet(s"${BoilerplateQueries.boilerplateDir(s, d)}/excised"),
+      (s, d) => {
+        val seg = BoilerplateQueries.segments(s, d)
+        BoilerplateQueries.exciseFrom(seg,
+          BoilerplateQueries.listOf(seg).select(col("seg").as("bseg")))
+      }),
+    Check("dsir_weights",
+      d => s"dsir_weights_${tag(d)}",
+      (s, d) => DsirQueries.weightsTable(s, d),
+      (s, d) => DsirQueries.weightsFrame(s, d)),
+    Check("winnow_fp",
+      d => s"winnow_fp_${tag(d)}",
+      (s, d) => WinnowQueries.fingerprintTable(s, d),
+      (s, d) => WinnowQueries.fingerprintLive(s, d)),
+    Check("winnow_topk",
+      d => s"winnow_topk_${tag(d)}",
+      (s, d) => s.read.parquet(s"${WinnowQueries.topkDir(s, d)}/topk"),
+      (s, d) => WinnowQueries.topkOf(
+        WinnowQueries.symOf(WinnowQueries.matchPairs(s, d)))),
+    Check("winnow_partners",
+      d => s"winnow_topk_${tag(d)}",
+      (s, d) => s.read.parquet(s"${WinnowQueries.topkDir(s, d)}/partners"),
+      (s, d) => WinnowQueries.partnersOf(
+        WinnowQueries.symOf(WinnowQueries.matchPairs(s, d)))))
+}

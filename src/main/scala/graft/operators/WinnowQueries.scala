@@ -160,14 +160,21 @@ object WinnowQueries {
       owners = Seq(WinnowQueries.getClass, graft.Tables.getClass,
         graft.functions.TextFunctions.getClass,
         graft.plans.WordShingles.getClass)) { dir =>
-      IndexCatalog.persistBucketedTable(
-        selected(Tables.documents(s, d))
-          .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"),
-            expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos")),
+      IndexCatalog.persistBucketedTable(fingerprintLive(s, d),
         dir, table, 8, Seq("fh"), Seq("doc_id"), idCols = Seq("doc_id"))
     }
     s.table(table)
   }
+
+  /** The live (doc_id, fh, pos) fingerprint plan the artifact persists —
+    * shared by the builder and the [[graft.sources.ArtifactSentinel]]
+    * recompute (the whole winnow chain roots here, so a stale fp table
+    * would poison topk/partners while agreeing with THEIR live plans). */
+  private[graft] def fingerprintLive(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    selected(Tables.documents(s, d))
+      .select(col("doc_id"), expr(s"fkey div ${PosSpan}L").as("fh"),
+        expr(s"${PosSpan - 1}L - fkey % ${PosSpan}L").as("pos"))
 
   /** Per-document fingerprint profile: gram/window/fingerprint counts
     * and the selection density (floor-percent of windows) — the
@@ -251,7 +258,7 @@ object WinnowQueries {
     * the persisted fingerprint artifact: the distinct, the bucket
     * count, and the pair self-join are all clustered on fh, so none of
     * them exchanges the fingerprint side. */
-  private def matchPairs(
+  private[graft] def matchPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val fp = fingerprintTable(s, d).select("doc_id", "fh").distinct()
     val ok = fp.groupBy("fh").agg(count(lit(1)).as("n"))
@@ -287,6 +294,17 @@ object WinnowQueries {
       .select("doc_id", "partner", "n_shared", "rank")
   }
 
+  /** Per-doc partner telemetry over a directed symmetric pair frame —
+    * the artifact's `partners` relation, shared by the builder and the
+    * [[graft.sources.ArtifactSentinel]] live recompute. */
+  private[graft] def partnersOf(
+      sym: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sym.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"))
+      .select(col("doc_id"), col("n_partners"),
+        least(col("n_partners"), lit(MatchTopK.toLong)).as("n_kept"),
+        greatest(col("n_partners") - MatchTopK, lit(0L)).as("n_dropped"))
+
   /** The persisted MATCH-GRAPH artifact — the idx_knn discipline at the
     * winnow tier: pair generation is a train-once pass over the
     * fingerprint artifact (its worst case is contractual — the bucket
@@ -310,11 +328,7 @@ object WinnowQueries {
         topkOf(sym)
           .write.mode("overwrite").parquet(s"$dir/topk")
         IndexCatalog.declareIds("path", "topk", Seq("doc_id", "partner"))
-        sym.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_partners"))
-          .select(col("doc_id"), col("n_partners"),
-            least(col("n_partners"), lit(MatchTopK.toLong)).as("n_kept"),
-            greatest(col("n_partners") - MatchTopK, lit(0L)).as("n_dropped"))
+        partnersOf(sym)
           .write.mode("overwrite").parquet(s"$dir/partners")
         IndexCatalog.declareIds("path", "partners", Seq("doc_id"))
       } finally sym.unpersist()

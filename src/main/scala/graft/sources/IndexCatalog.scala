@@ -374,6 +374,19 @@ object IndexCatalog {
       dir
     })
 
+  /** Drop a committed artifact so the next [[ensure]] of the same key
+    * rebuilds from scratch: forget the process memo and delete the
+    * artifact directory (manifest included — the commit marker, so even
+    * a crash mid-delete leaves an invalid, rebuild-on-entry dir). The
+    * [[ArtifactSentinel]] auto-heal hook (round-12 verdict item 2);
+    * single-writer contract as for builds. */
+  private[graft] def invalidate(s: SparkSession, key: String): Unit = {
+    built.remove(key)
+    provenance.remove(key)
+    val dir = Paths.get(root, key).toString
+    fs(s, dir).delete(new Path(dir), true)
+  }
+
   /** Write `df` as an external bucketed table whose files live under
     * the artifact dir, and record its registration DDL in the manifest
     * so a later process adopts the same files (bucket spec intact)

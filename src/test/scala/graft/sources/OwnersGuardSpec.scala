@@ -219,61 +219,130 @@ class OwnersGuardSpec extends AnyFunSuite {
   private def covered(ref: String, owners: Set[String]): Boolean =
     exempt.contains(ref) || owners.exists(o => ref == o || ref.startsWith(o))
 
+  /** Member `def`/`val` names declared in each top-level graft OBJECT's
+    * defining file (file-scoped approximation: every member name in the
+    * file maps to every top-level object in it — over-approximate, so
+    * the failure mode is a loud false positive, never a silent miss).
+    * Resolves the round-12 blind spot: `tokens`/`wordShingles` arrive in
+    * builder blocks as BARE lowercase names via
+    * `import graft.functions.TextFunctions._`, which the class-token
+    * scan below cannot see. */
+  private lazy val objectMembers: Map[String, (Path, Set[String])] = {
+    val memberRe = """(?m)^\s{2,}(?:private(?:\[\w+\])?\s+|final\s+|lazy\s+)*(?:def|val)\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val objRe = """(?m)^(?:private\s+|case\s+)*object\s+([A-Za-z0-9_]+)""".r
+    val pkgRe = """(?m)^package\s+([\w.]+)""".r
+    sourceFiles.flatMap { p =>
+      val text = stripNoise(readAll(p))
+      val pkg = pkgRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      val members = memberRe.findAllMatchIn(text).map(_.group(1)).toSet
+      objRe.findAllMatchIn(text).map(m => s"$pkg.${m.group(1)}" -> (p, members))
+    }.toMap
+  }
+
+  private val importRe = """(?m)^\s*import\s+(graft[\w.]*)\.(\{[^}]*\}|[\w]+)""".r
+  private val wildcardRe = """(?m)^\s*import\s+(graft[\w.]+)\._\s*$""".r
+  private val pkgRe = """(?m)^package\s+([\w.]+)""".r
+
+  private def importsOf(text: String): Map[String, String] =
+    importRe.findAllMatchIn(text).flatMap { m =>
+      val prefix = m.group(1)
+      val what = m.group(2)
+      if (what.startsWith("{"))
+        what.stripPrefix("{").stripSuffix("}").split(",").toSeq
+          .map(_.trim.split("=>").head.trim).filter(_.nonEmpty)
+          .map(n => n -> s"$prefix.$n")
+      else Seq(what -> s"$prefix.$what")
+    }.toMap
+
+  /** graft types referenced in `block` (fully-qualified or capitalized
+    * simple names resolved against `pkg`/`imports`). */
+  private def graftRefs(block: String, pkg: String,
+                        imports: Map[String, String]): Set[String] = {
+    val fqRefs = """\bgraft(?:\.[a-z][A-Za-z0-9_]*)*\.[A-Z][A-Za-z0-9_]*"""
+      .r.findAllIn(block).toSet
+    val simpleRefs = """\b([A-Z][A-Za-z0-9_]*)\b""".r
+      .findAllMatchIn(block).map(_.group(1)).toSet
+      .flatMap((n: String) => resolve(n, pkg, imports))
+    fqRefs ++ simpleRefs
+  }
+
+  /** Scan one file's text for `ensure(...) { dir => ... }` sites and
+    * return (siteCount, problems). Extracted so the planted-probe test
+    * below can run the same logic over synthetic text. */
+  private def checkEnsureSites(display: String, text: String): (Int, Seq[String]) = {
+    val problems = Seq.newBuilder[String]
+    var sites = 0
+    val pkg = pkgRe.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    val imports = importsOf(text)
+    val wildcards = wildcardRe.findAllMatchIn(text).map(_.group(1)).toSeq
+    var idx = text.indexOf(".ensure(")
+    while (idx >= 0) {
+      val argsEnd = matchDelim(text, idx + ".ensure".length)
+      val args = text.substring(idx + ".ensure(".length, argsEnd - 1)
+      // the builder block follows the argument list
+      var j = argsEnd
+      while (j < text.length && text(j).isWhitespace) j += 1
+      if (j < text.length && text(j) == '{') {
+        sites += 1
+        val blockEnd = matchDelim(text, j)
+        val block = expandWithHelpers(text,
+          stripNoise(text.substring(j, blockEnd)))
+        val ownersIdx = args.indexOf("owners")
+        val ownersExpr = if (ownersIdx < 0) "" else args.substring(ownersIdx)
+        val owners: Set[String] =
+          ownerClasses(text, ownersExpr)
+            .flatMap(t => resolve(t, pkg, imports))
+        val site = s"$display:${text.take(idx).count(_ == '\n') + 1}"
+        if (owners.isEmpty)
+          problems += s"$site: ensure call with no resolvable owners " +
+            "(repo-global fingerprint — every graft commit invalidates it; " +
+            "declare owners)"
+        else {
+          for (ref <- graftRefs(block, pkg, imports).toSeq.sorted
+               if !covered(ref, owners))
+            problems += s"$site: builder references $ref but owners " +
+              s"only cover ${owners.toSeq.sorted.mkString(", ")}"
+          // wildcard-imported bare member references (`tokens`,
+          // `wordShingles`, `StopwordTable`, …): require the defining
+          // object covered, then chase the member's body in ITS file for
+          // further graft types (e.g. wordShingles → graft.plans
+          // .WordShingles) and require those covered too.
+          val blockIds =
+            """\b[A-Za-z_][A-Za-z0-9_]*\b""".r.findAllIn(block).toSet
+          for (w <- wildcards; (defPath, members) <- objectMembers.get(w).toSeq;
+               m <- (blockIds intersect members).toSeq.sorted) {
+            if (!covered(w, owners))
+              problems += s"$site: builder uses wildcard-imported $w.$m " +
+                s"but owners only cover ${owners.toSeq.sorted.mkString(", ")}"
+            else {
+              val defText = stripNoise(readAll(defPath))
+              val body = expandWithHelpers(defText, s"$m()") +
+                valRhs(defText, m).getOrElse("")
+              val defPkg = pkgRe.findFirstMatchIn(defText)
+                .map(_.group(1)).getOrElse("")
+              for (ref <- graftRefs(body, defPkg, importsOf(defText)).toSeq.sorted
+                   if ref != w && !covered(ref, owners))
+                problems += s"$site: builder uses $w.$m which references " +
+                  s"$ref, but owners only cover " +
+                  owners.toSeq.sorted.mkString(", ")
+            }
+          }
+        }
+      }
+      idx = text.indexOf(".ensure(", argsEnd)
+    }
+    (sites, problems.result())
+  }
+
   test("every graft class referenced in an ensure builder block is in its owners list") {
     val problems = Seq.newBuilder[String]
     var sites = 0
-    val importRe = """(?m)^\s*import\s+(graft[\w.]*)\.(\{[^}]*\}|[\w]+)""".r
     for (p <- sourceFiles) {
       val text = readAll(p)
       if (text.contains(".ensure(")) {
-        val pkg = """(?m)^package\s+([\w.]+)""".r
-          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        val imports: Map[String, String] = importRe.findAllMatchIn(text).flatMap { m =>
-          val prefix = m.group(1)
-          val what = m.group(2)
-          if (what.startsWith("{"))
-            what.stripPrefix("{").stripSuffix("}").split(",").toSeq
-              .map(_.trim.split("=>").head.trim).filter(_.nonEmpty)
-              .map(n => n -> s"$prefix.$n")
-          else Seq(what -> s"$prefix.$what")
-        }.toMap
-        var idx = text.indexOf(".ensure(")
-        while (idx >= 0) {
-          val argsEnd = matchDelim(text, idx + ".ensure".length)
-          val args = text.substring(idx + ".ensure(".length, argsEnd - 1)
-          // the builder block follows the argument list
-          var j = argsEnd
-          while (j < text.length && text(j).isWhitespace) j += 1
-          if (j < text.length && text(j) == '{') {
-            sites += 1
-            val blockEnd = matchDelim(text, j)
-            val block = expandWithHelpers(text,
-              stripNoise(text.substring(j, blockEnd)))
-            val ownersIdx = args.indexOf("owners")
-            val ownersExpr = if (ownersIdx < 0) "" else args.substring(ownersIdx)
-            val owners: Set[String] =
-              ownerClasses(text, ownersExpr)
-                .flatMap(t => resolve(t, pkg, imports))
-            val site = s"${p.getFileName}:${text.take(idx).count(_ == '\n') + 1}"
-            if (owners.isEmpty)
-              problems += s"$site: ensure call with no resolvable owners " +
-                "(repo-global fingerprint — every graft commit invalidates it; " +
-                "declare owners)"
-            else {
-              // fully-qualified refs in the block
-              val fqRefs = """\bgraft(?:\.[a-z][A-Za-z0-9_]*)*\.[A-Z][A-Za-z0-9_]*"""
-                .r.findAllIn(block).toSet
-              // capitalized simple names resolving to top-level graft types
-              val simpleRefs = """\b([A-Z][A-Za-z0-9_]*)\b""".r
-                .findAllMatchIn(block).map(_.group(1)).toSet
-                .flatMap((n: String) => resolve(n, pkg, imports))
-              for (ref <- (fqRefs ++ simpleRefs).toSeq.sorted if !covered(ref, owners))
-                problems += s"$site: builder references $ref but owners " +
-                  s"only cover ${owners.toSeq.sorted.mkString(", ")}"
-            }
-          }
-          idx = text.indexOf(".ensure(", argsEnd)
-        }
+        val (n, ps) = checkEnsureSites(p.getFileName.toString, text)
+        sites += n
+        problems ++= ps
       }
     }
     // not vacuous: the artifact tier has 14 builders today; a parse
@@ -282,5 +351,36 @@ class OwnersGuardSpec extends AnyFunSuite {
       "the call-site pattern changed and this guard went blind")
     val ps = problems.result()
     assert(ps.isEmpty, "\n" + ps.mkString("\n"))
+  }
+
+  test("planted probe: wildcard-imported tokenizer without its owner is flagged") {
+    // the EXACT round-11/12 escape shape: a builder that tokenizes via
+    // `import graft.functions.TextFunctions._` bare names while owners
+    // name only the query object — must now fail the guard
+    val probe =
+      """package graft.operators
+        |import graft.functions.TextFunctions._
+        |object ProbeQueries {
+        |  def build(s: org.apache.spark.sql.SparkSession, d: String): String =
+        |    graft.sources.IndexCatalog.ensure(s, "probe",
+        |      owners = Seq(ProbeQueries.getClass, graft.Tables.getClass)) { dir =>
+        |      graft.Tables.documents(s, d)
+        |        .select(wordShingles(tokens(org.apache.spark.sql.functions.col("text")), 2))
+        |        .write.parquet(dir)
+        |    }
+        |}
+        |""".stripMargin
+    val (sites, problems) = checkEnsureSites("Probe.scala", probe)
+    assert(sites == 1)
+    assert(problems.exists(_.contains("graft.functions.TextFunctions")),
+      s"probe not flagged; problems=\n${problems.mkString("\n")}")
+    // and the fixed form (owners covering tokenizer + fused plan) is clean
+    val fixed = probe.replace(
+      "owners = Seq(ProbeQueries.getClass, graft.Tables.getClass)",
+      "owners = Seq(ProbeQueries.getClass, graft.Tables.getClass, " +
+        "graft.functions.TextFunctions.getClass, " +
+        "classOf[graft.plans.WordShingles])")
+    val (_, cleanProblems) = checkEnsureSites("Probe.scala", fixed)
+    assert(cleanProblems.isEmpty, cleanProblems.mkString("\n"))
   }
 }

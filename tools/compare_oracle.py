@@ -36,6 +36,33 @@ def norm(v):
         return ("t", v.isoformat())
     return (type(v).__name__, str(v))
 
+def write_diff(out_dir, name, cols, want, got, limit=20):
+    """Dump the first `limit` mismatching sorted rows (plus which columns
+    differ) to DIFF_<name>.json beside the query dump, so a hash-red row
+    in the gate is diagnosable from the artifact alone (round-12 verdict
+    item 1c — two rounds of 'red there, green here')."""
+    diffs = []
+    n = max(len(want), len(got))
+    for i in range(n):
+        w = want[i] if i < len(want) else None
+        g = got[i] if i < len(got) else None
+        if w == g:
+            continue
+        ent = {"sorted_row": i}
+        if w is not None and g is not None:
+            ent["cols_differ"] = [c for c, (x, y) in zip(cols, zip(w, g)) if x != y]
+        ent["want"] = None if w is None else {c: repr(v) for c, v in zip(cols, w)}
+        ent["got"] = None if g is None else {c: repr(v) for c, v in zip(cols, g)}
+        diffs.append(ent)
+        if len(diffs) >= limit:
+            break
+    path = os.path.join(out_dir, f"DIFF_{name}.json")
+    with open(path, "w") as f:
+        json.dump({"query": name, "rows_want": len(want), "rows_got": len(got),
+                   "first_diffs": diffs}, f, indent=1)
+    print(f"     row-diff written: {path}")
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -71,12 +98,14 @@ def main(sf_dir, out_dir):
         b = sorted(tuple(norm(c) for c in r) for r in got2)
         if len(a) != len(b):
             print(f"FAIL {name}: rows want={len(a)} got={len(b)}")
+            write_diff(out_dir, name, want_cols, a, b)
             n_fail += 1
         elif a != b:
             bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
             print(f"FAIL {name}: values differ at sorted-row {bad}:")
             print(f"  want {a[bad]}")
             print(f"  got  {b[bad]}")
+            write_diff(out_dir, name, want_cols, a, b)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(a)} rows)")
