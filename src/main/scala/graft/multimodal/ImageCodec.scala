@@ -145,29 +145,34 @@ object ImageCodec {
       catch { case _: Exception => None }
     decoded match {
       case None => PhashRow(id, "")
-      case Some(img) if img.getWidth < 8 || img.getHeight < 8 =>
-        PhashRow(id, "")
-      case Some(img) =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val sums = new Array[Long](64)
-        val cnts = new Array[Long](64)
-        var y = 0
-        while (y < h) {
-          val cj = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val k = cj * 8 + x * 8 / w
-            sums(k) += img.getRGB(x, y) & 0xff
-            cnts(k) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val cm = Array.tabulate(64)(k => sums(k) * 1000L / cnts(k))
-        val thr = cm.sum / 64
-        PhashRow(id, cm.map(v => if (v > thr) '1' else '0').mkString)
+      case Some(img) => PhashRow(id, aHashOf(img))
     }
+  }
+
+  /** The aHash of an ALREADY-decoded raster — shared by [[aHashRow]]
+    * and the per-frame hashing of multi-frame containers
+    * ([[GifCodec.frameRows]]); "" for rasters below the 8×8 grid. */
+  def aHashOf(img: java.awt.image.BufferedImage): String = {
+    if (img.getWidth < 8 || img.getHeight < 8) return ""
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cj = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val k = cj * 8 + x * 8 / w
+        sums(k) += img.getRGB(x, y) & 0xff
+        cnts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cm = Array.tabulate(64)(k => sums(k) * 1000L / cnts(k))
+    val thr = cm.sum / 64
+    cm.map(v => if (v > thr) '1' else '0').mkString
   }
 
   /** One decoded image row: real dimensions, the (0,0) pixel's channels,

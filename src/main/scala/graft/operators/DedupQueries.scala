@@ -38,7 +38,8 @@ object DedupQueries {
   private val lshOwners: Seq[Class[_]] = Seq(
     DedupQueries.getClass, Tables.getClass,
     graft.functions.TextFunctions.getClass,
-    classOf[graft.plans.WordShingles], classOf[graft.plans.MinHashes])
+    classOf[graft.plans.WordShingles], classOf[graft.plans.MinHashes],
+    classOf[graft.plans.MinHashBands])
   private val lshKeepOwners = lshOwners :+ DedupResolve.getClass
   private val simhashOwners: Seq[Class[_]] = Seq(
     DedupQueries.getClass, Tables.getClass,
@@ -263,18 +264,41 @@ object DedupQueries {
   private[graft] def lshPairsFrom(sh: DataFrame): DataFrame =
     lshPairsFrom(sh, LshMaxBucket)
 
-  private[graft] def lshBandRows(sh: DataFrame): DataFrame = {
+  /** Corpus size where the MinHash band key starts widening. Every gate
+    * SF (≤5k docs) sits at rows=1, the oracle geometry; the ScaleSmoke
+    * decades land at rows=2 (50k) and rows=3 (150k). */
+  private[graft] val LshGeomBaseDocs = 1500L
+
+  /** Rows-per-band for the MinHash banding at corpus size `n` — the
+    * [[embGeometry]] dial at the text tier (round-12 verdict item 3).
+    * Bands stay 8 (the ≥2-of-8 collision rule is the recall contract);
+    * the band KEY widens by one minhash component per corpus decade
+    * above [[LshGeomBaseDocs]], dropping per-band collision probability
+    * from J to J^rows — so below-cap bucket width (the measured
+    * e_30/10 = 1.16 density pocket) stays ~flat per decade instead of
+    * tracking near-dup density. True near-dups (J ≥ 0.8, the production
+    * regime) still collide in ≥2 bands with ≥95% probability at rows=3;
+    * the J≈0.5 boundary degrades first, which the exact-Jaccard verify
+    * step (and the measured recall gauges) keep honest. */
+  private[graft] def lshGeometry(n: Long): Int =
+    math.max(1, 1 + math.floor(
+      math.log10(math.max(1L, n).toDouble / LshGeomBaseDocs)).toInt)
+
+  private[graft] def lshBandRows(sh: DataFrame): DataFrame = lshBandRows(sh, 1)
+
+  private[graft] def lshBandRows(sh: DataFrame, rows: Int): DataFrame = {
     // non-(doc_id, ss) columns pass through — the streaming incremental
     // path flags delta rows and needs the flag to survive band explosion
     val extra = sh.columns.filterNot(Set("doc_id", "ss")).toSeq.map(col)
     sh.select(col("doc_id") +: extra :+
-              posexplode(graft.plans.MinHashes.minhashes(col("ss"), 8))
+              posexplode(graft.plans.MinHashes.minhashBands(col("ss"), 8, rows))
                 .as(Seq("band", "key")): _*)
   }
 
-  private[graft] def lshPairsFrom(sh: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def lshPairsFrom(sh: DataFrame, maxBucket: Int,
+                                  rows: Int = 1): DataFrame = {
     // fused map-only signatures (no explode/shuffle), one row per band
-    val bandRows = lshBandRows(sh)
+    val bandRows = lshBandRows(sh, rows)
     // bucket-size guard: partial-agg count on the SAME (band, key) the
     // candidate join shuffles on — co-partitioned, no extra exchange of
     // the band rows, and the oversized buckets never reach the join
@@ -323,7 +347,11 @@ object DedupQueries {
       // corpus-sized frame read 3x within the single materializing pass
       // (signatures + both verify sides): cache, write, unpersist
       val sh = lshShingles(s, d).cache()
-      try lshPairsFrom(sh).write.mode("overwrite").parquet(s"$dir/pairs")
+      // corpus-scaled band geometry; rows=1 (the oracle geometry) at
+      // every SF the correctness gate runs (see lshGeometry)
+      val rows = lshGeometry(Tables.documents(s, d).count())
+      try lshPairsFrom(sh, LshMaxBucket, rows)
+        .write.mode("overwrite").parquet(s"$dir/pairs")
       finally sh.unpersist()
       IndexCatalog.declareIds("path", "pairs", Seq("doc_a", "doc_b"))
     }
@@ -390,8 +418,9 @@ object DedupQueries {
     * delta–delta pairs, which the symmetric join sees from both sides.
     * The bucket-size guard is computed over the FULL index, matching the
     * base generator bucket-for-bucket. */
-  private[graft] def lshIncrementalFrom(sh: DataFrame, isDelta: Column): DataFrame = {
-    val bands = lshBandRows(sh)
+  private[graft] def lshIncrementalFrom(sh: DataFrame, isDelta: Column,
+                                        rows: Int = 1): DataFrame = {
+    val bands = lshBandRows(sh, rows)
     val okBuckets = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= LshMaxBucket)
@@ -420,7 +449,8 @@ object DedupQueries {
        |SELECT doc_a, doc_b, nbands, jaccard FROM vpairs
        |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    lshIncrementalFrom(lshShingles(s, d), col("doc_id") % 10 === 7)
+    lshIncrementalFrom(lshShingles(s, d), col("doc_id") % 10 === 7,
+        lshGeometry(Tables.documents(s, d).count()))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -103,4 +103,66 @@ object MinHashes {
   /** Column-API entry point. */
   def minhashes(c: Column, k: Int): Column =
     GraftBridge.column(MinHashes(GraftBridge.expression(c), k))
+
+  /** Banded variant used by [[MinHashBands]]: `bands` keys, each the
+    * '|'-join of `rows` consecutive minhash components (the classic
+    * banding construction — per-band collision probability J^rows).
+    * Component seeds are the same 0..bands*rows-1 salts as
+    * [[compute]](arr, bands*rows), so rows=1 emits byte-identical keys
+    * to the unbanded form. */
+  def computeBanded(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val flat = compute(arr, bands * rows)
+    if (rows == 1) return flat
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var nul = false
+      val sb = new java.lang.StringBuilder(33 * rows)
+      var r = 0
+      while (r < rows && !nul) {
+        val v = flat.getUTF8String(b * rows + r)
+        if (v == null) nul = true
+        else {
+          if (r > 0) sb.append('|')
+          sb.append(v.toString)
+        }
+        r += 1
+      }
+      out(b) = if (nul) null else UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column-API entry point for the banded form. */
+  def minhashBands(c: Column, bands: Int, rows: Int): Column =
+    if (rows <= 1) minhashes(c, bands)
+    else GraftBridge.column(MinHashBands(GraftBridge.expression(c), bands, rows))
+}
+
+/** Banded MinHash keys in one fused pass: `minhashBands(shingles, b, r)`
+  * emits `b` band keys, each the '|'-join of `r` consecutive seed-salted
+  * md5 minimums — widening the key drops per-band collision probability
+  * from J to J^r, the corpus-size dial that keeps LSH bucket width flat
+  * as near-dup density grows (round-12 verdict item 3; the embGeometry
+  * discipline at the text tier). A fused expression for the same reason
+  * as [[MinHashes]]: a composed `transform(sequence, b -> concat(slice))`
+  * re-evaluates the full minhash child once PER BAND under the
+  * interpreted higher-order path — 8× the md5 work. */
+case class MinHashBands(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashes.computeBanded(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.MinHashes.computeBanded($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -80,21 +80,53 @@ final case class BucketedTableSink(
   * plan is still reading, and never a driver-memory materialization.
   * The swap keeps the bucket spec (downstream zero-Exchange joins
   * survive) and the freshly-ANALYZEd statistics. UpsertSinkSpec pins
-  * upsert(day1) ∘ upsert(day2) ≡ keep-latest over day1 ∪ day2. */
+  * upsert(day1) ∘ upsert(day2) ≡ keep-latest over day1 ∪ day2.
+  *
+  * `scopeCols` (optional) makes a batch own whole GROUPS, not just the
+  * exact keys it carries: existing rows whose scope key appears in the
+  * incoming batch — at a version not newer than the batch's version for
+  * that scope — are dropped before the keyed merge. Needed when a
+  * group's row COUNT can shrink between generations (a re-streamed ANN
+  * query landing in a smaller IVF cell returns fewer ranks; without
+  * scope ownership the stale higher ranks survive the per-key merge —
+  * the mixed-generation serving surface, round-12 advice item 1).
+  * Version-guarded, so an out-of-order replay can never delete rows a
+  * NEWER generation wrote. */
 final case class UpsertBucketedSink(
     buckets: Int,
     keyCols: Seq[String],
-    versionCol: String) extends Sink {
+    versionCol: String,
+    scopeCols: Seq[String] = Nil) extends Sink {
   require(keyCols.nonEmpty, "upsert sink needs at least one key column")
+  require(scopeCols.forall(keyCols.contains),
+    "scopeCols must be a subset of keyCols (a scope is a key-group owner)")
 
   def write(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
+    // a crash between the swap's DROP and RENAME leaves the full merged
+    // state under the staging name and no serving table; adopt it, or
+    // the replayed batch would fresh-create from its own rows alone
+    StagingSwap.recover(s, table, table + "_upsert_staging")
     val inner = BucketedTableSink(buckets, keyCols)
     if (!s.catalog.tableExists(table)) inner.write(df, table)
     else {
-      val all = s.table(table).unionByName(df)
+      val existing =
+        if (scopeCols.isEmpty) s.table(table)
+        else {
+          // batch-owned scopes: per scope key, the batch's max version;
+          // existing rows of that scope at <= that version are replaced
+          // WHOLESALE (the scope frame is batch-bounded — broadcast side)
+          val scopes = df.groupBy(scopeCols.map(col): _*)
+            .agg(max(col(versionCol)).as("_scope_ver"))
+          s.table(table)
+            .join(broadcast(scopes), scopeCols, "left_outer")
+            .filter(col("_scope_ver").isNull ||
+              col(versionCol) > col("_scope_ver"))
+            .drop("_scope_ver")
+        }
+      val all = existing.unionByName(df)
       val others = all.columns
         .filterNot(c => keyCols.contains(c) || c == versionCol).toSeq
       val w = Window.partitionBy(keyCols.map(col): _*)
@@ -122,6 +154,28 @@ final case class UpsertBucketedSink(
         .foreach(_.catalog.refreshTable(table))
     }
   }
+}
+
+/** Crash recovery for the DROP-then-RENAME staging swaps
+  * ([[UpsertBucketedSink]], WinnowStreams.purgeSupersededPairs): the
+  * swap's two statements are not atomic, and a crash between them
+  * leaves the COMPLETE new state under the staging name with no serving
+  * table. Without recovery, the restarted batch sees tableExists=false
+  * and fresh-creates the table from its own rows — silently discarding
+  * everything accumulated (round-12 advice item 3). The staging table
+  * is only ever written in full before the DROP, so adopting it IS the
+  * committed state. */
+object StagingSwap {
+  /** If `table` is missing but `staging` exists, complete the
+    * interrupted swap by renaming staging in. Returns true if it
+    * recovered. */
+  def recover(s: org.apache.spark.sql.SparkSession,
+              table: String, staging: String): Boolean =
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(staging)) {
+      s.sql(s"ALTER TABLE $staging RENAME TO $table")
+      s.catalog.refreshTable(table)
+      true
+    } else false
 }
 
 /** Debug sink (`result.show()` at ETL_customer_behavior.py:202). */

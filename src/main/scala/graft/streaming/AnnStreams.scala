@@ -32,10 +32,16 @@ object AnnStreams {
     *
     * Batch hygiene (shared with [[RetrievalStreams]]): same-batch
     * duplicate query_ids collapse to one deterministic row (greatest
-    * embedding hash), and the merge is versioned by the BATCH id so a
-    * query re-streamed with a changed embedding supersedes its old
-    * results wholesale instead of mixing generations per rank key.
-    * Replay (same batchId) rewrites identical rows — a no-op. */
+    * embedding hash), and the merge is versioned by the BATCH id AND
+    * scope-owned by query_id — the batch replaces ALL of a re-streamed
+    * query's previous rows, not just the (query_id, rank) keys it
+    * happens to collide with. The distinction matters because ivfSearch
+    * (nprobe=1) can return FEWER rows for a changed embedding (smaller
+    * probed cell): without scope ownership the old generation's ranks
+    * beyond the new count would keep serving — a mixed-generation
+    * surface (round-12 advice item 1; StreamingAnnSpec pins the
+    * smaller-cell case). Replay (same batchId) rewrites identical
+    * rows — a no-op. */
   def processBatch(batch: DataFrame, batchId: Long, dir: String,
                    resultTable: String, k: Int = 5, buckets: Int = 8): Unit = {
     val one = batch
@@ -46,7 +52,8 @@ object AnnStreams {
       .drop("_rk")
     val out = SimilarityQueries.ivfSearch(batch.sparkSession, dir, one, k)
       .withColumn("_gen", lit(batchId))
-    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen")
+    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen",
+        scopeCols = Seq("query_id"))
       .write(out, resultTable)
   }
 

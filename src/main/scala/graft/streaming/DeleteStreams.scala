@@ -24,12 +24,16 @@ import graft.sources.{DeleteAudit, GenerationedTable}
   * Spark streaming checkpoint for correctness — the same contract as
   * the other streaming twins.
   *
-  * Scope: this twin's certificate covers its OWN state — the
-  * generationed (pairs, keep) tables it owns. The catalog artifact tier
-  * (winnow fingerprints, blob chunks, KN scores, …) is certified by
-  * [[DeleteAudit.survivorsFromCatalog]] after a corpus purge + rebuild,
-  * with the melt list derived from each builder's manifest-declared id
-  * columns — never a hand-picked literal (r11 verdict item 3).
+  * Scope (r12 verdict item 4): each batch's certificate covers the
+  * twin's OWN generationed (pairs, keep) state AND — by default — every
+  * catalog relation any ensured artifact declared id columns for, the
+  * melt list derived from manifests ([[DeleteAudit
+  * .survivorsFromCatalog]]), never a hand-picked literal. A nonzero
+  * catalog row is the honest per-batch reading "this artifact still
+  * references the id and awaits its corpus-purge rebuild"; after the
+  * purge + rebuild the same certificate goes all-zero tier-wide.
+  * `catalogSpace = None` scopes back to own-state-only (isolation for
+  * parity tests whose JVM shares a catalog with other suites).
   *
   * Scale shape per batch: everything is |delta|-proportional
   * (broadcast anti-joins + re-election scoped to affected clusters —
@@ -56,7 +60,8 @@ object DeleteStreams {
     * Exposed apart from the stream wiring so tests can replay a batch
     * (same `batchId`) directly. */
   def processBatch(deletes: DataFrame, batchId: Long, pairDir: String,
-                   keepDir: String, certDir: String): Unit = {
+                   keepDir: String, certDir: String,
+                   catalogSpace: Option[String] = Some("doc")): Unit = {
     val s = deletes.sparkSession
     val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
     val baseGen = genFor(batchId) - 1
@@ -66,25 +71,33 @@ object DeleteStreams {
     GenerationedTable.replayAs(purgedPairs, pairDir, genFor(batchId))
     GenerationedTable.replayAs(purgedKeep, keepDir, genFor(batchId))
     // the certificate audits the state THIS batch committed (its own
-    // generation, not "latest" — replay must re-certify the same state)
-    DeleteAudit.survivors(del, Seq(
-        ("pairs", GenerationedTable.read(s, pairDir, Some(genFor(batchId))),
-          Seq("doc_a", "doc_b")),
-        ("keep", GenerationedTable.read(s, keepDir, Some(genFor(batchId))),
-          Seq("doc_id"))))
-      .write.mode("overwrite").parquet(s"$certDir/batch=$batchId")
+    // generation, not "latest" — replay must re-certify the same state),
+    // extended across every manifest-declared catalog relation in the
+    // deleted ids' namespace (r12 verdict item 4)
+    val own = Seq(
+      ("pairs", GenerationedTable.read(s, pairDir, Some(genFor(batchId))),
+        Seq("doc_a", "doc_b")),
+      ("keep", GenerationedTable.read(s, keepDir, Some(genFor(batchId))),
+        Seq("doc_id")))
+    val cert = catalogSpace match {
+      case Some(space) =>
+        DeleteAudit.survivorsFromCatalog(s, del, extra = own, space = space)
+      case None => DeleteAudit.survivors(del, own)
+    }
+    cert.write.mode("overwrite").parquet(s"$certDir/batch=$batchId")
   }
 
   /** Continuous wiring: a stream of deleted ids applied micro-batch by
     * micro-batch through [[processBatch]]. */
   def deletePropagationStream(deletes: DataFrame, pairDir: String,
-                              keepDir: String,
-                              certDir: String): DataStreamWriter[Row] =
+                              keepDir: String, certDir: String,
+                              catalogSpace: Option[String] = Some("doc"))
+      : DataStreamWriter[Row] =
     deletes.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(batch, batchId, pairDir, keepDir, certDir)
+          processBatch(batch, batchId, pairDir, keepDir, certDir, catalogSpace)
       }
 
   /** Current served state (the pointer's generation). */

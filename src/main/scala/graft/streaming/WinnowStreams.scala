@@ -58,6 +58,38 @@ object WinnowStreams {
 
   private def compactMarker(fpDir: String) = new Path(fpDir, "_COMPACT_COMMIT")
   private def compactStaging(fpDir: String) = new Path(fpDir, "_compact_staging")
+  private def watermarkFile(fpDir: String) = new Path(fpDir, "_COMPACTED_THROUGH")
+
+  /** Atomic small-file write: temp name, then rename — a crash mid-write
+    * can never leave a half-written marker/watermark to wedge a rerun on
+    * (round-12 advice item 4: `fs.create(marker)` + crash left an empty
+    * marker whose `.toLong` threw while readFpRaw kept refusing the
+    * index, unrecoverable without hand-deleting the marker). */
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"atomic rename $tmp -> $p failed")
+  }
+
+  /** The compaction watermark: the partition id the last completed
+    * [[compactIndex]] collapsed the index into. A batch id at or below
+    * it must NEVER be applied — its partition overwrite would replace
+    * the single compacted partition (the whole corpus's newest
+    * fingerprints) with just that batch's rows. */
+  private[streaming] def compactedThrough(s: SparkSession,
+                                          fpDir: String): Option[Long] = {
+    val p = watermarkFile(fpDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
 
   /** Raw accumulated index WITH the ingest_batch partition column.
     * Refuses an index caught mid-compaction (commit marker present —
@@ -118,6 +150,8 @@ object WinnowStreams {
     * discipline. */
   private[streaming] def purgeSupersededPairs(s: SparkSession,
       pairTable: String, ids: DataFrame, buckets: Int): Unit = {
+    graft.sources.StagingSwap.recover(
+      s, pairTable, pairTable + "_purge_staging")
     if (!s.catalog.tableExists(pairTable)) return
     val keep = s.table(pairTable)
       .join(broadcast(ids.select(col("doc_id").as("doc_a"))),
@@ -142,6 +176,23 @@ object WinnowStreams {
   def processBatch(batch: DataFrame, batchId: Long, pairTable: String,
                    fpDir: String, buckets: Int = 8): Unit = {
     val s = batch.sparkSession
+    // compaction safety (round-12 advice item 2): the watermark is the
+    // ENFORCED form of compactIndex's stop-the-stream precondition — a
+    // replayed/out-of-order batch at or below it would overwrite the
+    // single compacted partition with its own rows, truncating the
+    // served index to one batch. Fail loudly instead.
+    compactedThrough(s, fpDir).foreach { w =>
+      require(batchId > w,
+        s"batch $batchId is at or below the compaction watermark $w of " +
+          s"$fpDir — applying it would overwrite the compacted partition " +
+          "(the corpus's entire newest fingerprint set) with one batch's " +
+          "rows; compact only a stopped, fully-committed stream")
+    }
+    // a crash between a purge's DROP and RENAME leaves the accumulated
+    // pair state under the staging name; adopt it before ANY batch kind
+    // (the next batch need not be a re-ingest for recovery to matter)
+    graft.sources.StagingSwap.recover(
+      s, pairTable, pairTable + "_purge_staging")
     // same-batch re-fetch: one deterministic row per doc (longest text,
     // then lexicographically greatest — the QualityStreams rule), so the
     // fingerprint set is always one a batch run could produce
@@ -190,8 +241,11 @@ object WinnowStreams {
     * COMMITTED to the checkpoint — recovery replay then only ever
     * re-applies a batch id ABOVE the compacted partition, so the
     * partition the compaction owns is never rewritten by a replay.
-    * (Replaying an ANCIENT batch out of order was never in any twin's
-    * replay contract; compaction neither adds nor removes that caveat.)
+    * ENFORCED, not just documented (round-12 advice item 2): the
+    * completed swap persists its partition id as a watermark
+    * (`_COMPACTED_THROUGH`), and [[processBatch]] refuses any batch id
+    * at or below it — a violated precondition fails loudly instead of
+    * truncating the served index to one batch's rows.
     *
     * Crash safety is the repo's two-phase commit-marker discipline:
     * the complete newest-only row set is staged OUTSIDE the partition
@@ -223,9 +277,10 @@ object WinnowStreams {
         .filter(col("ingest_batch") === col("nb"))
         .select("doc_id", "fh")
         .write.mode("overwrite").parquet(staging.toString)
-      // the commit point: records the target partition id
-      val out = fs.create(marker, true)
-      try out.write(maxB.toString.getBytes("UTF-8")) finally out.close()
+      // the commit point: records the target partition id. Written
+      // ATOMICALLY (temp + rename) — a half-written marker would wedge
+      // every rerun on an unparsable commit record (advice item 4).
+      writeAtomic(fs, marker, maxB.toString)
     }
     // completion (fresh run or crash resume): the marker guarantees the
     // staging held the COMPLETE newest set when written
@@ -250,6 +305,11 @@ object WinnowStreams {
           fs.delete(st.getPath, true)
       }
     }
+    // persist the watermark BEFORE releasing the read-blocking marker:
+    // a crash in between re-runs this (idempotent) tail on the next
+    // call, so no window exists where the index serves uncompacted-
+    // looking state without replay protection (advice item 2)
+    writeAtomic(fs, watermarkFile(fpDir), maxB.toString)
     fs.delete(marker, false)
   }
 

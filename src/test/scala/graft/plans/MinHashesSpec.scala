@@ -22,6 +22,64 @@ class MinHashesSpec extends SparkSpec {
     assert(both.count() == 500)
   }
 
+  test("banded keys: rows=1 is byte-identical; rows=2 joins consecutive components") {
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+              array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    // rows=1 short-circuits to the unbanded expression — the oracle
+    // geometry the gate checks is untouched by the dial
+    val r1 = sh.select(col("doc_id"),
+      MinHashes.minhashBands(col("ss"), 8, 1).as("banded"),
+      minhashes(col("ss"), 8).as("flat"))
+    assert(r1.filter(col("banded") =!= col("flat")).count() == 0)
+    // rows=2: band b = components 2b and 2b+1 of the 16-seed run,
+    // '|'-joined (the classic banding construction)
+    val r2 = sh.select(col("doc_id"),
+      MinHashes.minhashBands(col("ss"), 8, 2).as("banded"),
+      minhashes(col("ss"), 16).as("flat"))
+    val composed = r2.withColumn("want",
+      expr("transform(sequence(0, 7), " +
+        "b -> concat(element_at(flat, b*2 + 1), '|', element_at(flat, b*2 + 2)))"))
+    assert(composed.filter(col("banded") =!= col("want")).count() == 0)
+  }
+
+  test("the corpus-size geometry dial keeps gate SFs at the oracle rows=1") {
+    import graft.operators.DedupQueries.lshGeometry
+    // gate corpora (500 / 5000 docs) must never leave oracle geometry
+    assert(lshGeometry(500) == 1)
+    assert(lshGeometry(5000) == 1)
+    // smoke decades widen one row per decade
+    assert(lshGeometry(50000) == 2)
+    assert(lshGeometry(150000) == 3)
+    assert(lshGeometry(0) == 1) // degenerate corpora never go negative
+  }
+
+  test("widened bands lose no high-Jaccard pair on the replica corpus") {
+    // replicas of one text differing by a trailing token are J≈0.9
+    // near-dups — the production regime the recall contract protects
+    val docs = (0L to 9L).flatMap { fam =>
+      (0 to 3).map(rep =>
+        (fam * 10 + rep,
+          (1 to 30).map(w => s"w$fam-$w").mkString(" ") + s" rep$rep"))
+    }.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      array_distinct(wordShingles(tokens(col("text")), 3)).as("ss"))
+    def pairs(rows: Int) =
+      graft.operators.DedupQueries.lshPairsFrom(sh, 500, rows)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1)
+    val p3 = pairs(3)
+    // every within-family pair (the true near-dups) survives rows=3
+    val families = (0L to 9L).flatMap { fam =>
+      for (a <- 0 to 3; b <- a + 1 to 3) yield (fam * 10 + a, fam * 10 + b)
+    }.toSet
+    assert(families.subsetOf(p3),
+      s"high-J pairs lost by widened bands: ${(families -- p3).take(5)}")
+    // and widening never invents pairs the verify step wouldn't keep
+    assert(p3.subsetOf(p1), "rows=3 produced a pair rows=1 did not")
+  }
+
   test("empty shingle array yields null components; null input yields null") {
     val out = Seq(
       (1L, Some(Seq.empty[String])),

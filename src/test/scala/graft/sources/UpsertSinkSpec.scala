@@ -46,6 +46,54 @@ class UpsertSinkSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("a swap interrupted between DROP and RENAME recovers the merged state") {
+    cleanup()
+    try {
+      val day1 = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ver", "v")
+      sink.write(day1, "upsert_t")
+      // crash window: the fully-merged state sits in staging, the
+      // serving table is gone (round-12 advice item 3's sibling case)
+      BucketedTableSink(4, Seq("k")).write(
+        spark.table("upsert_t"), "upsert_t_upsert_staging")
+      spark.sql("DROP TABLE upsert_t")
+      // the replayed write must adopt the staging, then merge — NOT
+      // fresh-create a table holding only its own rows
+      sink.write(Seq((3L, 20L, "c")).toDF("k", "ver", "v"), "upsert_t")
+      val got = spark.table("upsert_t").orderBy("k")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got == Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c")),
+        s"pre-crash rows lost: $got")
+    } finally cleanup()
+  }
+
+  test("scope-owned groups shrink with their batch instead of mixing generations") {
+    cleanup()
+    try {
+      val scoped = UpsertBucketedSink(4, Seq("k", "rank"), "ver",
+        scopeCols = Seq("k"))
+      val gen0 = Seq((1L, 1, 0L, "a1"), (1L, 2, 0L, "a2"), (1L, 3, 0L, "a3"),
+        (2L, 1, 0L, "b1")).toDF("k", "rank", "ver", "v")
+      scoped.write(gen0, "upsert_t")
+      // generation 1 re-emits k=1 with FEWER rows: the group must shrink
+      val gen1 = Seq((1L, 1, 1L, "n1"), (1L, 2, 1L, "n2"))
+        .toDF("k", "rank", "ver", "v")
+      scoped.write(gen1, "upsert_t")
+      val got = spark.table("upsert_t").orderBy("k", "rank")
+        .as[(Long, Int, Long, String)].collect().toSeq
+      assert(got == Seq((1L, 1, 1L, "n1"), (1L, 2, 1L, "n2"),
+        (2L, 1, 0L, "b1")),
+        s"stale rank-3 row must die with its generation: $got")
+      // version guard: an OLDER generation's late write cannot delete a
+      // newer generation's rows (out-of-order replay protection)
+      scoped.write(Seq((1L, 1, 0L, "old")).toDF("k", "rank", "ver", "v"),
+        "upsert_t")
+      val guarded = spark.table("upsert_t").orderBy("k", "rank")
+        .as[(Long, Int, Long, String)].collect().toSeq
+      assert(guarded == got,
+        s"an older generation deleted newer rows: $guarded")
+    } finally cleanup()
+  }
+
   test("the merged table keeps its bucket spec and statistics") {
     cleanup()
     try {

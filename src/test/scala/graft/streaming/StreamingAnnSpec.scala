@@ -56,4 +56,45 @@ class StreamingAnnSpec extends SparkSpec {
         "replayed micro-batch changed the results table")
     } finally { q.stop(); cleanup() }
   }
+
+  test("re-streamed query landing in a smaller cell supersedes wholesale") {
+    cleanup()
+    // nprobe=1 means a changed embedding can probe a SMALLER cell and
+    // return fewer ranks; the old generation's ranks beyond the new
+    // count must NOT keep serving (round-12 advice item 1)
+    val asn = graft.operators.IvfIndex.assignments(
+      spark, sf0001, SimilarityQueries.ivfK, SimilarityQueries.ivfIters)
+    val sizes = asn.groupBy("cell").count()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1)))
+      .sortBy(_._2)
+    val (smallCell, smallN) = sizes.head
+    val (bigCell, bigN) = sizes.last
+    assert(bigN > smallN, "premise: cells of different sizes")
+    val k = smallN.toInt + 1 // big serves k rows, small only smallN
+    def memberEmb(cell: Long): Array[Float] = {
+      val vid = asn.filter(col("cell") === cell).agg(min("vec_id"))
+        .first().getLong(0)
+      Tables.embeddings(spark, sf0001).filter(col("vec_id") === vid)
+        .select("embedding").as[Array[Float]].first()
+    }
+    try {
+      AnnStreams.processBatch(
+        Seq((9999L, memberEmb(bigCell))).toDF("query_id", "embedding"),
+        0L, sf0001, resultT, k = k, buckets = 4)
+      assert(spark.table(resultT).count() == k,
+        s"premise: big-cell search serves k=$k rows")
+      AnnStreams.processBatch(
+        Seq((9999L, memberEmb(smallCell))).toDF("query_id", "embedding"),
+        1L, sf0001, resultT, k = k, buckets = 4)
+      val served = spark.table(resultT)
+        .select("rank", "_gen").collect()
+      assert(served.length == smallN,
+        s"mixed-generation surface: ${served.length} rows served, " +
+          s"want $smallN (old ranks beyond the new count must die)")
+      assert(served.forall(_.getLong(1) == 1L),
+        "a row from the superseded generation survived")
+      assert(served.map(_.getInt(0)).sorted.toSeq == (1 to smallN.toInt),
+        "served ranks are not the new generation's contiguous prefix")
+    } finally cleanup()
+  }
 }

@@ -55,7 +55,8 @@ class StreamingDeletePropagationSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
     val q = DeleteStreams.deletePropagationStream(
-      mem.toDF().toDF("doc_id"), pairD, keepD, certD).start()
+      mem.toDF().toDF("doc_id"), pairD, keepD, certD,
+      catalogSpace = None).start() // own-state parity; catalog tier below
     try {
       mem.addData(3L); q.processAllAvailable()   // bridge split
       mem.addData(10L); q.processAllAvailable()  // keeper promotion
@@ -80,7 +81,8 @@ class StreamingDeletePropagationSpec extends SparkSpec {
 
     // replay batch 0 (what a restarted stream re-applies): state the
     // reader sees is unchanged — pointer still serves the newest gen
-    DeleteStreams.processBatch(Seq(3L).toDF("doc_id"), 0L, pairD, keepD, certD)
+    DeleteStreams.processBatch(Seq(3L).toDF("doc_id"), 0L, pairD, keepD,
+      certD, catalogSpace = None)
     val (rp, rk) = DeleteStreams.currentState(spark, pairD, keepD)
     assert(pairSet(rp) == expP && keepSet(rk) == expK,
       "replayed delete batch changed served state")
@@ -90,13 +92,59 @@ class StreamingDeletePropagationSpec extends SparkSpec {
     cleanup()
   }
 
+  test("the per-batch certificate spans every manifest-declared catalog " +
+    "relation and certifies zero after purge + rebuild") {
+    cleanup()
+    import graft.sources.IndexCatalog
+    val base = s"$root/cat"
+    IndexCatalog.rootOverride = Some(s"$base/catalog")
+    IndexCatalog.resetProcessMemo()
+    try {
+      val deleted = Seq(3L, 10L)
+      // the post-purge corpus: the deleted ids are already erased and
+      // the artifact tier rebuilt over it (the batch-flow steps 1–3 the
+      // DeleteAuditSpec drives; here they are the precondition)
+      graft.Tables.documents(spark, sf0001)
+        .filter(!col("doc_id").isin(deleted: _*))
+        .write.mode("overwrite").parquet(s"$base/corpus/documents.parquet")
+      graft.operators.DsirQueries.weightsTable(spark, s"$base/corpus").count()
+      graft.operators.BoilerplateQueries.boilerplateDir(spark, s"$base/corpus")
+      val declared = IndexCatalog.declaredIdRelations(spark, "doc")
+        .map(_._1).toSet
+      assert(declared.size >= 3, s"premise: weights + list + excised, got $declared")
+
+      val pairs = seedPairs
+      DeleteStreams.seed(pairs, DedupResolve.keepList(pairs), pairD, keepD)
+      // default scope: catalog melt list INCLUDED in the certificate
+      DeleteStreams.processBatch(deleted.toDF("doc_id"), 0L, pairD, keepD, certD)
+      val cert = spark.read.parquet(s"$certD/batch=0")
+        .select("artifact", "n_rows").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // every manifest-declared relation is certified, list from the
+      // manifests — not a hand-picked literal
+      for (rel <- declared)
+        assert(cert.contains(rel), s"declared relation $rel missing from " +
+          s"the certificate: ${cert.keys}")
+      assert(cert.keySet.contains("pairs") && cert.keySet.contains("keep"),
+        "the twin's own state must stay certified")
+      assert(cert.values.forall(_ == 0L),
+        s"a deleted id survives somewhere in the tier: $cert")
+    } finally {
+      IndexCatalog.rootOverride = None
+      IndexCatalog.resetProcessMemo()
+      cleanup()
+    }
+  }
+
   test("permuted delivery order converges to the same final state") {
     cleanup()
     val pairs = seedPairs
     DeleteStreams.seed(pairs, DedupResolve.keepList(pairs), pairD, keepD)
     // out-of-order arrival: the keeper deletion lands BEFORE the bridge
-    DeleteStreams.processBatch(Seq(10L).toDF("doc_id"), 0L, pairD, keepD, certD)
-    DeleteStreams.processBatch(Seq(3L).toDF("doc_id"), 1L, pairD, keepD, certD)
+    DeleteStreams.processBatch(Seq(10L).toDF("doc_id"), 0L, pairD, keepD,
+      certD, catalogSpace = None)
+    DeleteStreams.processBatch(Seq(3L).toDF("doc_id"), 1L, pairD, keepD,
+      certD, catalogSpace = None)
     val (gotPairs, gotKeep) = DeleteStreams.currentState(spark, pairD, keepD)
     val (expP, expK) = expectedFinal
     assert(pairSet(gotPairs) == expP && keepSet(gotKeep) == expK,

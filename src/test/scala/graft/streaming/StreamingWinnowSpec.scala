@@ -222,6 +222,83 @@ class StreamingWinnowSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("a batch at or below the compaction watermark is refused loudly") {
+    cleanup()
+    try {
+      WinnowStreams.processBatch(Seq(
+          (1L, doc("alpha", "sa")), (2L, doc("alpha", "sb")))
+          .toDF("doc_id", "text"),
+        batchId = 0L, pairT, fpD, buckets = 4)
+      WinnowStreams.processBatch(
+        Seq((4L, doc("delta", "sd"))).toDF("doc_id", "text"),
+        batchId = 1L, pairT, fpD, buckets = 4)
+      WinnowStreams.compactIndex(spark, fpD) // watermark = 1
+      val fpBefore = spark.read.parquet(fpD).count()
+      // the round-12 advice scenario: a batch id <= the compacted
+      // partition id replayed against a live/compacted index would
+      // overwrite the single partition holding the ENTIRE corpus's
+      // newest fingerprints with one batch's rows
+      for (bad <- Seq(0L, 1L)) {
+        val e = intercept[IllegalArgumentException] {
+          WinnowStreams.processBatch(
+            Seq((9L, doc("omega", "so"))).toDF("doc_id", "text"),
+            batchId = bad, pairT, fpD, buckets = 4)
+        }
+        assert(e.getMessage.contains("compaction watermark"),
+          s"batch $bad must hit the watermark guard: ${e.getMessage}")
+      }
+      assert(spark.read.parquet(fpD).count() == fpBefore,
+        "a refused batch must leave the index untouched")
+      // batches above the watermark proceed normally
+      WinnowStreams.processBatch(
+        Seq((9L, doc("omega", "so"))).toDF("doc_id", "text"),
+        batchId = 2L, pairT, fpD, buckets = 4)
+      assert(spark.read.parquet(fpD).count() > fpBefore)
+      // a leftover atomic-write temp file never wedges a recompaction
+      val fs = new org.apache.hadoop.fs.Path(fpD)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(fpD, "_COMPACT_COMMIT.tmp")
+      val out = fs.create(tmp, true)
+      try out.write("gar".getBytes("UTF-8")) finally out.close()
+      WinnowStreams.compactIndex(spark, fpD) // watermark = 2, no wedge
+      assert(WinnowStreams.compactedThrough(spark, fpD).contains(2L))
+    } finally cleanup()
+  }
+
+  test("a purge interrupted between DROP and RENAME is recovered, not " +
+    "fresh-created over") {
+    cleanup()
+    try {
+      // accumulate real pair state
+      WinnowStreams.processBatch(Seq(
+          (1L, doc("alpha", "sa")), (2L, doc("alpha", "sb")),
+          (4L, doc("delta", "sd")), (5L, doc("delta", "se")))
+          .toDF("doc_id", "text"),
+        batchId = 0L, pairT, fpD, buckets = 4)
+      val pairs = spark.table(pairT).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (4L, 5L)),
+        s"premise: two disjoint pairs, got $pairs")
+      // simulate the crash window: full state staged, table dropped,
+      // rename never ran (round-12 advice item 3)
+      graft.sources.BucketedTableSink(4, Seq("doc_a", "doc_b"))
+        .write(spark.table(pairT), s"${pairT}_purge_staging")
+      spark.sql(s"DROP TABLE $pairT")
+      // the NEXT batch is a plain first-time ingest — without recovery
+      // the sink would fresh-create the pair table from this batch
+      // alone, silently discarding both accumulated pairs
+      WinnowStreams.processBatch(
+        Seq((7L, doc("omega", "sg"))).toDF("doc_id", "text"),
+        batchId = 1L, pairT, fpD, buckets = 4)
+      val after = spark.table(pairT).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 2L), (4L, 5L)),
+        s"accumulated pairs lost across the purge crash window: $after")
+      assert(!spark.catalog.tableExists(s"${pairT}_purge_staging"),
+        "the adopted staging table must not linger")
+    } finally cleanup()
+  }
+
   test("same-batch duplicate doc_ids collapse to one deterministic row") {
     cleanup()
     try {
