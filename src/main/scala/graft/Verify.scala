@@ -32,6 +32,7 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     def keep(name: String) = only.forall(_.contains(name))
+    var mismatches: Seq[String] = Nil
     // Artifact provenance (r11 verdict item 1): on a full gate run,
     // pre-build every catalog artifact so each adopt-vs-rebuild decision
     // happens HERE, attributably, instead of lazily inside whichever
@@ -55,6 +56,9 @@ object Verify {
       // served bytes against the live builder plan; a mismatch
       // invalidates + rebuilds that artifact HERE, so a stale adopt
       // becomes a logged auto-heal instead of a red gate row.
+      // Each check is guarded inside run(); a throwing check records an
+      // error: status instead of aborting Verify before any query dump
+      // is written (which would zero the round).
       val sentinel = graft.sources.ArtifactSentinel
         .run(spark, sfDir, graft.operators.SentinelChecks.all)
       sentinel.foreach { case (k, v) =>
@@ -63,6 +67,9 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/sentinel_report.json"),
         sentinel.map { case (k, v) => s"${q(k)}: ${q(v)}" }
           .mkString("{", ",", "}"))
+      mismatches = sentinel.collect {
+        case (k, v) if v.startsWith("MISMATCH") => s"$k: $v"
+      }
       spark.catalog.clearCache()
     }
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
@@ -86,5 +93,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A non-converging sentinel rebuild means results were dumped from
+    // an artifact whose bytes provably diverge from its live plan —
+    // fail the gate PROGRAMMATICALLY (nonzero exit), but only here,
+    // after every dump and report is on disk for diagnosis.
+    if (mismatches.nonEmpty)
+      sys.error(s"sentinel MISMATCH (rebuild diverges from live plan): " +
+        mismatches.mkString("; "))
   }
 }

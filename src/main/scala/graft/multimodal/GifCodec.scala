@@ -83,20 +83,22 @@ object GifCodec {
                 stride: Int = 1): Seq[GifFrameRow] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) Seq(GifFrameRow(id, -1, -1, -1, ""))
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          (0 until n by stride).map { i =>
-            val img = reader.read(i)
-            GifFrameRow(id, i, img.getWidth, img.getHeight,
-              ImageCodec.aHashOf(img))
-          }
-        } finally reader.dispose()
-      }
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq(GifFrameRow(id, -1, -1, -1, ""))
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              GifFrameRow(id, i, img.getWidth, img.getHeight,
+                ImageCodec.aHashOf(img))
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch {
       case _: Exception => Seq(GifFrameRow(id, -1, -1, -1, ""))
     }

@@ -295,7 +295,7 @@ object LangModelQueries {
        |          ELSE 'tail' END AS bucket,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  min(avg_ppm) AS lo_ppm, max(avg_ppm) AS hi_ppm,
-       |  sum(avg_ppm) // count(*) AS mean_ppm
+       |  CAST(sum(avg_ppm) // count(*) AS BIGINT) AS mean_ppm
        |FROM t3 GROUP BY source, b3 ORDER BY source, b3""".stripMargin) {
     (s, d) =>
       knScores(s, d)

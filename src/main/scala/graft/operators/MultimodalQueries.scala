@@ -367,6 +367,103 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-frame (sid, aHash) signatures out of the REAL animated-GIF
+    * decode ([[graft.multimodal.GifCodec]]): doc_id < 500 → synthetic
+    * multi-frame GIF through the JDK writer's sequence API → frame-
+    * sampled (stride 2) read-back + per-frame aHash, all inside one
+    * partition (codec lifecycle rule). Shared by [[gifFrames]] and
+    * [[gifNearDup]] so the decode plan cannot drift between them. */
+  private def gifFrameRows(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // encode AND decode inside the partition (codec lifecycle rule)
+        ids.flatMap { id =>
+          graft.multimodal.GifCodec.frameRows(
+            id, graft.multimodal.GifCodec.syntheticGif(id), stride = 2)
+        }
+      }
+      .toDF()
+  }
+
+  /** REAL multi-frame GIF decode, frame-sampled at stride 2 — and
+    * because GIF is palette-exact (lossless ≤256 colors), the oracle
+    * pins not just frame GEOMETRY (the MJPEG bound) but the decoded
+    * per-frame aHash ITSELF: frame i of doc id lights the first
+    * `nb = 8 + (id+i) % 48` of the 64 aHash cells, so the hash is
+    * exactly `'1'*nb || '0'*(64-nb)` ([[graft.multimodal.GifCodec]]
+    * closed-form contract). A wrong pixel anywhere in the
+    * encode→sequence→decode→hash chain flips a bit and hash-reds the
+    * row. */
+  val gifFrames = Q(
+    "q_mm_gif_frames",
+    """SELECT doc_id, frame_idx,
+      |  CAST(16 + (doc_id % 8) * 4 AS INTEGER) AS width,
+      |  CAST(12 + (doc_id % 5) * 4 AS INTEGER) AS height,
+      |  repeat('1', CAST(8 + (doc_id + frame_idx) % 48 AS INTEGER)) ||
+      |  repeat('0', CAST(56 - (doc_id + frame_idx) % 48 AS INTEGER)) AS ahash
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS frame_idx
+      |  FROM documents WHERE doc_id < 500
+      |) WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    gifFrameRows(s, d).orderBy("doc_id", "frame_idx")
+  }
+
+  /** Near-duplicate GIF FRAMES through the shared [[hammingNearDup]]
+    * pigeonhole join — the signature id is frame-grain
+    * (`doc_id*8 + frame_idx`; n ≤ 4 frames so no collision), and the
+    * prefix-cell contract makes the expected pair set analytic:
+    * Hamming(a, b) = |nb_a − nb_b|, so exactly the rep pairs within 3
+    * bright-cell counts of each other survive the exact verify. Same
+    * scale shape as the image/audio tiers: decode+hash map-side, one
+    * rep per distinct hash, capped band buckets, never all-pairs. */
+  val gifNearDup = Q(
+    "q_mm_gif_neardup",
+    """WITH gif AS (
+      |  SELECT doc_id * 8 + frame_idx AS sid,
+      |    8 + (doc_id + frame_idx) % 48 AS nb
+      |  FROM (
+      |    SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS frame_idx
+      |    FROM documents WHERE doc_id < 500)
+      |  WHERE frame_idx % 2 = 0
+      |), hash AS (
+      |  SELECT sid AS doc_id,
+      |    repeat('1', CAST(nb AS INTEGER)) ||
+      |    repeat('0', CAST(64 - nb AS INTEGER)) AS phash
+      |  FROM gif
+      |), reps AS (
+      |  SELECT min(doc_id) AS doc_id, phash FROM hash GROUP BY phash
+      |), bands AS (
+      |  SELECT doc_id, b.b, substr(phash, b.b * 16 + 1, 16) AS bits
+      |  FROM reps, unnest(range(0, 4)) AS b(b)
+      |), okb AS (
+      |  SELECT b, bits FROM bands GROUP BY b, bits
+      |  HAVING count(*) <= 64
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT bands.* FROM bands JOIN okb USING (b, bits)) a
+      |  JOIN (SELECT bands.* FROM bands JOIN okb USING (b, bits)) b
+      |    ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum([CASE WHEN ha.phash[j] <> hb.phash[j] THEN 1 ELSE 0 END
+      |                   for j in range(1, 65)]) AS BIGINT) AS hamming
+      |  FROM cand
+      |  JOIN reps ha ON ha.doc_id = doc_a
+      |  JOIN reps hb ON hb.doc_id = doc_b
+      |) WHERE hamming BETWEEN 1 AND 3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    hammingNearDup(gifFrameRows(s, d)
+      .select((col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
+        col("ahash").as("phash")))
+  }
+
   val decodeMeta = Q(
     "q_mm_decode",
     s"""WITH m AS (SELECT doc_id, md5(text) AS h,

@@ -62,21 +62,33 @@ object ArtifactSentinel {
   /** Run every check against corpus `d`: returns name → status with
     * status ∈ `ok` | `healed:...` (mismatch found, artifact rebuilt,
     * digests now equal) | `MISMATCH:...` (rebuild did NOT converge —
-    * a live-plan nondeterminism bug, fail the gate loudly). */
+    * a live-plan nondeterminism bug; [[graft.Verify]] fails the gate
+    * on any such status AFTER all query dumps are written) |
+    * `error:...` (the check itself threw — missing table at some SF,
+    * transient engine error). Each check is individually guarded so
+    * one throwing check can never abort the sweep, let alone the
+    * query dump loop that follows it (the prebuild loop's per-artifact
+    * catch discipline). */
   def run(s: SparkSession, d: String, checks: Seq[Check]): Seq[(String, String)] =
     checks.map { c =>
-      val got = digest(c.artifact(s, d))
-      val want = digest(c.live(s, d))
       val status =
-        if (got == want) "ok"
-        else {
-          IndexCatalog.invalidate(s, c.key(d))
-          val healed = digest(c.artifact(s, d)) // re-ensure → rebuild
-          if (healed == want)
-            s"healed:stale-artifact served=${fmt(got)} live=${fmt(want)}"
-          else
-            s"MISMATCH:rebuild-diverges served=${fmt(got)} " +
-              s"rebuilt=${fmt(healed)} live=${fmt(want)}"
+        try {
+          val got = digest(c.artifact(s, d))
+          val want = digest(c.live(s, d))
+          if (got == want) "ok"
+          else {
+            IndexCatalog.invalidate(s, c.key(d))
+            val healed = digest(c.artifact(s, d)) // re-ensure → rebuild
+            if (healed == want)
+              s"healed:stale-artifact served=${fmt(got)} live=${fmt(want)}"
+            else
+              s"MISMATCH:rebuild-diverges served=${fmt(got)} " +
+                s"rebuilt=${fmt(healed)} live=${fmt(want)}"
+          }
+        } catch {
+          case e: Throwable =>
+            s"error:${e.getClass.getSimpleName}:" +
+              Option(e.getMessage).getOrElse("").take(200)
         }
       c.name -> status
     }

@@ -91,7 +91,15 @@ final case class BucketedTableSink(
   * scope ownership the stale higher ranks survive the per-key merge —
   * the mixed-generation serving surface, round-12 advice item 1).
   * Version-guarded, so an out-of-order replay can never delete rows a
-  * NEWER generation wrote. */
+  * NEWER generation wrote.
+  *
+  * By default the owned scopes are derived from the OUTPUT rows — which
+  * misses a scope whose new generation is EMPTY (a re-streamed ANN
+  * query probing an empty cell returns zero rows, so its query_id never
+  * appears in `df` and the old generation keeps serving — round-13
+  * advice item 5). Callers that can produce empty groups pass the
+  * INPUT-derived scope frame (scopeCols + versionCol) to
+  * `write(df, table, scopeFrame)` instead. */
 final case class UpsertBucketedSink(
     buckets: Int,
     keyCols: Seq[String],
@@ -101,7 +109,11 @@ final case class UpsertBucketedSink(
   require(scopeCols.forall(keyCols.contains),
     "scopeCols must be a subset of keyCols (a scope is a key-group owner)")
 
-  def write(df: DataFrame, table: String): Unit = {
+  def write(df: DataFrame, table: String): Unit =
+    write(df, table, scopeFrame = None)
+
+  def write(df: DataFrame, table: String,
+            scopeFrame: Option[DataFrame]): Unit = {
     val s = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
@@ -117,8 +129,11 @@ final case class UpsertBucketedSink(
         else {
           // batch-owned scopes: per scope key, the batch's max version;
           // existing rows of that scope at <= that version are replaced
-          // WHOLESALE (the scope frame is batch-bounded — broadcast side)
-          val scopes = df.groupBy(scopeCols.map(col): _*)
+          // WHOLESALE (the scope frame is batch-bounded — broadcast
+          // side). An explicit scopeFrame (the caller's INPUT keys)
+          // also owns scopes whose new generation is empty.
+          val scopes = scopeFrame.getOrElse(df)
+            .groupBy(scopeCols.map(col): _*)
             .agg(max(col(versionCol)).as("_scope_ver"))
           s.table(table)
             .join(broadcast(scopes), scopeCols, "left_outer")

@@ -52,9 +52,15 @@ object AnnStreams {
       .drop("_rk")
     val out = SimilarityQueries.ivfSearch(batch.sparkSession, dir, one, k)
       .withColumn("_gen", lit(batchId))
+    // scopes come from the INPUT queries, not the search output: a
+    // re-streamed query probing an EMPTY cell returns zero result rows,
+    // and output-derived scopes would let its entire old generation
+    // keep serving (round-13 advice item 5; UpsertSinkSpec pins the
+    // zero-result eviction at the sink boundary).
+    val scopes = one.select(col("query_id")).withColumn("_gen", lit(batchId))
     UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen",
         scopeCols = Seq("query_id"))
-      .write(out, resultTable)
+      .write(out, resultTable, Some(scopes))
   }
 
   /** Continuous wiring: a stream of (query_id, embedding) vectors

@@ -24,16 +24,20 @@ import graft.sources.{DeleteAudit, GenerationedTable}
   * Spark streaming checkpoint for correctness — the same contract as
   * the other streaming twins.
   *
-  * Scope (r12 verdict item 4): each batch's certificate covers the
-  * twin's OWN generationed (pairs, keep) state AND — by default — every
-  * catalog relation any ensured artifact declared id columns for, the
-  * melt list derived from manifests ([[DeleteAudit
-  * .survivorsFromCatalog]]), never a hand-picked literal. A nonzero
-  * catalog row is the honest per-batch reading "this artifact still
-  * references the id and awaits its corpus-purge rebuild"; after the
-  * purge + rebuild the same certificate goes all-zero tier-wide.
-  * `catalogSpace = None` scopes back to own-state-only (isolation for
-  * parity tests whose JVM shares a catalog with other suites).
+  * Scope (r12 verdict item 4, bounded per r13 advice item 3): each
+  * micro-batch's certificate covers the twin's OWN generationed
+  * (pairs, keep) state — that keeps per-batch work |delta|-proportional.
+  * Certifying the whole ARTIFACT TIER (every catalog relation any
+  * ensured artifact declared id columns for, the melt list derived
+  * from manifests — [[DeleteAudit.survivorsFromCatalog]], never a
+  * hand-picked literal) is a full scan of every artifact and therefore
+  * an EVENT, not a per-batch tax: run [[certifyCatalog]] at
+  * purge/rebuild events (the moment the tier is supposed to go
+  * all-zero), or pass `catalogSpace = Some(space)` to a direct
+  * [[processBatch]] call for a one-shot audited batch. A nonzero
+  * catalog row reads "this artifact still references the id and awaits
+  * its corpus-purge rebuild"; after purge + rebuild the same
+  * certificate goes all-zero tier-wide.
   *
   * Scale shape per batch: everything is |delta|-proportional
   * (broadcast anti-joins + re-election scoped to affected clusters —
@@ -61,7 +65,7 @@ object DeleteStreams {
     * (same `batchId`) directly. */
   def processBatch(deletes: DataFrame, batchId: Long, pairDir: String,
                    keepDir: String, certDir: String,
-                   catalogSpace: Option[String] = Some("doc")): Unit = {
+                   catalogSpace: Option[String] = None): Unit = {
     val s = deletes.sparkSession
     val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
     val baseGen = genFor(batchId) - 1
@@ -87,11 +91,28 @@ object DeleteStreams {
     cert.write.mode("overwrite").parquet(s"$certDir/batch=$batchId")
   }
 
+  /** Tier-wide certification EVENT: one certificate over every
+    * manifest-declared catalog relation in `space` (plus any `extra`
+    * own-state relations), for the given delete-id frame — the audit a
+    * pipeline runs AFTER a corpus purge + artifact rebuild, when the
+    * tier is supposed to certify all-zero. Full-artifact-scan cost by
+    * design; never wired per micro-batch (the continuous stream stays
+    * |delta|-proportional — r13 advice item 3). */
+  def certifyCatalog(deletes: DataFrame, certDir: String, label: String,
+                     space: String = "doc",
+                     extra: Seq[(String, DataFrame, Seq[String])] = Nil): Unit = {
+    val s = deletes.sparkSession
+    val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
+    DeleteAudit.survivorsFromCatalog(s, del, extra = extra, space = space)
+      .write.mode("overwrite").parquet(s"$certDir/batch=$label")
+  }
+
   /** Continuous wiring: a stream of deleted ids applied micro-batch by
-    * micro-batch through [[processBatch]]. */
+    * micro-batch through [[processBatch]]. Own-state certification
+    * only — tier-wide audits are [[certifyCatalog]] events. */
   def deletePropagationStream(deletes: DataFrame, pairDir: String,
                               keepDir: String, certDir: String,
-                              catalogSpace: Option[String] = Some("doc"))
+                              catalogSpace: Option[String] = None)
       : DataStreamWriter[Row] =
     deletes.writeStream
       .outputMode(OutputMode.Update)

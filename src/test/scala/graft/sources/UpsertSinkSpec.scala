@@ -94,6 +94,31 @@ class UpsertSinkSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("an explicit scope frame evicts scopes whose new generation is EMPTY") {
+    cleanup()
+    try {
+      // the ANN zero-result edge (round-13 advice item 5): a re-streamed
+      // query probing an empty cell produces NO output rows, so
+      // output-derived scopes would never see its key and the old
+      // generation would keep serving; input-derived scopes must evict it
+      val scoped = UpsertBucketedSink(4, Seq("k", "rank"), "ver",
+        scopeCols = Seq("k"))
+      val gen0 = Seq((1L, 1, 0L, "a1"), (1L, 2, 0L, "a2"), (2L, 1, 0L, "b1"))
+        .toDF("k", "rank", "ver", "v")
+      scoped.write(gen0, "upsert_t")
+      // generation 1 re-streams k=1 and gets zero results: df is EMPTY,
+      // the scope frame (from the caller's input keys) carries k=1
+      val empty = Seq.empty[(Long, Int, Long, String)]
+        .toDF("k", "rank", "ver", "v")
+      val scopes = Seq((1L, 1L)).toDF("k", "ver")
+      scoped.write(empty, "upsert_t", Some(scopes))
+      val got = spark.table("upsert_t").orderBy("k", "rank")
+        .as[(Long, Int, Long, String)].collect().toSeq
+      assert(got == Seq((2L, 1, 0L, "b1")),
+        s"the superseded generation kept serving a zero-result scope: $got")
+    } finally cleanup()
+  }
+
   test("the merged table keeps its bucket spec and statistics") {
     cleanup()
     try {

@@ -115,8 +115,10 @@ class StreamingDeletePropagationSpec extends SparkSpec {
 
       val pairs = seedPairs
       DeleteStreams.seed(pairs, DedupResolve.keepList(pairs), pairD, keepD)
-      // default scope: catalog melt list INCLUDED in the certificate
-      DeleteStreams.processBatch(deleted.toDF("doc_id"), 0L, pairD, keepD, certD)
+      // tier-wide audit is an explicit EVENT (r13 advice item 3): a
+      // one-shot audited batch with the catalog scope opted in
+      DeleteStreams.processBatch(deleted.toDF("doc_id"), 0L, pairD, keepD,
+        certD, catalogSpace = Some("doc"))
       val cert = spark.read.parquet(s"$certD/batch=0")
         .select("artifact", "n_rows").collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
@@ -129,6 +131,17 @@ class StreamingDeletePropagationSpec extends SparkSpec {
         "the twin's own state must stay certified")
       assert(cert.values.forall(_ == 0L),
         s"a deleted id survives somewhere in the tier: $cert")
+      // the standalone certification event (what production wiring runs
+      // at purge/rebuild time, keeping the continuous stream
+      // |delta|-proportional) certifies the same tier all-zero
+      DeleteStreams.certifyCatalog(deleted.toDF("doc_id"), certD,
+        label = "rebuild-event")
+      val event = spark.read.parquet(s"$certD/batch=rebuild-event")
+        .select("artifact", "n_rows").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      for (rel <- declared)
+        assert(event.contains(rel), s"event certificate missing $rel")
+      assert(event.values.forall(_ == 0L), s"event certificate nonzero: $event")
     } finally {
       IndexCatalog.rootOverride = None
       IndexCatalog.resetProcessMemo()

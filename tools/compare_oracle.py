@@ -36,6 +36,47 @@ def norm(v):
         return ("t", v.isoformat())
     return (type(v).__name__, str(v))
 
+"""Type audit (round-13 root cause): the DRIVER's hash gate is TYPE-
+SENSITIVE in a way norm() above is not — an uncast DuckDB `sum(BIGINT)`
+(→ HUGEINT) hashes red in the driver even when every value compares
+equal here (q_quality_tertiles was red for three rounds on exactly
+this). So beyond values we compare each oracle output column's DuckDB
+type against the Spark parquet dump's type (as DuckDB reads the dump)
+and FAIL on any divergence of HASH CLASS. Classes group types the
+driver's value rendering provably cannot distinguish — the plain
+integer widths (TINYINT..BIGINT: 24 registry queries pair oracle BIGINT
+with a Spark int32 dump and are green in the driver's gate) — while
+everything outside the 64-bit lane (HUGEINT, UHUGEINT, UBIGINT,
+DECIMAL) is its own class: those take a different conversion path in
+the driver (128-bit / decimal → object or float dtype) and hash red on
+identical values. FLOAT vs DOUBLE also stay distinct (float32
+re-rendering diverges in the last ulps)."""
+
+_INT_CLASS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"}
+
+def hash_class(t):
+    t = str(t).upper()
+    if t in _INT_CLASS:
+        return "INT64LANE"
+    if t.endswith("[]"):
+        return hash_class(t[:-2]) + "[]"
+    return t  # HUGEINT, DECIMAL(p,s), DOUBLE, FLOAT, VARCHAR, ... verbatim
+
+def type_names(rel):
+    return {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+
+def audit_types(con, name, sql, files):
+    """Return list of 'col: oracle TYPE vs spark TYPE' divergences."""
+    want_t = type_names(con.sql(sql))
+    got_t = type_names(con.sql(f"SELECT * FROM read_parquet({files!r})"))
+    bad = []
+    for c, wt in want_t.items():
+        gt = got_t.get(c)
+        if gt is not None and hash_class(wt) != hash_class(gt):
+            bad.append(f"{c}: oracle {wt} vs spark {gt}")
+    return bad
+
 def write_diff(out_dir, name, cols, want, got, limit=20):
     """Dump the first `limit` mismatching sorted rows (plus which columns
     differ) to DIFF_<name>.json beside the query dump, so a hash-red row
@@ -89,6 +130,12 @@ def main(sf_dir, out_dir):
         got_cols = [d[0] for d in con.description]
         if sorted(want_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols want={sorted(want_cols)} got={sorted(got_cols)}")
+            n_fail += 1
+            continue
+        type_bad = audit_types(con, name, sql, files)
+        if type_bad:
+            print(f"FAIL {name}: output TYPE divergence (driver hash is "
+                  f"type-sensitive): {'; '.join(type_bad)}")
             n_fail += 1
             continue
         # reorder got columns to oracle's column order by name
