@@ -375,6 +375,53 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023,
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after semantic dedup removes near-duplicate
+    * CLUSTERS, the remaining density skew is handled by ranking each
+    * vector's distance to its own trained centroid and pruning the
+    * most PROTOTYPICAL fraction per cell (closest to the centroid —
+    * the over-represented template-like center of dense regions),
+    * keeping the diverse tail. Serving shape: the persisted IVF
+    * artifact's assigned distances (map-only quantize + broadcast
+    * centroids — [[IvfQuantizer.assignedDistances]], the outlier
+    * gauge's input) + one per-cell window; all integer-space, so the
+    * oracle replays rank and flag exactly. Prune rule: rank*4 ≤ cell_n
+    * — the closest ⌊25%⌋ of each cell flagged, never a global
+    * threshold (a dense cell prunes more vectors than a sparse one,
+    * which is the point). At 100 TB: distances map-side against k·dim
+    * broadcast centroids, the window partitioned by cell — no global
+    * sort, no all-pairs anything. */
+  val d4Prune = Q(
+    "q_d4_prune",
+    s"""WITH ${IvfQuantizer.oracleCtes(ivfK, ivfIters)},
+       |own AS (
+       |  SELECT d.vec_id, d.cell, CAST(d.dist AS BIGINT) AS dist
+       |  FROM d$ivfIters d JOIN asn USING (vec_id, cell)
+       |), ranked AS (
+       |  SELECT vec_id, cell, dist,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |                            ORDER BY dist, vec_id) AS BIGINT)
+       |      AS proto_rank,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+       |  FROM own
+       |)
+       |SELECT vec_id, cell, dist, proto_rank, cell_n,
+       |  proto_rank * 4 <= cell_n AS pruned
+       |FROM ranked ORDER BY vec_id""".stripMargin) { (s, d) =>
+    IvfQuantizer.assignedDistances(
+        DedupQueries.embeddingVectors(s, d),
+        IvfIndex.centroids(s, d, ivfK, ivfIters))
+      .withColumn("proto_rank", row_number().over(
+        Window.partitionBy("cell").orderBy(col("dist"), col("vec_id")))
+        .cast("long"))
+      .withColumn("cell_n",
+        count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("pruned", col("proto_rank") * 4 <= col("cell_n"))
+      .select("vec_id", "cell", "dist", "proto_rank", "cell_n", "pruned")
+      .orderBy("vec_id")
+  }
+
   /** IVF-PQ parameters: 64 dims → 16 subspaces × 4 dims, 32 codes per
     * subspace, one Lloyd refinement over the seeded codebooks — 16
     * codes ≈ 16 bytes per vector vs 256 float bytes (16×). Chosen at

@@ -93,12 +93,15 @@ object ResolutionStreams {
   }
 
   private def readBlocks(s: SparkSession, blockDir: String,
-                         emptyLike: DataFrame): DataFrame = {
+                         emptyLike: DataFrame,
+                         excludeBatch: Option[Long] = None): DataFrame = {
     val p = new Path(blockDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      s.read.parquet(blockDir).select("blk", "cust_id", "name")
-    else emptyLike.select("blk", "cust_id", "name").limit(0)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      val all = s.read.parquet(blockDir)
+      excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
+        .select("blk", "cust_id", "name")
+    } else emptyLike.select("blk", "cust_id", "name").limit(0)
   }
 
   /** One micro-batch application, exposed apart from the stream wiring
@@ -111,8 +114,22 @@ object ResolutionStreams {
     val s = batch.sparkSession
     val deltaRows = blockRowsOf(batch)
     val deltaIds = batch.select(col("c_custkey").as("cust_id"))
+    // NEW-RECORDS CONTRACT, ENFORCED (the DedupStreams rule, r13 verdict
+    // item 7): a customer re-ingested later with a changed name would
+    // leave stale match pairs serving and stale block rows inflating
+    // future blocks. Fail loudly instead of silently mixing
+    // generations; same-batch replay stays exempt via the own-partition
+    // exclusion. The stored-index read is shared with the match plan.
+    val stored = readBlocks(s, blockDir, deltaRows,
+      excludeBatch = Some(batchId))
+    val clash = stored.join(deltaIds, Seq("cust_id"), "left_semi")
+      .select("cust_id").distinct().take(5)
+    require(clash.isEmpty,
+      s"batch $batchId re-ingests cust ids already in the block index " +
+        s"(${clash.mkString(", ")}, ...) — this twin's contract is " +
+        "new-records-only")
     // replay-safety: a re-applied batch's rows leave the base slice
-    val baseRows = readBlocks(s, blockDir, deltaRows)
+    val baseRows = stored
       .join(deltaIds, Seq("cust_id"), "left_anti")
     val pairs = incrementalMatchAgainst(deltaRows, baseRows)
     UpsertBucketedSink(buckets, Seq("cust_a", "cust_b"), "dist")

@@ -57,8 +57,17 @@ object RetrievalStreams {
       .drop("_rk")
     val out = SimilarityQueries.rerankSearch(batch.sparkSession, d, one, k)
       .withColumn("_gen", lit(batchId))
-    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen")
-      .write(out, resultTable)
+    // Scope ownership (round-13 verdict item 7's audit): rerank returns
+    // min(k, |corpus|) rows per query — constant ACROSS queries, but the
+    // corpus itself can shrink between generations (delete propagation),
+    // so a re-streamed query can return fewer ranks than its old
+    // generation wrote. Scopes derive from the INPUT queries (the
+    // AnnStreams rule), so even a zero-result re-stream evicts the
+    // superseded generation wholesale.
+    val scopes = one.select(col("query_id")).withColumn("_gen", lit(batchId))
+    UpsertBucketedSink(buckets, Seq("query_id", "rank"), "_gen",
+        scopeCols = Seq("query_id"))
+      .write(out, resultTable, Some(scopes))
   }
 
   /** Continuous wiring: a stream of (query_id, embedding) vectors

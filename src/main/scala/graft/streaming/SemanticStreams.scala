@@ -82,7 +82,8 @@ object SemanticStreams {
   }
 
   private def readAsn(s: SparkSession, asnDir: String,
-                      emptyLike: DataFrame): DataFrame = {
+                      emptyLike: DataFrame,
+                      excludeBatch: Option[Long] = None): DataFrame = {
     val p = new Path(asnDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // data = non-metadata entries: the generation dir may hold only the
@@ -91,8 +92,11 @@ object SemanticStreams {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    if (hasData) s.read.parquet(asnDir).select("vec_id", "cell")
-    else emptyLike.select("vec_id", "cell").limit(0)
+    if (hasData) {
+      val all = s.read.parquet(asnDir)
+      excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
+        .select("vec_id", "cell")
+    } else emptyLike.select("vec_id", "cell").limit(0)
   }
 
   /** One micro-batch application, exposed apart from the stream wiring
@@ -104,13 +108,31 @@ object SemanticStreams {
     val delta = batch.select("vec_id", "embedding")
     val deltaIds = delta.select("vec_id")
     val deltaAsn = IvfQuantizer.assignVectors(delta, centroids)
+    // NEW-RECORDS CONTRACT, ENFORCED (the DedupStreams rule, r13 verdict
+    // item 7): a vector re-ingested later with a changed embedding would
+    // leave stale pairs serving and a stale cell assignment in older
+    // partitions. Fail loudly; re-embedding pipelines go through the
+    // generation-aware retrain lifecycle below, which swaps whole
+    // assignment generations instead of mixing them. The stored-index
+    // read is shared with the pair plan. Same-batch replay stays exempt
+    // (own partition excluded by the anti-join below — the stored read
+    // here filters it out explicitly).
+    val storedAsn = readAsn(s, asnDir, deltaAsn, excludeBatch = Some(batchId))
+    val clash = storedAsn
+      .join(deltaIds, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct().take(5)
+    require(clash.isEmpty,
+      s"batch $batchId re-ingests vec ids already in the assignment " +
+        s"index (${clash.mkString(", ")}, ...) — this twin's contract " +
+        "is new-vectors-only; re-embedding goes through the retrain " +
+        "lifecycle's generation swap")
     // replay-safety: a re-applied batch's rows leave the base slices
     val baseVecs =
       if (s.catalog.tableExists(vecTable))
         s.table(vecTable).select("vec_id", "embedding")
           .join(deltaIds, Seq("vec_id"), "left_anti")
       else delta.limit(0)
-    val baseAsn = readAsn(s, asnDir, deltaAsn)
+    val baseAsn = storedAsn
       .join(deltaIds, Seq("vec_id"), "left_anti")
     val pairs = incrementalPairsAgainst(
       deltaAsn, baseAsn, baseVecs.unionByName(delta))

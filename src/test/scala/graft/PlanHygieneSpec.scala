@@ -91,6 +91,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_ann_ivf", "q_ann_filtered", "q_ann_filtered_recall",
     "q_ann_ivf_probe2", "q_ann_recall", "q_ann_cells",
     "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_embedding_outliers",
+    // serves from the persisted IVF artifact (assigned distances +
+    // one cell-partitioned window); the training shape is swept via
+    // the IVF builder plans
+    "q_d4_prune",
     // consume the sem_pairs artifact (built from the persisted IVF
     // assignments); the pair-generation shape is swept via
     // builderPlans("sem_pairs"), and the recall gauge additionally

@@ -88,6 +88,25 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally { q.stop(); cleanup() }
   }
 
+  test("cross-batch re-ingest of a known doc fails the new-records " +
+    "contract loudly") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    DedupStreams.seedCorpus(
+      spark, docs.filter(col("doc_id") < 20), corpusT, bandD, buckets = 4)
+    try {
+      // a changed-text re-ingest would leave the old pairs serving and
+      // stale band rows in older partitions — the twin must refuse,
+      // not silently mix generations (r13 verdict item 7)
+      val reingest = Seq((5L, "changed text entirely")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(reingest, batchId = 0L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+    } finally cleanup()
+  }
+
   test("a first batch with no seeded corpus pairs only within itself") {
     cleanup()
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.{SparkSpec, Tables}
 import graft.operators.ResolutionQueries
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Stream/batch parity for entity resolution: customer records arriving
   * in micro-batches through [[ResolutionStreams.linkageStream]] must
@@ -106,5 +107,27 @@ class StreamingLinkageSpec extends SparkSpec {
       q.stop()
       cleanup()
     }
+  }
+
+  test("cross-batch re-ingest of a known record fails the new-records " +
+    "contract loudly") {
+    cleanup()
+    writeCorpus()
+    val cust = Tables.customer(spark, corpusDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    try {
+      ResolutionStreams.processBatch(cust.filter(col("c_custkey") < 50),
+        batchId = 0L, custT, pairT, blkD, buckets = 4)
+      // a renamed customer re-ingested later would leave stale match
+      // pairs serving and stale block rows — the twin must refuse
+      // (r13 verdict item 7)
+      val reingest = Seq((5L, "Customer#000000005x", 1, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val e = intercept[IllegalArgumentException] {
+        ResolutionStreams.processBatch(reingest, batchId = 1L,
+          custT, pairT, blkD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+    } finally cleanup()
   }
 }

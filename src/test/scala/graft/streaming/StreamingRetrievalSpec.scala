@@ -102,4 +102,38 @@ class StreamingRetrievalSpec extends SparkSpec {
         s"superseded results leaked: missing=${want -- got} extra=${got -- want}")
     } finally cleanup()
   }
+
+  test("a re-streamed query over a SHRUNKEN corpus supersedes wholesale " +
+    "(old ranks beyond the new count die)") {
+    cleanup()
+    // rerank returns min(k, |corpus|) rows per query; delete propagation
+    // can shrink the corpus between generations, so a re-streamed query
+    // can return FEWER ranks than its old generation wrote — scope
+    // ownership must evict them (r13 verdict item 7)
+    val corpusDir = "/tmp/graft_srr_corpus"
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val base = Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") < 5).select("vec_id", "embedding")
+      base.write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+      val query = Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") === 100)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      RetrievalStreams.processBatch(query, 0L, corpusDir, resultT,
+        k = 5, buckets = 4)
+      assert(spark.table(resultT).count() == 5,
+        "premise: 5-vector corpus serves k=5 rows")
+      // the corpus shrinks (three vectors deleted), the query re-streams
+      base.filter(col("vec_id") < 2)
+        .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+      RetrievalStreams.processBatch(query, 1L, corpusDir, resultT,
+        k = 5, buckets = 4)
+      val served = spark.table(resultT).select("rank", "_gen").collect()
+      assert(served.length == 2,
+        s"mixed-generation surface: ${served.length} rows served, want 2")
+      assert(served.forall(_.getLong(1) == 1L),
+        "a row from the superseded generation survived the shrink")
+    } finally { fs.delete(p, true); cleanup() }
+  }
 }

@@ -113,4 +113,26 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       assert(spark.table(vecT).count() == vecs.count())
     } finally cleanup()
   }
+
+  test("cross-batch re-ingest of a known vector fails the new-records " +
+    "contract loudly") {
+    cleanup()
+    import SimilarityQueries.{ivfIters, ivfK}
+    val centroids = IvfIndex.centroids(spark, sf0001, ivfK, ivfIters)
+    val vecs = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    try {
+      SemanticStreams.seedVectors(
+        spark, vecs.filter(col("vec_id") < 20), centroids, vecT, asnD,
+        buckets = 4)
+      // a re-embedded vector would leave stale pairs serving and a
+      // stale cell assignment — the twin must refuse (r13 verdict
+      // item 7); re-embedding is the retrain lifecycle's job
+      val e = intercept[IllegalArgumentException] {
+        SemanticStreams.processBatch(
+          vecs.filter(col("vec_id") === 5), batchId = 0L, centroids,
+          vecT, pairT, asnD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+    } finally cleanup()
+  }
 }
