@@ -1136,6 +1136,7 @@ object DedupQueries {
     "inv_index"     -> TextQueries.invertedIndexPlan(s, d),
     "er_mb_pairs"   -> ResolutionQueries.multiBlockPlan(s, d),
     "img_phash"     -> MultimodalQueries.phashPlan(s, d),
+    "gif_phash"     -> MultimodalQueries.gifFramePlan(s, d),
     "inv_doclens"   -> TextQueries.doclensPlan(s, d),
     // same label-as-cell stand-in rule as sem_pairs: the kNN edge build
     // consumes the persisted IVF assignment table; the stand-in has the

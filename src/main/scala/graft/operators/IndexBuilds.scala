@@ -41,6 +41,7 @@ object IndexBuilds {
     "idx_er_labels"     -> ((s, d) => { ResolutionQueries.erLabels(s, d); () }),
     "idx_er_mb_pairs"   -> ((s, d) => { ResolutionQueries.multiBlockPairs(s, d); () }),
     "idx_img_phash"     -> ((s, d) => { MultimodalQueries.phashFrame(s, d); () }),
+    "idx_gif_phash"     -> ((s, d) => { MultimodalQueries.gifFrameTable(s, d); () }),
     "idx_wav_phash"     -> ((s, d) => { MultimodalQueries.wavPhashFrame(s, d); () }),
     "idx_communities"   -> ((s, d) => { GraphQueries.communityLabels(s, d); () }),
     "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }),

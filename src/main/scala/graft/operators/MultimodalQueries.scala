@@ -367,13 +367,13 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Per-frame (sid, aHash) signatures out of the REAL animated-GIF
-    * decode ([[graft.multimodal.GifCodec]]): doc_id < 500 → synthetic
+  /** Per-frame signature PLAN out of the REAL animated-GIF decode
+    * ([[graft.multimodal.GifCodec]]): doc_id < 500 → synthetic
     * multi-frame GIF through the JDK writer's sequence API → frame-
     * sampled (stride 2) read-back + per-frame aHash, all inside one
-    * partition (codec lifecycle rule). Shared by [[gifFrames]] and
-    * [[gifNearDup]] so the decode plan cannot drift between them. */
-  private def gifFrameRows(
+    * partition (codec lifecycle rule). What [[gifFrameTable]]
+    * materializes; plan-swept via `builderPlans("gif_phash")`. */
+  private[graft] def gifFramePlan(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
@@ -387,6 +387,26 @@ object MultimodalQueries {
         }
       }
       .toDF()
+  }
+
+  /** Per-frame GIF signatures persisted once per (run, corpus) — the
+    * [[phashFrame]] discipline: frames are decoded exactly once, and
+    * both the frame query and the near-dup join serve from the stored
+    * rows (the near-dup's banded self-join would otherwise re-run the
+    * decode once per join side). */
+  private[graft] def gifFrameTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.IndexCatalog
+    val dir = IndexCatalog.ensure(s, s"gif_phash_${IndexCatalog.tag(d)}",
+                                  inputs = Seq(d),
+                                  owners = Seq(MultimodalQueries.getClass,
+                                    graft.multimodal.GifCodec.getClass,
+                                    graft.multimodal.ImageCodec.getClass,
+                                    graft.Tables.getClass)) { dir =>
+      gifFramePlan(s, d).write.mode("overwrite").parquet(s"$dir/frames")
+      IndexCatalog.declareIds("path", "frames", Seq("doc_id"))
+    }
+    s.read.parquet(s"$dir/frames")
   }
 
   /** REAL multi-frame GIF decode, frame-sampled at stride 2 — and
@@ -411,7 +431,7 @@ object MultimodalQueries {
       |  FROM documents WHERE doc_id < 500
       |) WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
-    gifFrameRows(s, d).orderBy("doc_id", "frame_idx")
+    gifFrameTable(s, d).orderBy("doc_id", "frame_idx")
   }
 
   /** Near-duplicate GIF FRAMES through the shared [[hammingNearDup]]
@@ -459,7 +479,7 @@ object MultimodalQueries {
       |  JOIN reps hb ON hb.doc_id = doc_b
       |) WHERE hamming BETWEEN 1 AND 3
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    hammingNearDup(gifFrameRows(s, d)
+    hammingNearDup(gifFrameTable(s, d)
       .select((col("doc_id") * 8 + col("frame_idx")).as("doc_id"),
         col("ahash").as("phash")))
   }

@@ -158,6 +158,9 @@ class PlanHygieneSpec extends SparkSpec {
     // corpus); the decode+hash shape is swept via
     // builderPlans("img_phash")
     "q_mm_img_phash", "q_mm_img_neardup",
+    // serve from the gif_phash artifact (frames decoded once per
+    // corpus); the decode shape is swept via builderPlans("gif_phash")
+    "q_mm_gif_frames", "q_mm_gif_neardup",
     // serves from the communities artifact (LPA run once per corpus via
     // IndexCatalog); the superstep plan shape is pinned by GraphOpsSpec
     // over handcrafted graphs

@@ -56,6 +56,7 @@ class SentinelGuardSpec extends AnyFunSuite {
     "communities" -> "direct-emission: q_graph_communities emits the label rows",
     "knn" -> "direct-emission: q_knn_graph emits the edge rows; q_knn_hubness aggregates the SAME edges the emission row pins",
     "img_phash" -> "direct-emission: q_mm_img_phash emits the hash rows",
+    "gif_phash" -> "direct-emission: q_mm_gif_frames emits the frame rows",
     "wav_phash" -> "direct-emission: q_mm_wav_phash emits the hash rows",
     "inv" -> "bounded/keyed: postings probed by query term; collection stats are a 1-row frame recomputed in every oracle",
     "unigram" -> "direct-emission: q_unigram_vocab emits the vocabulary rows")
