@@ -90,8 +90,12 @@ object GifCodec {
           val reader = readers.next()
           try {
             reader.setInput(iis)
+            // a truncated stream can count ZERO readable frames without
+            // throwing — that is still a corrupt payload and must stay
+            // audit-visible as the sentinel row, not silently vanish
             val n = reader.getNumImages(true)
-            (0 until n by stride).map { i =>
+            if (n <= 0) Seq(GifFrameRow(id, -1, -1, -1, ""))
+            else (0 until n by stride).map { i =>
               val img = reader.read(i)
               GifFrameRow(id, i, img.getWidth, img.getHeight,
                 ImageCodec.aHashOf(img))

@@ -61,34 +61,45 @@ object ArtifactSentinel {
 
   /** Run every check against corpus `d`: returns name → status with
     * status ∈ `ok` | `healed:...` (mismatch found, artifact rebuilt,
-    * digests now equal) | `MISMATCH:...` (rebuild did NOT converge —
-    * a live-plan nondeterminism bug; [[graft.Verify]] fails the gate
-    * on any such status AFTER all query dumps are written) |
-    * `error:...` (the check itself threw — missing table at some SF,
-    * transient engine error). Each check is individually guarded so
-    * one throwing check can never abort the sweep, let alone the
-    * query dump loop that follows it (the prebuild loop's per-artifact
-    * catch discipline). */
+    * digests now equal) | `MISMATCH:...` (a byte divergence the heal
+    * path could not clear — rebuild ran and still diverges, OR the
+    * divergence was PROVEN and the heal itself threw; [[graft.Verify]]
+    * fails the gate on any such status AFTER all query dumps are
+    * written) | `error:...` (the check threw BEFORE any divergence was
+    * established — missing table at some SF, transient engine error).
+    * Each check is individually guarded so one throwing check can
+    * never abort the sweep, let alone the query dump loop that follows
+    * it (the prebuild loop's per-artifact catch discipline); fatal JVM
+    * errors (OOM, interrupts) propagate — a heap-corrupted sweep must
+    * not keep dumping results the gate will trust. */
   def run(s: SparkSession, d: String, checks: Seq[Check]): Seq[(String, String)] =
     checks.map { c =>
+      def err(e: Throwable) =
+        s"${e.getClass.getSimpleName}:" +
+          Option(e.getMessage).getOrElse("").take(200)
       val status =
         try {
           val got = digest(c.artifact(s, d))
           val want = digest(c.live(s, d))
           if (got == want) "ok"
-          else {
-            IndexCatalog.invalidate(s, c.key(d))
-            val healed = digest(c.artifact(s, d)) // re-ensure → rebuild
-            if (healed == want)
-              s"healed:stale-artifact served=${fmt(got)} live=${fmt(want)}"
-            else
-              s"MISMATCH:rebuild-diverges served=${fmt(got)} " +
-                s"rebuilt=${fmt(healed)} live=${fmt(want)}"
-          }
+          else
+            // divergence PROVEN from here on: a throw during the heal
+            // must stay a gate-failing MISMATCH, never soften to error:
+            try {
+              IndexCatalog.invalidate(s, c.key(d))
+              val healed = digest(c.artifact(s, d)) // re-ensure → rebuild
+              if (healed == want)
+                s"healed:stale-artifact served=${fmt(got)} live=${fmt(want)}"
+              else
+                s"MISMATCH:rebuild-diverges served=${fmt(got)} " +
+                  s"rebuilt=${fmt(healed)} live=${fmt(want)}"
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                s"MISMATCH:heal-failed served=${fmt(got)} " +
+                  s"live=${fmt(want)} heal=${err(e)}"
+            }
         } catch {
-          case e: Throwable =>
-            s"error:${e.getClass.getSimpleName}:" +
-              Option(e.getMessage).getOrElse("").take(200)
+          case scala.util.control.NonFatal(e) => s"error:${err(e)}"
         }
       c.name -> status
     }

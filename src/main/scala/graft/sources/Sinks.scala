@@ -114,6 +114,12 @@ final case class UpsertBucketedSink(
 
   def write(df: DataFrame, table: String,
             scopeFrame: Option[DataFrame]): Unit = {
+    // an explicit scope frame on a sink with no scopeCols would be
+    // silently ignored — the exact silent-ownership-drop class this
+    // parameter exists to close; refuse loudly instead
+    require(scopeFrame.isEmpty || scopeCols.nonEmpty,
+      "scopeFrame passed to an UpsertBucketedSink with no scopeCols — " +
+        "declare the scope columns or drop the frame")
     val s = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, col, max, row_number}

@@ -113,25 +113,13 @@ object DedupStreams {
     val s = batch.sparkSession
     val delta = batch.select("doc_id", "text")
     val deltaIds = delta.select("doc_id")
-    // NEW-RECORDS CONTRACT, ENFORCED (round-13 verdict item 7's audit):
-    // this twin has no supersede machinery — a doc re-ingested in a
-    // LATER batch with changed text would leave its old pairs serving
-    // in pairTable and its old band rows polluting future bucket caps
-    // (the mixed-generation class). Fail loudly instead of silently
-    // mixing; a re-ingest-capable pipeline uses the WinnowStreams twin,
-    // which purges superseded pairs and reads newest-wins. (Same-batch
-    // REPLAY is fine: the own-partition exclusion below keeps it out of
-    // this check. The check shares the band-index read the pair plan
-    // needs anyway; at larger state a bloom of ingested ids replaces
-    // the semi-join.)
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
+    // rationale and the cost model (one extra stored-index scan on top
+    // of the full-index read the candidate plan already does).
     val stored = readBands(s, bandDir, delta, excludeBatch = Some(batchId))
-    val clash = stored.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select("doc_id").distinct().take(5)
-    require(clash.isEmpty,
-      s"batch $batchId re-ingests doc ids already in the band index " +
-        s"(${clash.mkString(", ")}, ...) — this twin's contract is " +
-        "new-documents-only; use the winnow twin's supersede path for " +
-        "re-ingest pipelines")
+    IngestContract.requireNewRecords(stored, deltaIds, "doc_id", batchId,
+      what = "doc ids",
+      remedy = "use the winnow twin's supersede path for re-ingest pipelines")
     // replay-safety: a re-applied batch's rows leave the base slices
     val base =
       if (s.catalog.tableExists(corpusTable))

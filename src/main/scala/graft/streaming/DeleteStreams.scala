@@ -104,7 +104,11 @@ object DeleteStreams {
     val s = deletes.sparkSession
     val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
     DeleteAudit.survivorsFromCatalog(s, del, extra = extra, space = space)
-      .write.mode("overwrite").parquet(s"$certDir/batch=$label")
+      // a SIBLING tree, not `$certDir/batch=<label>`: a numeric label
+      // would overwrite a micro-batch certificate in place, and mixed
+      // string/long partition values would flip the inferred type of
+      // the `batch` column for whole-directory certificate reads
+      .write.mode("overwrite").parquet(s"$certDir-events/label=$label")
   }
 
   /** Continuous wiring: a stream of deleted ids applied micro-batch by

@@ -114,20 +114,13 @@ object ResolutionStreams {
     val s = batch.sparkSession
     val deltaRows = blockRowsOf(batch)
     val deltaIds = batch.select(col("c_custkey").as("cust_id"))
-    // NEW-RECORDS CONTRACT, ENFORCED (the DedupStreams rule, r13 verdict
-    // item 7): a customer re-ingested later with a changed name would
-    // leave stale match pairs serving and stale block rows inflating
-    // future blocks. Fail loudly instead of silently mixing
-    // generations; same-batch replay stays exempt via the own-partition
-    // exclusion. The stored-index read is shared with the match plan.
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
+    // rationale and cost model.
     val stored = readBlocks(s, blockDir, deltaRows,
       excludeBatch = Some(batchId))
-    val clash = stored.join(deltaIds, Seq("cust_id"), "left_semi")
-      .select("cust_id").distinct().take(5)
-    require(clash.isEmpty,
-      s"batch $batchId re-ingests cust ids already in the block index " +
-        s"(${clash.mkString(", ")}, ...) — this twin's contract is " +
-        "new-records-only")
+    IngestContract.requireNewRecords(stored, deltaIds, "cust_id", batchId,
+      what = "cust ids",
+      remedy = "record updates need a supersede-capable twin")
     // replay-safety: a re-applied batch's rows leave the base slice
     val baseRows = stored
       .join(deltaIds, Seq("cust_id"), "left_anti")

@@ -108,24 +108,13 @@ object SemanticStreams {
     val delta = batch.select("vec_id", "embedding")
     val deltaIds = delta.select("vec_id")
     val deltaAsn = IvfQuantizer.assignVectors(delta, centroids)
-    // NEW-RECORDS CONTRACT, ENFORCED (the DedupStreams rule, r13 verdict
-    // item 7): a vector re-ingested later with a changed embedding would
-    // leave stale pairs serving and a stale cell assignment in older
-    // partitions. Fail loudly; re-embedding pipelines go through the
-    // generation-aware retrain lifecycle below, which swaps whole
-    // assignment generations instead of mixing them. The stored-index
-    // read is shared with the pair plan. Same-batch replay stays exempt
-    // (own partition excluded by the anti-join below — the stored read
-    // here filters it out explicitly).
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
+    // rationale and cost model.
     val storedAsn = readAsn(s, asnDir, deltaAsn, excludeBatch = Some(batchId))
-    val clash = storedAsn
-      .join(deltaIds, Seq("vec_id"), "left_semi")
-      .select("vec_id").distinct().take(5)
-    require(clash.isEmpty,
-      s"batch $batchId re-ingests vec ids already in the assignment " +
-        s"index (${clash.mkString(", ")}, ...) — this twin's contract " +
-        "is new-vectors-only; re-embedding goes through the retrain " +
-        "lifecycle's generation swap")
+    IngestContract.requireNewRecords(storedAsn, deltaIds, "vec_id", batchId,
+      what = "vec ids",
+      remedy = "re-embedding goes through the retrain lifecycle's " +
+        "generation swap")
     // replay-safety: a re-applied batch's rows leave the base slices
     val baseVecs =
       if (s.catalog.tableExists(vecTable))

@@ -61,11 +61,22 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.frameRows(1L, Array.emptyByteArray) == sentinel)
     assert(GifCodec.frameRows(1L, "not an image".getBytes) == sentinel)
     // truncated mid-stream: the JDK reader throws on the cut frame; the
-    // totality rule maps that to the sentinel instead of propagating
+    // totality rule maps that to the sentinel instead of propagating —
+    // and anything short of the sentinel must still honor the
+    // closed-form contract (no garbage frames from a half-read stream)
     val gif = GifCodec.syntheticGif(3L)
     val cut = gif.take(gif.length / 2)
     val rows = GifCodec.frameRows(3L, cut, stride = 1)
-    assert(rows == Seq(GifCodec.GifFrameRow(3L, -1, -1, -1, "")) ||
-      rows.size <= GifCodec.nFrames(3L)) // no throw is the contract
+    assert(rows.nonEmpty, "totality: truncated payloads yield rows")
+    if (rows != Seq(GifCodec.GifFrameRow(3L, -1, -1, -1, ""))) {
+      assert(rows.map(_.frame_idx) == (0 until rows.size).toSeq,
+        "decoded prefix must be a contiguous frame prefix")
+      rows.foreach { r =>
+        assert(r.width == GifCodec.frameW(3L) &&
+          r.height == GifCodec.frameH(3L) &&
+          r.ahash == expectedHash(3L, r.frame_idx),
+          s"truncated decode produced a garbage frame: $r")
+      }
+    }
   }
 }

@@ -64,9 +64,12 @@ class SentinelGuardSpec extends AnyFunSuite {
   private def readAll(p: Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
 
-  private lazy val sourceFiles: Seq[Path] =
-    Files.walk(root).iterator().asScala
+  private lazy val sourceFiles: Seq[Path] = {
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".scala")).toSeq
+    finally walk.close()
+  }
 
   /** Key prefixes covered by the live sentinel registry — derived from
     * the CODE (each check's key function applied to a probe dir), never

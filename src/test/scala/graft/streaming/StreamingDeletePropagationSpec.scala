@@ -136,7 +136,7 @@ class StreamingDeletePropagationSpec extends SparkSpec {
       // |delta|-proportional) certifies the same tier all-zero
       DeleteStreams.certifyCatalog(deleted.toDF("doc_id"), certD,
         label = "rebuild-event")
-      val event = spark.read.parquet(s"$certD/batch=rebuild-event")
+      val event = spark.read.parquet(s"$certD-events/label=rebuild-event")
         .select("artifact", "n_rows").collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
       for (rel <- declared)
