@@ -98,7 +98,14 @@ object DedupStreams {
                                    excludeBatch: Option[Long] = None): DataFrame = {
     val p = new Path(bandDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+    // data = non-metadata entries (the readAsn rule): the dir may hold
+    // only the _INGEST_BLOOM ledger after a crash between the ledger
+    // write and the first band write
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) {
       val all = s.read.parquet(bandDir)
       excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
         .select("doc_id", "band", "key")
@@ -113,12 +120,13 @@ object DedupStreams {
     val s = batch.sparkSession
     val delta = batch.select("doc_id", "text")
     val deltaIds = delta.select("doc_id")
-    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
-    // rationale and the cost model (one extra stored-index scan on top
-    // of the full-index read the candidate plan already does).
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]]: common
+    // fresh-ingest batches pay |delta| bloom tests against the persisted
+    // id ledger; bloom hits (real re-ingest, replay, saturation) fall
+    // back to the exact stored-index scan.
     val stored = readBands(s, bandDir, delta, excludeBatch = Some(batchId))
-    IngestContract.requireNewRecords(stored, deltaIds, "doc_id", batchId,
-      what = "doc ids",
+    IngestContract.checkAndRecord(stored, deltaIds, "doc_id", batchId,
+      indexDir = bandDir, what = "doc ids",
       remedy = "use the winnow twin's supersede path for re-ingest pipelines")
     // replay-safety: a re-applied batch's rows leave the base slices
     val base =

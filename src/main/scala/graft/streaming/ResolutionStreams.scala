@@ -97,7 +97,14 @@ object ResolutionStreams {
                          excludeBatch: Option[Long] = None): DataFrame = {
     val p = new Path(blockDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+    // data = non-metadata entries (the readAsn rule): the dir may hold
+    // only the _INGEST_BLOOM ledger after a crash between the ledger
+    // write and the first block write
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) {
       val all = s.read.parquet(blockDir)
       excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
         .select("blk", "cust_id", "name")
@@ -114,12 +121,12 @@ object ResolutionStreams {
     val s = batch.sparkSession
     val deltaRows = blockRowsOf(batch)
     val deltaIds = batch.select(col("c_custkey").as("cust_id"))
-    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
-    // rationale and cost model.
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]]: bloom
+    // ledger for the common case, exact scan on any bloom hit.
     val stored = readBlocks(s, blockDir, deltaRows,
       excludeBatch = Some(batchId))
-    IngestContract.requireNewRecords(stored, deltaIds, "cust_id", batchId,
-      what = "cust ids",
+    IngestContract.checkAndRecord(stored, deltaIds, "cust_id", batchId,
+      indexDir = blockDir, what = "cust ids",
       remedy = "record updates need a supersede-capable twin")
     // replay-safety: a re-applied batch's rows leave the base slice
     val baseRows = stored

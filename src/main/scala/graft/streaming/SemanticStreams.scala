@@ -108,11 +108,11 @@ object SemanticStreams {
     val delta = batch.select("vec_id", "embedding")
     val deltaIds = delta.select("vec_id")
     val deltaAsn = IvfQuantizer.assignVectors(delta, centroids)
-    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]] for the
-    // rationale and cost model.
+    // NEW-RECORDS CONTRACT, ENFORCED — see [[IngestContract]]: bloom
+    // ledger for the common case, exact scan on any bloom hit.
     val storedAsn = readAsn(s, asnDir, deltaAsn, excludeBatch = Some(batchId))
-    IngestContract.requireNewRecords(storedAsn, deltaIds, "vec_id", batchId,
-      what = "vec ids",
+    IngestContract.checkAndRecord(storedAsn, deltaIds, "vec_id", batchId,
+      indexDir = asnDir, what = "vec ids",
       remedy = "re-embedding goes through the retrain lifecycle's " +
         "generation swap")
     // replay-safety: a re-applied batch's rows leave the base slices

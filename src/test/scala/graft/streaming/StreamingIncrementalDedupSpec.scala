@@ -107,6 +107,48 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("the bloom id ledger accelerates fresh batches and never waves a " +
+    "re-ingest through") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(bandD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(s"$bandD/_INGEST_BLOOM")
+    try {
+      // batch 0 of fresh docs: the ledger materializes beside the index
+      DedupStreams.processBatch(docs.filter(col("doc_id") < 20),
+        batchId = 0L, corpusT, pairT, bandD, buckets = 4)
+      assert(fs.exists(ledger), "ledger not written")
+      // a ledger-era re-ingest must still fail (bloom hit → exact scan)
+      val reingest = Seq((5L, "changed")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(reingest, batchId = 1L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+      // a lost/corrupt ledger degrades to the exact scan, never to a
+      // missed re-ingest, and is rebuilt on the next passing batch
+      fs.delete(ledger, true)
+      val e2 = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(reingest, batchId = 1L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e2.getMessage.contains("re-ingests"), e2.getMessage)
+      // fresh ids keep flowing and re-seed the ledger
+      DedupStreams.processBatch(
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 40),
+        batchId = 1L, corpusT, pairT, bandD, buckets = 4)
+      assert(fs.exists(ledger), "ledger not rebuilt")
+      // the rebuilt ledger covers PRE-ledger ids too (superset of the
+      // stored index, not just of batches that ran with a ledger)
+      val e3 = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(reingest, batchId = 2L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e3.getMessage.contains("re-ingests"), e3.getMessage)
+    } finally cleanup()
+  }
+
   test("a first batch with no seeded corpus pairs only within itself") {
     cleanup()
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
