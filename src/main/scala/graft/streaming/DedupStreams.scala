@@ -96,16 +96,10 @@ object DedupStreams {
   private[streaming] def readBands(s: SparkSession, bandDir: String,
                                    emptyLike: DataFrame,
                                    excludeBatch: Option[Long] = None): DataFrame = {
-    val p = new Path(bandDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // data = non-metadata entries (the readAsn rule): the dir may hold
-    // only the _INGEST_BLOOM ledger after a crash between the ledger
-    // write and the first band write
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) {
+    // data = non-metadata entries: the dir may hold only the
+    // _INGEST_BLOOM ledger after a crash between the ledger write and
+    // the first band write
+    if (IngestContract.hasDataEntries(s, bandDir)) {
       val all = s.read.parquet(bandDir)
       excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
         .select("doc_id", "band", "key")
@@ -167,5 +161,9 @@ object DedupStreams {
       .write(docs.select("doc_id", "text"), corpusTable)
     bandRowsOf(docs.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$bandDir/ingest_batch=-1")
+    // this write bypasses checkAndRecord, so a ledger missing the
+    // seeded ids would wave their re-ingest through — drop it (absent
+    // ⇒ next batch exact-scans and rebuilds over the seed slice)
+    IngestContract.invalidateLedger(s, bandDir)
   }
 }

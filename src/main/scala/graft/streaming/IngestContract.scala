@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.ByteBuffer
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,69 +24,144 @@ import graft.plans.Bloom
   * fresh-ingest batch cost |delta| membership tests against one
   * broadcast 512 KiB sketch row — NO stored-index scan. The exact
   * semi-join scan ([[requireNewRecords]]) remains the fallback for
-  * every bloom hit, so false positives (saturated sketch, replayed
-  * batch whose own ids are in the ledger, crash leftovers) cost one
-  * scan, never a wrong verdict.
+  * every bloom hit, so false positives (replayed batch whose own ids
+  * are in the ledger, crash leftovers) cost one scan, never a wrong
+  * verdict.
   *
-  * Soundness invariant: ledger ids ⊇ index ids AT ALL TIMES — the
-  * updated sketch is written BEFORE the caller writes any index rows,
-  * so a crash between the two leaves extra ids in the bloom (false
-  * positives → exact fallback), never missing ids (a false NEGATIVE
-  * would wave a real re-ingest through). A missing/corrupt ledger
-  * degrades the same safe direction: the exact scan runs and the
-  * ledger is rebuilt from the stored index ∪ delta. */
+  * Soundness invariants:
+  *  - ledger ids ⊇ index ids AT ALL TIMES: the updated sketch is
+  *    written BEFORE the caller writes any index rows, so a crash
+  *    between the two leaves extra ids in the bloom (false positives →
+  *    exact fallback), never missing ids (a false NEGATIVE would wave
+  *    a real re-ingest through). Index writers that bypass this path
+  *    (the seed helpers) must call [[invalidateLedger]] — an absent
+  *    ledger is always safe.
+  *  - the cheap pass runs ONLY against a structurally VALID sketch
+  *    (exactly one row, correct header and byte length for this
+  *    geometry): a zero-row or truncated ledger is treated as absent
+  *    (exact scan + rebuild from the stored index), because an empty
+  *    probe result must mean "no id was ever ingested", never "there
+  *    was nothing to probe".
+  *  - a SATURATED sketch (ones-density > 1/2 ⇒ ≥3% false positives
+  *    per probe, so realistic batches always hit) stops being
+  *    consulted AND stops being rewritten: the check degrades to the
+  *    exact scan permanently instead of paying probe + merge + 512 KiB
+  *    rewrite on top of it every batch. Deployments sizing for more
+  *    ids pass wider `bits`. */
 private[streaming] object IngestContract {
 
-  /** 4M bits / 5 hashes ≈ 1% false positives at ~300k ids; saturation
-    * beyond that degrades to the exact-scan fallback, never to a
-    * missed re-ingest. */
+  /** 4M bits / 5 hashes ≈ 1% false positives at ~300k ids (default —
+    * callers with bigger id spaces pass their own geometry). */
   val LedgerBits: Int = 1 << 22
   val LedgerHashes: Int = 5
 
   private def ledgerPath(dir: String) = s"$dir/_INGEST_BLOOM"
 
-  private def readLedger(s: SparkSession, dir: String): Option[DataFrame] =
+  /** Structural validation + saturation gauge, driver-side: the sketch
+    * serialization is (bits: Int, k: Int, words: Long*). Returns the
+    * bytes and the ones-density for a well-formed current-geometry
+    * sketch; None for anything else (wrong geometry after a resize,
+    * truncation, zero rows — all degrade to ledger-absent). */
+  private def validSketch(bytes: Array[Byte], bits: Int,
+                          hashes: Int): Option[(Array[Byte], Double)] = {
+    val words = Bloom.numWords(bits)
+    if (bytes == null || bytes.length != 8 + words * 8) return None
+    val bb = ByteBuffer.wrap(bytes)
+    if (bb.getInt != bits || bb.getInt != hashes) return None
+    var ones = 0L
+    while (bb.remaining() >= 8) ones += java.lang.Long.bitCount(bb.getLong)
+    Some((bytes, ones.toDouble / bits))
+  }
+
+  /** The ledger sketch, read and VALIDATED on the driver (512 KiB —
+    * the 1-row telemetry-frame pattern). None ⇔ absent or unusable. */
+  private def readLedger(s: SparkSession, dir: String, bits: Int,
+                         hashes: Int): Option[(Array[Byte], Double)] =
     try {
       val p = new Path(ledgerPath(dir))
-      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-        Some(s.read.parquet(ledgerPath(dir)).select("sketch"))
-      else None
+      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+      else {
+        val rows = s.read.parquet(ledgerPath(dir))
+          .select("sketch").limit(2).collect()
+        if (rows.length != 1) None
+        else validSketch(rows(0).getAs[Array[Byte]](0), bits, hashes)
+      }
     } catch { case NonFatal(_) => None }
 
+  /** Seed helpers and any other index writer that bypasses
+    * [[checkAndRecord]] MUST drop the ledger with their write — an
+    * absent ledger costs one exact scan + rebuild on the next batch; a
+    * ledger missing their ids would wave a re-ingest through. */
+  def invalidateLedger(s: SparkSession, indexDir: String): Unit = {
+    val p = new Path(ledgerPath(indexDir))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Contract check + ledger maintenance for one micro-batch: cheap
-    * bloom pass when the ledger proves no delta id was ever ingested;
-    * exact [[requireNewRecords]] otherwise; then the ledger absorbs
-    * the batch's ids (BEFORE the caller's index writes — see the
-    * soundness invariant above). */
+    * bloom pass when a valid unsaturated ledger proves no delta id was
+    * ever ingested; exact [[requireNewRecords]] otherwise; then the
+    * ledger absorbs the batch's ids (BEFORE the caller's index writes
+    * — see the soundness invariants above). */
   def checkAndRecord(stored: DataFrame, deltaIds: DataFrame, idCol: String,
                      batchId: Long, indexDir: String, what: String,
-                     remedy: String): Unit = {
+                     remedy: String, bits: Int = LedgerBits,
+                     hashes: Int = LedgerHashes): Unit = {
     val s = deltaIds.sparkSession
+    import s.implicits._
     val key = col(idCol).cast("string")
-    val ledger = readLedger(s, indexDir)
-    val cheapPass = ledger.exists { led =>
+    val ledger = readLedger(s, indexDir, bits, hashes)
+    val saturated = ledger.exists(_._2 > 0.5)
+    if (saturated) {
+      // permanent exact-scan mode: consulting a saturated sketch would
+      // hit on every realistic batch, and rewriting it buys nothing
+      requireNewRecords(stored, deltaIds, idCol, batchId, what, remedy)
+      return
+    }
+    val ledDf = ledger.map { case (bytes, _) =>
+      Seq(Tuple1(bytes)).toDF("sketch")
+    }
+    val cheapPass = ledDf.exists { led =>
       try deltaIds.crossJoin(broadcast(led)) // ONE sketch row, broadcast
         .filter(Bloom.bloomContains(col("sketch"), key))
         .take(1).isEmpty
-      catch { case NonFatal(_) => false } // unreadable ledger ⇒ exact path
+      catch { case NonFatal(_) => false } // unusable probe ⇒ exact path
     }
     if (!cheapPass)
       requireNewRecords(stored, deltaIds, idCol, batchId, what, remedy)
-    // 1-row driver materialization (the telemetry-frame pattern) — the
-    // write below must not read the path it overwrites
-    val sketch: Array[Byte] = (ledger match {
+    // 1-row driver materialization — the write below must not read the
+    // path it overwrites. A merge failure (sketch unusable in ways the
+    // validation missed) falls back to the from-scratch rebuild rather
+    // than aborting a batch whose contract check already PASSED.
+    def rebuilt: Array[Byte] =
+      stored.select(col(idCol)).unionByName(deltaIds.select(col(idCol)))
+        .select(Bloom.bloomAgg(key, bits, hashes).as("sketch"))
+        .head.getAs[Array[Byte]](0)
+    val sketch: Array[Byte] = ledDf match {
       case Some(led) =>
-        deltaIds
-          .select(Bloom.bloomAgg(key, LedgerBits, LedgerHashes).as("sketch"))
+        try deltaIds
+          .select(Bloom.bloomAgg(key, bits, hashes).as("sketch"))
           .unionByName(led)
           .agg(Bloom.bloomMerge(col("sketch")).as("sketch"))
-      case None => // rebuild the superset from scratch: stored ∪ delta
-        stored.select(col(idCol)).unionByName(deltaIds.select(col(idCol)))
-          .select(Bloom.bloomAgg(key, LedgerBits, LedgerHashes).as("sketch"))
-    }).head.getAs[Array[Byte]](0)
-    import s.implicits._
+          .head.getAs[Array[Byte]](0)
+        catch { case NonFatal(_) => rebuilt }
+      case None => rebuilt
+    }
     Seq(Tuple1(sketch)).toDF("sketch")
       .coalesce(1).write.mode("overwrite").parquet(ledgerPath(indexDir))
+  }
+
+  /** Data-vs-metadata emptiness test for a stored-index dir shared by
+    * the twins' readers: the dir may hold ONLY metadata (this object's
+    * `_INGEST_BLOOM`, generation markers) after a crash between the
+    * ledger write and the first index write — reading it as parquet
+    * would fail schema inference. */
+  def hasDataEntries(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Fail loudly when any id in `deltaIds` already exists in `stored`

@@ -95,16 +95,10 @@ object ResolutionStreams {
   private def readBlocks(s: SparkSession, blockDir: String,
                          emptyLike: DataFrame,
                          excludeBatch: Option[Long] = None): DataFrame = {
-    val p = new Path(blockDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // data = non-metadata entries (the readAsn rule): the dir may hold
-    // only the _INGEST_BLOOM ledger after a crash between the ledger
-    // write and the first block write
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) {
+    // data = non-metadata entries: the dir may hold only the
+    // _INGEST_BLOOM ledger after a crash between the ledger write and
+    // the first block write
+    if (IngestContract.hasDataEntries(s, blockDir)) {
       val all = s.read.parquet(blockDir)
       excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
         .select("blk", "cust_id", "name")

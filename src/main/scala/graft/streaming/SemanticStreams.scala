@@ -84,15 +84,10 @@ object SemanticStreams {
   private def readAsn(s: SparkSession, asnDir: String,
                       emptyLike: DataFrame,
                       excludeBatch: Option[Long] = None): DataFrame = {
-    val p = new Path(asnDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // data = non-metadata entries: the generation dir may hold only the
-    // _GEN_BOUNDARY_DONE marker before any slice lands
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) {
+    // _GEN_BOUNDARY_DONE marker (or the _INGEST_BLOOM ledger) before
+    // any slice lands
+    if (IngestContract.hasDataEntries(s, asnDir)) {
       val all = s.read.parquet(asnDir)
       excludeBatch.fold(all)(b => all.filter(col("ingest_batch") =!= b))
         .select("vec_id", "cell")
@@ -155,6 +150,10 @@ object SemanticStreams {
       .write(vecs.select("vec_id", "embedding"), vecTable)
     IvfQuantizer.assignVectors(vecs.select("vec_id", "embedding"), centroids)
       .write.mode("overwrite").parquet(s"$asnDir/ingest_batch=-1")
+    // ledger-bypassing index write: drop the ledger (the DedupStreams
+    // seedCorpus rule). The generationed boundary seed needs no drop —
+    // its generation dir is fresh, no ledger can exist there yet.
+    IngestContract.invalidateLedger(s, asnDir)
   }
 
   // ---------------------------------------------------------------------

@@ -146,6 +146,65 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
           corpusT, pairT, bandD, buckets = 4)
       }
       assert(e3.getMessage.contains("re-ingests"), e3.getMessage)
+      // seeding bypasses checkAndRecord and so must DROP the ledger —
+      // otherwise a re-ingest of a seeded id would bloom-miss and be
+      // waved through silently
+      DedupStreams.seedCorpus(spark,
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
+        corpusT, bandD, buckets = 4)
+      assert(!fs.exists(ledger), "seed write must invalidate the ledger")
+      val e4 = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(
+          Seq((45L, "changed")).toDF("doc_id", "text"), batchId = 2L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e4.getMessage.contains("re-ingests"), e4.getMessage)
+    } finally cleanup()
+  }
+
+  test("degenerate ledgers (zero-row, malformed, saturated) degrade to " +
+    "the exact scan, never to a waved-through re-ingest") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(bandD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = s"$bandD/_INGEST_BLOOM"
+    def reingest = Seq((5L, "changed")).toDF("doc_id", "text")
+    def mustFail(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        DedupStreams.processBatch(batch, batchId = 1L,
+          corpusT, pairT, bandD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+    }
+    try {
+      DedupStreams.processBatch(docs.filter(col("doc_id") < 20),
+        batchId = 0L, corpusT, pairT, bandD, buckets = 4)
+      // ZERO-ROW ledger: an empty probe result must read as "nothing to
+      // test against" (ledger absent), not "no id ever ingested"
+      spark.emptyDataFrame.select(lit(Array.emptyByteArray).as("sketch"))
+        .limit(0).write.mode("overwrite").parquet(ledger)
+      mustFail(reingest)
+      // MALFORMED sketch bytes: treated as absent, exact path
+      Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sketch")
+        .write.mode("overwrite").parquet(ledger)
+      mustFail(reingest)
+      // SATURATED sketch (all ones, valid header): consulting it would
+      // hit every batch — the check must go exact AND stop rewriting
+      val bits = 1 << 22
+      val bb = java.nio.ByteBuffer.allocate(8 + (bits / 64) * 8)
+      bb.putInt(bits).putInt(5)
+      while (bb.remaining() >= 8) bb.putLong(-1L)
+      Seq(Tuple1(bb.array())).toDF("sketch")
+        .write.mode("overwrite").parquet(ledger)
+      mustFail(reingest)
+      val before = spark.read.parquet(ledger).head.getAs[Array[Byte]](0)
+      DedupStreams.processBatch(
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 30),
+        batchId = 1L, corpusT, pairT, bandD, buckets = 4)
+      val after = spark.read.parquet(ledger).head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(before, after),
+        "a saturated ledger must not be rewritten every batch")
     } finally cleanup()
   }
 
