@@ -50,6 +50,22 @@ object CorpusStreams {
     val s = batch.sparkSession
     val docs = batch.select("doc_id", "source", "text")
     val batchIds = docs.select("doc_id")
+    // NEW-RECORDS CONTRACT over the KEPT index ([[IngestContract]]):
+    // a re-crawled doc that was previously KEPT would leave ghost band
+    // rows and a stale corpus text — refuse it loudly. A previously
+    // DROPPED (or gated-out) id is NOT in the stored index, so its
+    // re-fetch legitimately re-enters the gates — exactly the greedy
+    // semantics (its blocking keeper may have been purged since). The
+    // ledger absorbs ALL batch ids (superset — dropped ids re-fetched
+    // later just take the exact-scan path); same-batch replay exempt
+    // via own-partition exclusion.
+    val storedBands = DedupStreams.readBands(
+      s, bandDir, docs.select("doc_id", "text"),
+      excludeBatch = Some(batchId))
+    IngestContract.checkAndRecord(storedBands, batchIds, "doc_id", batchId,
+      indexDir = bandDir, what = "previously KEPT doc ids",
+      remedy = "re-crawls of kept documents go through the nightly " +
+        "rebuild (or the winnow twin's supersede path)")
     // replay-safety: a re-applied batch's rows leave the base slices,
     // so the replayed plan equals the original application
     val kept0 =
@@ -75,8 +91,7 @@ object CorpusStreams {
     // gate 3: online-greedy near-dup dedup — the batch's texts against
     // the STORED band index (kept docs were shingled when they arrived;
     // only candidate texts shingle now)
-    val baseBands = DedupStreams
-      .readBands(s, bandDir, cand, excludeBatch = Some(batchId))
+    val baseBands = storedBands
       .join(batchIds, Seq("doc_id"), "left_anti")
     val pairs = DedupStreams.incrementalPairsAgainst(
         cand.select("doc_id", "text"),

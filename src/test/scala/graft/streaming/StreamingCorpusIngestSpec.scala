@@ -110,4 +110,34 @@ class StreamingCorpusIngestSpec extends SparkSpec {
         "replayed micro-batch changed the band index")
     } finally { q.stop(); cleanup() }
   }
+
+  test("re-crawl of a KEPT doc fails the contract; a DROPPED doc may " +
+    "re-enter the gates") {
+    cleanup()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    val bg = CorpusQueries.benchGrams(spark, sf0001)
+    try {
+      CorpusStreams.processBatch(docs, 0L, corpusT, bg, bandD, buckets = 4)
+      val kept = spark.table(corpusT).select("doc_id").as[Long].collect().toSet
+      val dropped =
+        docs.select("doc_id").as[Long].collect().toSet -- kept
+      assert(kept.nonEmpty && dropped.nonEmpty, "premise: both outcomes")
+      // a KEPT doc re-crawled with changed text would ghost its old
+      // band rows and stale its corpus text — must refuse
+      val e = intercept[IllegalArgumentException] {
+        CorpusStreams.processBatch(
+          Seq((kept.head, "s", "changed text entirely"))
+            .toDF("doc_id", "source", "text"),
+          1L, corpusT, bg, bandD, buckets = 4)
+      }
+      assert(e.getMessage.contains("re-ingests"), e.getMessage)
+      // a DROPPED (or gated-out) id is NOT in the kept index: its
+      // re-fetch re-enters the gates without a throw (greedy semantics
+      // — its blocking keeper may have been purged since); its ledger
+      // presence only routes it through the exact scan
+      CorpusStreams.processBatch(
+        docs.filter(col("doc_id") === dropped.head),
+        1L, corpusT, bg, bandD, buckets = 4)
+    } finally cleanup()
+  }
 }
