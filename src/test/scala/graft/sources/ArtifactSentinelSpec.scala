@@ -82,6 +82,44 @@ class ArtifactSentinelSpec extends SparkSpec {
     }
   }
 
+  test("a check that throws before any divergence records error: and the " +
+    "sweep continues") {
+    val ok = Seq((1L, "x")).toDF("id", "v")
+    val boom = ArtifactSentinel.Check("boom", _ => "no-such-key",
+      (_, _) => throw new IllegalStateException("table missing at this SF"),
+      (_, _) => ok)
+    val fine = ArtifactSentinel.Check("fine", _ => "no-such-key",
+      (_, _) => ok, (_, _) => ok)
+    val report = ArtifactSentinel.run(spark, "unused", Seq(boom, fine))
+    assert(report.head._1 == "boom" &&
+      report.head._2.startsWith("error:IllegalStateException"),
+      report.toString)
+    assert(report(1) == ("fine" -> "ok"),
+      "a throwing check aborted the rest of the sweep")
+  }
+
+  test("a PROVEN divergence whose heal path throws stays a gate-failing " +
+    "MISMATCH, never an error: status") {
+    withScratchCatalog {
+      // artifact call 1 serves STALE bytes (divergence established);
+      // the heal's re-read (call 2) throws — the status must keep the
+      // MISMATCH prefix Verify fails on, not soften to error:
+      val stale = Seq((1L, "STALE")).toDF("id", "v")
+      val liveF = Seq((1L, "live")).toDF("id", "v")
+      val calls = new AtomicInteger(0)
+      val check = ArtifactSentinel.Check("flaky-heal", _ => "flaky-heal-key",
+        (_, _) =>
+          if (calls.incrementAndGet() == 1) stale
+          else throw new IllegalStateException("rebuild crashed"),
+        (_, _) => liveF)
+      val report = ArtifactSentinel.run(spark, "unused", Seq(check))
+      assert(report.head._2.startsWith("MISMATCH:heal-failed"),
+        report.toString)
+      assert(report.head._2.contains("IllegalStateException"),
+        "heal failure cause missing from the status")
+    }
+  }
+
   test("registry checks pass green on a fresh tier (kn_scores end-to-end)") {
     withScratchCatalog {
       // the real registry member behind the rounds-11/12 red row, over
