@@ -70,6 +70,19 @@ object Verify {
       mismatches = sentinel.collect {
         case (k, v) if v.startsWith("MISMATCH") => s"$k: $v"
       }
+      // A check that throws is tolerated ONCE (transient); the same
+      // check erroring in two consecutive full runs means its sentinel
+      // is effectively disabled while the gate stays green — escalate
+      // to gate-failing (r14 advice item 2). First-time errors are
+      // warned on stderr and visible in sentinel_report.json.
+      val persistent = graft.sources.ArtifactSentinel
+        .persistentErrors(sfDir, sentinel)
+      sentinel.collect { case (k, v) if v.startsWith("error:") =>
+        System.err.println(s"[verify] sentinel WARNING $k errored: $v")
+      }
+      mismatches ++= persistent.map { case (k, v) =>
+        s"$k: persistent-error $v"
+      }
       spark.catalog.clearCache()
     }
     SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
@@ -98,7 +111,7 @@ object Verify {
     // fail the gate PROGRAMMATICALLY (nonzero exit), but only here,
     // after every dump and report is on disk for diagnosis.
     if (mismatches.nonEmpty)
-      sys.error(s"sentinel MISMATCH (rebuild diverges from live plan): " +
-        mismatches.mkString("; "))
+      sys.error(s"sentinel gate failure (rebuild-diverges / heal-failed / " +
+        s"persistent-error): " + mismatches.mkString("; "))
   }
 }

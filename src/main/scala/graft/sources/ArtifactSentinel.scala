@@ -105,4 +105,27 @@ object ArtifactSentinel {
     }
 
   private def fmt(d: (Long, String)): String = s"(${d._1},${d._2})"
+
+  /** Cross-run consecutive-error ledger (r14 advice item 2). A check
+    * that throws records `error:` and the gate exits 0 — acceptable
+    * once (a transient), but a check that can NEVER run silently
+    * disables its sentinel while the gate stays green. This ledger
+    * persists the set of erroring check names per sf-dir under
+    * `target/` (same lifetime as the artifact catalog: a clean build
+    * resets both) and returns the checks that errored in BOTH the
+    * previous full run and this one — Verify fails the gate on those
+    * exactly as it does on a MISMATCH. */
+  def persistentErrors(sfDir: String,
+                       statuses: Seq[(String, String)]): Seq[(String, String)] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(sys.props("user.dir"), "target",
+      s"sentinel-errors-${IndexCatalog.tag(sfDir)}.txt")
+    val prev: Set[String] =
+      if (Files.exists(p)) Files.readAllLines(p).asScala.toSet else Set.empty
+    val cur = statuses.filter(_._2.startsWith("error:"))
+    Files.createDirectories(p.getParent)
+    Files.write(p, cur.map(_._1).mkString("\n").getBytes("UTF-8"))
+    cur.filter { case (k, _) => prev(k) }
+  }
 }

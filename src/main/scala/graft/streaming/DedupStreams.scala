@@ -157,13 +157,16 @@ object DedupStreams {
     * frame (the batch corpus the stream extends). */
   def seedCorpus(s: SparkSession, docs: DataFrame, corpusTable: String,
                  bandDir: String, buckets: Int = 8): Unit = {
+    // the band write below bypasses checkAndRecord, so a ledger missing
+    // the seeded ids would wave their re-ingest through — drop it FIRST
+    // (absent ⇒ next batch exact-scans and rebuilds over the seed
+    // slice). Dropping before the write keeps the "ledger ids ⊇ index
+    // ids" invariant through a crash anywhere in the seed: an absent
+    // ledger is always safe, a stale one is not.
+    IngestContract.invalidateLedger(s, bandDir)
     UpsertBucketedSink(buckets, Seq("doc_id"), "doc_id")
       .write(docs.select("doc_id", "text"), corpusTable)
     bandRowsOf(docs.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$bandDir/ingest_batch=-1")
-    // this write bypasses checkAndRecord, so a ledger missing the
-    // seeded ids would wave their re-ingest through — drop it (absent
-    // ⇒ next batch exact-scans and rebuilds over the seed slice)
-    IngestContract.invalidateLedger(s, bandDir)
   }
 }

@@ -65,7 +65,11 @@ object DeleteStreams {
     * (same `batchId`) directly. */
   def processBatch(deletes: DataFrame, batchId: Long, pairDir: String,
                    keepDir: String, certDir: String,
-                   catalogSpace: Option[String] = None): Unit = {
+                   // no default (r14 advice item 3): per-batch catalog-tier
+                   // certification is an explicit opt-in/opt-out — a call
+                   // site must SAY None (event-driven certifyCatalog owns
+                   // the tier) so a pipeline can't silently lose coverage
+                   catalogSpace: Option[String]): Unit = {
     val s = deletes.sparkSession
     val del = deletes.select(col(deletes.columns.head).as("doc_id")).distinct()
     val baseGen = genFor(batchId) - 1
@@ -116,7 +120,7 @@ object DeleteStreams {
     * only — tier-wide audits are [[certifyCatalog]] events. */
   def deletePropagationStream(deletes: DataFrame, pairDir: String,
                               keepDir: String, certDir: String,
-                              catalogSpace: Option[String] = None)
+                              catalogSpace: Option[String]) // no default: see processBatch
       : DataStreamWriter[Row] =
     deletes.writeStream
       .outputMode(OutputMode.Update)

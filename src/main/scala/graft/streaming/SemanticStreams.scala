@@ -146,14 +146,16 @@ object SemanticStreams {
     * corpus (the batch state the stream extends). */
   def seedVectors(s: SparkSession, vecs: DataFrame, centroids: DataFrame,
                   vecTable: String, asnDir: String, buckets: Int = 8): Unit = {
+    // ledger-bypassing index write below: drop the ledger FIRST (the
+    // DedupStreams seedCorpus rule — absent is always safe, stale is
+    // not; dropping before the write keeps "ledger ⊇ index" through a
+    // crash mid-seed). The generationed boundary seed needs no drop —
+    // its generation dir is fresh, no ledger can exist there yet.
+    IngestContract.invalidateLedger(s, asnDir)
     UpsertBucketedSink(buckets, Seq("vec_id"), "vec_id")
       .write(vecs.select("vec_id", "embedding"), vecTable)
     IvfQuantizer.assignVectors(vecs.select("vec_id", "embedding"), centroids)
       .write.mode("overwrite").parquet(s"$asnDir/ingest_batch=-1")
-    // ledger-bypassing index write: drop the ledger (the DedupStreams
-    // seedCorpus rule). The generationed boundary seed needs no drop —
-    // its generation dir is fresh, no ledger can exist there yet.
-    IngestContract.invalidateLedger(s, asnDir)
   }
 
   // ---------------------------------------------------------------------

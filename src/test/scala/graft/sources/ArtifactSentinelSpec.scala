@@ -150,4 +150,27 @@ class ArtifactSentinelSpec extends SparkSpec {
         report.toString)
     }
   }
+
+  test("persistent-error ledger: two consecutive erroring runs escalate") {
+    // a check that can never run must not silently disable its sentinel
+    // (r14 advice item 2): first error is tolerated, the second
+    // consecutive one over the same sf-dir is returned gate-failing,
+    // and a clean run in between resets the strike
+    val sfDir = s"$base/perr_sf_${System.nanoTime}" // unique ledger key
+    def statuses(s: String*) = s.zipWithIndex.map { case (v, i) => s"c$i" -> v }
+    assert(ArtifactSentinel.persistentErrors(sfDir,
+      statuses("error:Boom:x", "ok")).isEmpty, "first error must only warn")
+    val second = ArtifactSentinel.persistentErrors(sfDir,
+      statuses("error:Boom:x", "ok"))
+    assert(second == Seq("c0" -> "error:Boom:x"),
+      s"second consecutive error must escalate: $second")
+    // a clean run resets the ledger...
+    assert(ArtifactSentinel.persistentErrors(sfDir, statuses("ok", "ok")).isEmpty)
+    // ...so the next error is first-time again
+    assert(ArtifactSentinel.persistentErrors(sfDir,
+      statuses("error:Boom:x", "ok")).isEmpty, "strike must reset after a clean run")
+    // errors on DIFFERENT checks across runs never escalate
+    assert(ArtifactSentinel.persistentErrors(sfDir,
+      statuses("ok", "error:Boom:y")).isEmpty)
+  }
 }

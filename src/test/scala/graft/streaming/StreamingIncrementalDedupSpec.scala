@@ -153,6 +153,21 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
         docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
         corpusT, bandD, buckets = 4)
       assert(!fs.exists(ledger), "seed write must invalidate the ledger")
+      // crash-ordering (r14 advice item 1): the drop happens BEFORE the
+      // seed writes, so a seed that dies mid-write leaves NO stale
+      // ledger behind (absent is always safe; stale is not). Simulate
+      // the crash with a frame that fails analysis inside seedCorpus.
+      DedupStreams.processBatch(
+        Seq((9000L, "fresh doc")).toDF("doc_id", "text"), batchId = 3L,
+        corpusT, pairT, bandD, buckets = 4)
+      assert(fs.exists(ledger), "batch should have rebuilt the ledger")
+      intercept[Exception] {
+        DedupStreams.seedCorpus(spark,
+          Seq(Tuple1(99L)).toDF("doc_id"), // no text column → seed dies
+          corpusT, bandD, buckets = 4)
+      }
+      assert(!fs.exists(ledger),
+        "a seed that crashes mid-write must have dropped the ledger first")
       val e4 = intercept[IllegalArgumentException] {
         DedupStreams.processBatch(
           Seq((45L, "changed")).toDF("doc_id", "text"), batchId = 2L,
