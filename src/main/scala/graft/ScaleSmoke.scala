@@ -179,7 +179,11 @@ object ScaleSmoke {
       // margin mining (one cross-label corpus scan), and the hubness
       // audit (one hash-agg on the knn artifact) — all expected
       // linear-or-flat
-      "q_ann_rerank", "q_bitext_mine", "q_knn_hubness")
+      "q_ann_rerank", "q_bitext_mine", "q_knn_hubness",
+      // round-15: the composed v2 curation funnel — five artifact joins
+      // + one cleaned-token hash-agg; expected ~linear (the token-grain
+      // Gopher agg dominates)
+      "q_corpus_pipeline_v2")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
@@ -210,7 +214,9 @@ object ScaleSmoke {
       // (output-quadratic in replica density within the cap — kept as
       // the telemetry curve), and the bounded top-k surface whose
       // output is corpus-linear by contract (r11 item 5)
-      "q_line_excise_live", "q_winnow_matches", "q_winnow_matches_topk")
+      "q_line_excise_live", "q_winnow_matches", "q_winnow_matches_topk",
+      // round-15 verdict item 1: the v2 funnel's growth curve
+      "q_corpus_pipeline_v2")
     val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
     require(unknownGrowth.isEmpty,
       s"smoke growth list names unknown queries: $unknownGrowth")

@@ -47,7 +47,7 @@ object DsirQueries {
 
   /** Shared DuckDB CTEs: bucketed tokens, the two count tables, their
     * merge, totals, and the per-token scored raw stream. */
-  private val scoreCtes =
+  private[operators] val scoreCtes =
     s"""tok AS (SELECT doc_id, source, unnest($W) AS t
        |        FROM documents WHERE len($W) >= 1),
        |bk AS (SELECT doc_id, source,

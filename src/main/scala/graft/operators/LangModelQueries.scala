@@ -192,7 +192,7 @@ object LangModelQueries {
     * discount d = 3/4, every probability held as an integer rational
     * over the common denominator 4·c(v·)·T so the bit-length log2
     * surrogate is exact in both engines. */
-  private def knCtes: String =
+  private[operators] def knCtes: String =
     s"""WITH tok AS (
        |  SELECT doc_id, source, $W AS w FROM documents
        |), b AS (

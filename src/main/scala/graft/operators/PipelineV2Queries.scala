@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.{tokens, StopwordTable}
+
+/** CorpusPipeline v2 — the modern curation recipe composed end-to-end
+  * (RefinedWeb §3 / FineWeb-shaped), with the per-stage loss funnel
+  * every corpus release ships. Where v1 ([[CorpusQueries.curationFunnel]],
+  * `pipeline/CorpusPipeline.manifest`) chains the r5-era gates (length
+  * ratio → 5-gram decontamination → hard LSH drop), v2 composes the
+  * stage operators the registry has since proven individually:
+  *
+  *  1. line-grain boilerplate EXCISION ([[BoilerplateQueries]] — CCNet's
+  *     duplicated-paragraph removal): the document's token mass shrinks
+  *     to its non-boilerplate words; wholly-boilerplate docs drop;
+  *  2. Gopher quality rules (Rae et al. 2021 table A1 subset, the
+  *     [[TextQueries.qualityRules]] gates) evaluated over the CLEANED
+  *     token stream — rules see what excision kept, not the raw text;
+  *  3. Kneser–Ney perplexity band policy (CCNet's head/middle/tail mix,
+  *     the [[LangModelQueries.qualityMixture]] policy: keep head, keep
+  *     half of middle by md5 gate) over the FROZEN full-corpus score
+  *     artifact — a production scorer is trained once per snapshot, not
+  *     re-fit on each candidate subset;
+  *  4. SOFT near-dup dedup ([[DedupQueries.softWeights]]): no document
+  *     drops; every cluster member carries weight 10⁶/csize ppm so a
+  *     cluster contributes one document-equivalent of mass — the funnel
+  *     reports both raw kept tokens and the weighted effective mass;
+  *  5. DSIR threshold admission ([[DsirQueries]], Xie et al. 2023):
+  *     target-slice docs (src0/src1) pass by definition; raw-pool docs
+  *     pass on positive importance weight (more target-like than
+  *     raw-like in quantized bit-log units);
+  *  6. leak-free train split: the md5 split gate keyed by the LSH
+  *     CLUSTER label ([[CorpusQueries.splitLeakfree]]), so near-dups
+  *     can never straddle train/val/test;
+  *  7. sequence packing accounting ([[ShardPacking.chunkSequences]] at
+  *     L = 512): the train survivors' token stream chunks into exactly
+  *     ceil(T/L) sequences — the funnel states that count arithmetically
+  *     and CorpusPipelineSpec pins it against the real chunker's output.
+  *
+  * Funnel semantics: each document gets a survival LEVEL (0 = dropped by
+  * excision, 1 = failed quality, 2 = failed the LM band, 3 = failed
+  * DSIR, 5 = survivor outside train, 6 = train survivor; soft dedup
+  * assigns no level — it weighs, it does not drop), one hash-agg prices
+  * all stages as conditional sums, `stack` pivots to rows. Token
+  * accounting: `toks` is raw whitespace tokens at stage 0 and excision-
+  * kept words from stage 1 on; `eff_toks` additionally applies the soft
+  * dedup weight (per-doc floor of kept·w_ppm/10⁶) from stage 4 on.
+  *
+  * Every gate consumes a PERSISTED artifact (boilerplate list+excision,
+  * kn_scores, LSH keep-list, DSIR weights) — the funnel recomputes no
+  * training pass. Scale shape: one token-grain hash-agg over the cleaned
+  * stream (the Gopher stats — corpus-linear, the only token-grain
+  * exchange), five doc-grain equi-joins (AQE broadcasts the small
+  * sides), one |docs|-row window inside the served kn_scores frame, one
+  * final hash-agg. Nothing pairs, nothing collects; at 100 TB each join
+  * key is doc_id — co-partitioned by the first shuffle and reused.
+  */
+object PipelineV2Queries {
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+  private[graft] val SeqLen = 512L
+
+  /** The composed DuckDB oracle: KN block + LSH block + renamed DSIR
+    * block + segment/boilerplate block + the level cascade. DSIR's CTE
+    * names collide with the KN block's (`tok`, `sc`), so its fragment is
+    * rebound under a `d_` prefix — a whole-word textual rename of the
+    * eight CTE names, nothing inside string literals matches any of
+    * them. */
+  private def dsirBlock: String =
+    Seq("tok", "bk", "tc", "rc", "bt", "tot", "sc", "wts")
+      .foldLeft(DsirQueries.scoreCtes)((s, n) =>
+        s.replaceAll("\\b" + n + "\\b", "d_" + n))
+
+  private def sw = StopwordTable("en").map(w => s"'$w'").mkString(", ")
+
+  private def funnelSql: String = {
+    val kn = LangModelQueries.knCtes.stripPrefix("WITH ")
+    val sg = BoilerplateQueries.SegWords
+    val md = BoilerplateQueries.MinDocs
+    s"""WITH RECURSIVE $kn,
+       |${DedupQueries.lshCtes},
+       |dd_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |), dd_walk(id, reach) AS (
+       |  SELECT src, src FROM dd_edges
+       |  UNION
+       |  SELECT w.id, e.dst FROM dd_walk w JOIN dd_edges e ON e.src = w.reach
+       |), kl AS (
+       |  SELECT id AS doc_id, min(reach) AS cluster FROM dd_walk GROUP BY id
+       |), cs AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM kl GROUP BY cluster
+       |),
+       |$dsirBlock,
+       |sg_base AS (SELECT doc_id, $W AS w FROM documents WHERE len($W) >= 1),
+       |sg_ds AS (SELECT doc_id, w,
+       |            unnest(range((len(w) + ${sg - 1}) // $sg)) AS seg_idx
+       |          FROM sg_base),
+       |sg AS (SELECT doc_id, seg_idx,
+       |         array_to_string(w[(seg_idx*$sg+1):(seg_idx*$sg+$sg)], ' ') AS seg
+       |       FROM sg_ds),
+       |bp AS (SELECT seg FROM sg GROUP BY seg
+       |       HAVING count(DISTINCT doc_id) >= $md),
+       |cln AS (
+       |  SELECT s.doc_id,
+       |    CAST(sum(CASE WHEN b.seg IS NULL
+       |                  THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT)
+       |      AS words_kept
+       |  FROM sg s LEFT JOIN bp b ON s.seg = b.seg GROUP BY s.doc_id
+       |),
+       |ctok AS (
+       |  SELECT s.doc_id, unnest(string_split(s.seg, ' ')) AS t
+       |  FROM sg s LEFT JOIN bp b ON s.seg = b.seg WHERE b.seg IS NULL
+       |),
+       |ctc AS (SELECT doc_id, t, count(*) AS cnt FROM ctok GROUP BY doc_id, t),
+       |cds AS (
+       |  SELECT doc_id,
+       |    CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+       |    CAST(sum(cnt * length(t)) AS BIGINT) AS total_chars,
+       |    CAST(sum(CASE WHEN t IN ($sw) THEN cnt ELSE 0 END) AS BIGINT) AS sw_toks,
+       |    CAST(sum(CASE WHEN length(t) < 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_short
+       |  FROM ctc GROUP BY doc_id
+       |),
+       |qa AS (
+       |  SELECT doc_id FROM cds
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND 3 * n_words <= total_chars AND total_chars <= 10 * n_words
+       |    AND 5 * max_cnt <= n_words AND sw_toks >= 2 AND 5 * n_short <= n_words
+       |),
+       |t3 AS (
+       |  SELECT doc_id, ntile(3) OVER (PARTITION BY source
+       |                                ORDER BY avg_ppm, doc_id) AS b3
+       |  FROM ds
+       |),
+       |lmk AS (
+       |  SELECT doc_id FROM t3
+       |  WHERE b3 = 1 OR (b3 = 2
+       |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+       |),
+       |sel AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE source IN (${DsirQueries.TargetSrcs.map(s => s"'$s'").mkString(", ")})
+       |  UNION ALL SELECT doc_id FROM d_wts WHERE weight_bits > 0
+       |),
+       |lvl AS (
+       |  SELECT d.doc_id, CAST(len($W) AS BIGINT) AS raw_toks,
+       |    coalesce(c.words_kept, 0) AS kept,
+       |    CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS w_ppm,
+       |    CASE
+       |      WHEN coalesce(c.words_kept, 0) = 0 THEN 0
+       |      WHEN q.doc_id IS NULL THEN 1
+       |      WHEN m.doc_id IS NULL THEN 2
+       |      WHEN s.doc_id IS NULL THEN 3
+       |      WHEN substr(md5('split|' ||
+       |             CAST(coalesce(kl.cluster, d.doc_id) AS VARCHAR)), 1, 2) >= 'cd'
+       |        THEN 5
+       |      ELSE 6 END AS level
+       |  FROM documents d
+       |  LEFT JOIN cln c ON c.doc_id = d.doc_id
+       |  LEFT JOIN qa q ON q.doc_id = d.doc_id
+       |  LEFT JOIN lmk m ON m.doc_id = d.doc_id
+       |  LEFT JOIN sel s ON s.doc_id = d.doc_id
+       |  LEFT JOIN kl ON kl.doc_id = d.doc_id
+       |  LEFT JOIN cs ON cs.cluster = kl.cluster
+       |),
+       |stages AS (
+       |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+       |    CAST(sum(raw_toks) AS BIGINT) AS toks,
+       |    CAST(sum(raw_toks) AS BIGINT) AS eff_toks FROM lvl
+       |  UNION ALL SELECT '1_excised', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept) AS BIGINT) FROM lvl WHERE level >= 1
+       |  UNION ALL SELECT '2_quality', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept) AS BIGINT) FROM lvl WHERE level >= 2
+       |  UNION ALL SELECT '3_lm_band', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept) AS BIGINT) FROM lvl WHERE level >= 3
+       |  UNION ALL SELECT '4_softdedup', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 3
+       |  UNION ALL SELECT '5_dsir', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 4
+       |  UNION ALL SELECT '6_train_split', count(*), CAST(sum(kept) AS BIGINT),
+       |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 6
+       |  UNION ALL SELECT '7_packed',
+       |    CAST((sum(CASE WHEN level >= 6 THEN kept ELSE 0 END) + ${SeqLen - 1})
+       |         // $SeqLen AS BIGINT),
+       |    CAST(sum(CASE WHEN level >= 6 THEN kept ELSE 0 END) AS BIGINT),
+       |    CAST(sum(CASE WHEN level >= 6 THEN kept * w_ppm // 1000000
+       |             ELSE 0 END) AS BIGINT)
+       |  FROM lvl
+       |)
+       |SELECT stage, n_docs, toks, eff_toks FROM stages ORDER BY stage""".stripMargin
+  }
+
+  /** Per-document survival frame (doc_id, source, raw_toks, kept, w_ppm,
+    * cluster, level) — the v2 pipeline's doc-grain core, shared by the
+    * funnel query, `CorpusPipeline.manifestV2`, and CorpusPipelineSpec's
+    * cross-consistency pins. Levels: 0 excision-dropped, 1 quality-
+    * failed, 2 LM-band-failed, 3 DSIR-rejected, 5 survivor (val/test),
+    * 6 train survivor. */
+  private[graft] def survivorFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bpDir = BoilerplateQueries.boilerplateDir(s, d)
+    val kept = s.read.parquet(s"$bpDir/excised")
+      .select(col("doc_id"), col("words_kept"))
+    // Gopher stats over the CLEANED token stream: segments minus the
+    // persisted boilerplate list (broadcast — only genuinely duplicated
+    // content survives the >=MinDocs filter), exploded to words
+    val bp = s.read.parquet(s"$bpDir/list").select(col("seg").as("bseg"))
+    val swList = StopwordTable("en")
+    val cds = BoilerplateQueries.segmentsOf(docs)
+      .join(broadcast(bp), col("seg") === col("bseg"), "left_anti")
+      .select(col("doc_id"), explode(split(col("seg"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"), max("cnt").as("max_cnt"),
+        sum(col("cnt") * length(col("t"))).as("total_chars"),
+        sum(when(col("t").isin(swList: _*), col("cnt")).otherwise(0L)).as("sw_toks"),
+        sum(when(length(col("t")) < 3, col("cnt")).otherwise(0L)).as("n_short"))
+    val qa = cds.filter(
+        col("n_words").between(50, 100000) &&
+          lit(3) * col("n_words") <= col("total_chars") &&
+          col("total_chars") <= lit(10) * col("n_words") &&
+          lit(5) * col("max_cnt") <= col("n_words") &&
+          col("sw_toks") >= 2 && lit(5) * col("n_short") <= col("n_words"))
+      .select(col("doc_id"), lit(true).as("q_ok"))
+    // KN band policy over the frozen score artifact (the qualityMixture
+    // keep rule: head + md5-gated half of middle)
+    val lmk = LangModelQueries.knScores(s, d)
+      .withColumn("b3", ntile(3).over(
+        Window.partitionBy("source").orderBy("avg_ppm", "doc_id")))
+      .filter(col("b3") === 1 || (col("b3") === 2 &&
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "80"))
+      .select(col("doc_id"), lit(true).as("lm_ok"))
+    // soft dedup weights from the persisted keep-list's cluster labels
+    val kl = DedupQueries.lshKeepList(s, d).select("doc_id", "cluster")
+    val cs = kl.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    // DSIR threshold admission from the persisted weights
+    val sel = docs.filter(DsirQueries.isTarget).select(col("doc_id"))
+      .union(DsirQueries.weightsTable(s, d)
+        .filter(col("weight_bits") > 0).select(col("doc_id")))
+      .select(col("doc_id"), lit(true).as("sel_ok"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("raw_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(qa, Seq("doc_id"), "left")
+      .join(lmk, Seq("doc_id"), "left")
+      .join(sel, Seq("doc_id"), "left")
+      .join(kl, Seq("doc_id"), "left")
+      .join(cs, Seq("cluster"), "left")
+      .select(col("doc_id"), col("source"), col("raw_toks"),
+        coalesce(col("words_kept"), lit(0L)).as("kept"),
+        expr("1000000 div coalesce(csize, 1L)").as("w_ppm"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        when(coalesce(col("words_kept"), lit(0L)) === 0, 0)
+          .when(col("q_ok").isNull, 1)
+          .when(col("lm_ok").isNull, 2)
+          .when(col("sel_ok").isNull, 3)
+          .when(substring(md5(concat(lit("split|"),
+            coalesce(col("cluster"), col("doc_id")).cast("string"))), 1, 2)
+            >= "cd", 5)
+          .otherwise(6).as("level"))
+  }
+
+  /** The audited v2 funnel: 8 stage rows of (n_docs, kept tokens,
+    * weighted effective tokens). */
+  val corpusPipelineV2: Q = Q("q_corpus_pipeline_v2", funnelSql) { (s, d) =>
+    val lvl = survivorFrame(s, d)
+    def cnt(k: Int) = sum(when(col("level") >= k, 1L).otherwise(0L))
+    def tk(k: Int) = sum(when(col("level") >= k, col("kept")).otherwise(0L))
+    def ef(k: Int) = sum(when(col("level") >= k,
+      expr("kept * w_ppm div 1000000")).otherwise(0L))
+    val tot = lvl.agg(
+      count(lit(1)).as("n0"), sum("raw_toks").as("t0"),
+      cnt(1).as("n1"), tk(1).as("t1"),
+      cnt(2).as("n2"), tk(2).as("t2"),
+      cnt(3).as("n3"), tk(3).as("t3"), ef(3).as("e3"),
+      cnt(4).as("n4"), tk(4).as("t4"), ef(4).as("e4"),
+      cnt(6).as("n6"), tk(6).as("t6"), ef(6).as("e6"))
+    tot.select(expr(
+      s"""stack(8,
+         |  '0_raw', n0, t0, t0,
+         |  '1_excised', n1, t1, t1,
+         |  '2_quality', n2, t2, t2,
+         |  '3_lm_band', n3, t3, t3,
+         |  '4_softdedup', n3, t3, e3,
+         |  '5_dsir', n4, t4, e4,
+         |  '6_train_split', n6, t6, e6,
+         |  '7_packed', (t6 + ${SeqLen - 1}) div $SeqLen, t6, e6
+         |) AS (stage, n_docs, toks, eff_toks)""".stripMargin))
+      .orderBy("stage")
+  }
+}

@@ -62,6 +62,31 @@ object CorpusPipeline {
         col("shard"), col("toks"))
   }
 
+  /** The v2 manifest — the modern curation recipe's survivors
+    * ([[graft.operators.PipelineV2Queries]]: boilerplate excision →
+    * Gopher rules on the cleaned stream → KN band policy → soft dedup
+    * weights → DSIR admission → leak-free cluster-keyed split), packed
+    * per (source, split) like v1. Each row additionally carries the
+    * soft-dedup `weight_ppm` (10⁶/cluster-size — the trainer's sampling
+    * weight; Σ per cluster ≈ 10⁶) and `toks` is the EXCISED token count
+    * (what a loader actually reads), not the raw one. Cross-consistency
+    * with the registered `q_corpus_pipeline_v2` funnel — row counts,
+    * token totals, split partition — is pinned by CorpusPipelineSpec. */
+  def manifestV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val sv = graft.operators.PipelineV2Queries.survivorFrame(spark, sfDir)
+      .filter(col("level") >= 5) // all survivors (train + val + test)
+    val gate = substring(
+      md5(concat(lit("split|"), col("cluster").cast("string"))), 1, 2)
+    val split = sv
+      .withColumn("split",
+        when(gate < "cd", "train").when(gate < "e6", "val").otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"),
+        col("kept").as("toks"), col("w_ppm").as("weight_ppm"))
+    graft.operators.ShardPacking.pack(split, Seq("source", "split"), budget = 2000)
+      .select(col("doc_id"), col("source"), col("split"),
+        col("shard"), col("toks"), col("weight_ppm"))
+  }
+
   /** Write the manifest partitioned by split (directory-prunable) and
     * return what was written. */
   def writeManifest(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {

@@ -76,4 +76,90 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     } finally m.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // v2 (round-15 verdict item 1): the composed modern recipe
+  // ------------------------------------------------------------------
+
+  private def funnelV2 = graft.operators.PipelineV2Queries.corpusPipelineV2
+    .run(spark, sf0001).collect()
+    .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toMap
+
+  test("v2 funnel: stages lose monotonically and account tokens exactly") {
+    val f = funnelV2
+    assert(f.size == 8, s"expected 8 stage rows, got ${f.keySet}")
+    // doc counts never increase along the funnel (soft dedup by
+    // construction drops nothing: stage 4 equals stage 3)
+    val order = Seq("0_raw", "1_excised", "2_quality", "3_lm_band",
+      "4_softdedup", "5_dsir", "6_train_split")
+    order.zip(order.drop(1)).foreach { case (a, b) =>
+      assert(f(b)._1 <= f(a)._1, s"stage $b gained docs over $a: $f")
+    }
+    assert(f("4_softdedup")._1 == f("3_lm_band")._1,
+      "soft dedup must not drop documents")
+    assert(f("4_softdedup")._2 == f("3_lm_band")._2,
+      "soft dedup must not change raw kept tokens")
+    assert(f("4_softdedup")._3 < f("4_softdedup")._2,
+      "soft dedup must shrink effective mass (near-dups exist at sf0.001)")
+    // every stage is non-degenerate: something survives, something drops
+    assert(f("6_train_split")._1 > 0, "funnel emptied before the train split")
+    assert(f("2_quality")._1 < f("1_excised")._1, "quality gate dropped nothing")
+    assert(f("3_lm_band")._1 < f("2_quality")._1, "LM band dropped nothing")
+    assert(f("5_dsir")._1 < f("4_softdedup")._1, "DSIR admitted everything")
+    // packing conserves the train tokens exactly
+    assert(f("7_packed")._2 == f("6_train_split")._2,
+      "packing changed the train token total")
+    assert(f("7_packed")._3 == f("6_train_split")._3,
+      "packing changed the effective token total")
+  }
+
+  test("v2 funnel's packed count equals the real chunker's output") {
+    val f = funnelV2
+    val sv = graft.operators.PipelineV2Queries.survivorFrame(spark, sf0001)
+      .filter(col("level") >= 6)
+      .select(col("doc_id"), col("kept").as("toks"))
+      .filter(col("toks") > 0)
+    val seqs = graft.operators.ShardPacking.chunkSequences(sv, 512L)
+    assert(seqs.count() == f("7_packed")._1,
+      "funnel's arithmetic sequence count != chunkSequences cardinality")
+    val seqToks = seqs.agg(sum("toks")).collect()(0).getLong(0)
+    assert(seqToks == f("7_packed")._2,
+      "chunked sequences do not conserve the train token total")
+  }
+
+  test("v2 manifest holds exactly the funnel survivors with their weights") {
+    val f = funnelV2
+    val m = CorpusPipeline.manifestV2(spark, sf0001).cache()
+    try {
+      // manifest = all survivors (train + val + test); its train slice
+      // matches the funnel's terminal stage in docs AND tokens
+      assert(m.select("doc_id").distinct().count() == m.count())
+      val train = m.filter(col("split") === "train")
+        .agg(count(lit(1)), sum("toks"),
+          sum(expr("toks * weight_ppm div 1000000"))).collect()(0)
+      assert((train.getLong(0), train.getLong(1), train.getLong(2)) ==
+        f("6_train_split"),
+        s"manifest train slice != funnel stage 6: " +
+          s"${(train.getLong(0), train.getLong(1), train.getLong(2))} vs " +
+          s"${f("6_train_split")}")
+      val all = m.agg(count(lit(1)), sum("toks")).collect()(0)
+      assert((all.getLong(0), all.getLong(1)) ==
+        (f("5_dsir")._1, f("5_dsir")._2),
+        "manifest does not hold exactly the post-DSIR survivors")
+      // the soft-dedup invariant: within any surviving cluster slice the
+      // weights are equal and in (0, 10⁶]
+      val bad = m.filter(col("weight_ppm") <= 0 || col("weight_ppm") > 1000000)
+        .count()
+      assert(bad == 0, "a manifest weight is outside (0, 1e6]")
+      // toks is the EXCISED count: never above the raw token count
+      val docs = graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("raw_toks"))
+      val inflated = m.join(docs, "doc_id")
+        .filter(col("toks") > col("raw_toks")).count()
+      assert(inflated == 0, "a manifest toks exceeds its raw token count")
+    } finally m.unpersist()
+  }
 }
