@@ -74,12 +74,10 @@ object Verify {
       // check erroring in two consecutive full runs means its sentinel
       // is effectively disabled while the gate stays green — escalate
       // to gate-failing (r14 advice item 2). First-time errors are
-      // warned on stderr and visible in sentinel_report.json.
+      // already visible via the per-status stderr line above and in
+      // sentinel_report.json — no separate warning loop.
       val persistent = graft.sources.ArtifactSentinel
         .persistentErrors(sfDir, sentinel)
-      sentinel.collect { case (k, v) if v.startsWith("error:") =>
-        System.err.println(s"[verify] sentinel WARNING $k errored: $v")
-      }
       mismatches ++= persistent.map { case (k, v) =>
         s"$k: persistent-error $v"
       }

@@ -21,16 +21,21 @@ import graft.{Q, Tables}
   *    array — no shuffle, linear in corpus size;
   *  - the boilerplate list is ONE hash-agg on segment text (count
   *    DISTINCT doc_id per segment) — the only corpus-wide exchange;
-  *  - excision re-walks the segments with the (small — only genuinely
-  *    duplicated content survives the >=3 filter) boilerplate list
-  *    BROADCAST, so the second pass is again shuffle-free up to the
-  *    final per-doc hash-agg.
+  *  - excision re-walks the segments against the boilerplate list —
+  *    small in the typical case (only genuinely duplicated content
+  *    survives the >=3 filter), so AQE plans the join as a broadcast
+  *    and the second pass is shuffle-free up to the final per-doc
+  *    hash-agg.
   *
-  * At 100 TB the boilerplate list stays proportional to the volume of
-  * *duplicated* content, not the corpus (CCNet reports a few percent),
-  * so the broadcast holds; if a pathological corpus overflowed it, the
-  * left join degrades to a sort-merge on seg — still linear, never
-  * pairwise.
+  * At 100 TB the boilerplate list grows with the volume of *duplicated*
+  * content, not the corpus (CCNet reports a few percent) — but a few
+  * percent of 100 TB is far past any broadcast cap, so the join MUST
+  * NOT pin a static `broadcast()` hint (a hint is not advisory: Spark
+  * attempts the exchange regardless of size and fails hard at the 8 GB
+  * cap instead of demoting). Unhinted, AQE broadcasts while the list
+  * measures small — the plan at every tested SF — and degrades to a
+  * sort-merge on seg past the threshold: still linear, never pairwise.
+  * (r15 verdict item 2; PlanHygieneSpec forbids re-pinning it.)
   */
 object BoilerplateQueries {
 
@@ -85,13 +90,15 @@ object BoilerplateQueries {
       .filter(col("n_docs") >= MinDocs)
       .select(col("seg").as("bseg"))
 
-  /** Per-document excision over a segment frame against a (small,
-    * broadcast) boilerplate list — the shared batch/stream kernel.
-    * Unordered; callers order. */
+  /** Per-document excision over a segment frame against the boilerplate
+    * list — the shared batch/stream kernel. No static broadcast hint
+    * (see the object scaladoc): AQE broadcasts the list while it
+    * measures small, demotes to SMJ when it doesn't. Unordered; callers
+    * order. */
   private[graft] def exciseFrom(
       seg: org.apache.spark.sql.DataFrame,
       bp: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    seg.join(broadcast(bp), seg("seg") === bp("bseg"), "left")
+    seg.join(bp, seg("seg") === bp("bseg"), "left")
       .withColumn("isbp", col("bseg").isNotNull)
       .withColumn("nw", size(split(col("seg"), " ")).cast("long"))
       .groupBy("doc_id")

@@ -68,11 +68,19 @@ object PipelineV2Queries {
     * names collide with the KN block's (`tok`, `sc`), so its fragment is
     * rebound under a `d_` prefix — a whole-word textual rename of the
     * eight CTE names, nothing inside string literals matches any of
-    * them. */
-  private def dsirBlock: String =
-    Seq("tok", "bk", "tc", "rc", "bt", "tot", "sc", "wts")
-      .foldLeft(DsirQueries.scoreCtes)((s, n) =>
-        s.replaceAll("\\b" + n + "\\b", "d_" + n))
+    * them. The rename list is ASSERTED against the CTE names actually
+    * declared in scoreCtes (r15 advice: a CTE added there but missing
+    * here would silently rebind the composed oracle). */
+  private def dsirBlock: String = {
+    val names = Seq("tok", "bk", "tc", "rc", "bt", "tot", "sc", "wts")
+    val declared = """(?m)^(\w+) AS \(""".r
+      .findAllMatchIn(DsirQueries.scoreCtes).map(_.group(1)).toSeq
+    require(declared.sorted == names.sorted,
+      s"DSIR CTE rename list drifted: scoreCtes declares " +
+        s"[${declared.mkString(",")}], rename covers [${names.mkString(",")}]")
+    names.foldLeft(DsirQueries.scoreCtes)((s, n) =>
+      s.replaceAll("\\b" + n + "\\b", "d_" + n))
+  }
 
   private def sw = StopwordTable("en").map(w => s"'$w'").mkString(", ")
 
@@ -82,14 +90,8 @@ object PipelineV2Queries {
     val md = BoilerplateQueries.MinDocs
     s"""WITH RECURSIVE $kn,
        |${DedupQueries.lshCtes},
-       |dd_edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
-       |  UNION SELECT doc_b, doc_a FROM vpairs
-       |), dd_walk(id, reach) AS (
-       |  SELECT src, src FROM dd_edges
-       |  UNION
-       |  SELECT w.id, e.dst FROM dd_walk w JOIN dd_edges e ON e.src = w.reach
-       |), kl AS (
+       |${DedupQueries.ccWalkCtes("dd_")},
+       |kl AS (
        |  SELECT id AS doc_id, min(reach) AS cluster FROM dd_walk GROUP BY id
        |), cs AS (
        |  SELECT cluster, CAST(count(*) AS BIGINT) AS csize FROM kl GROUP BY cluster
@@ -206,12 +208,15 @@ object PipelineV2Queries {
     val kept = s.read.parquet(s"$bpDir/excised")
       .select(col("doc_id"), col("words_kept"))
     // Gopher stats over the CLEANED token stream: segments minus the
-    // persisted boilerplate list (broadcast — only genuinely duplicated
-    // content survives the >=MinDocs filter), exploded to words
+    // persisted boilerplate list, exploded to words. NO static broadcast
+    // hint: the list grows with the corpus's *duplicated* content — AQE
+    // broadcasts it while it measures small and demotes to a sort-merge
+    // on seg past the threshold (a pinned hint would instead fail hard
+    // at the 8 GB broadcast cap; r15 verdict item 2).
     val bp = s.read.parquet(s"$bpDir/list").select(col("seg").as("bseg"))
     val swList = StopwordTable("en")
     val cds = BoilerplateQueries.segmentsOf(docs)
-      .join(broadcast(bp), col("seg") === col("bseg"), "left_anti")
+      .join(bp, col("seg") === col("bseg"), "left_anti")
       .select(col("doc_id"), explode(split(col("seg"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")

@@ -50,7 +50,9 @@ trait BatchClassifier extends KeywordClassifier {
         }
       }
       .toDF(keywordCol, outName)
-    df.join(broadcast(mapping), Seq(keywordCol), "left")
+    // no static broadcast hint: the distinct-keyword mapping grows with
+    // the corpus — AQE broadcasts it while small (see KeywordClassifier)
+    df.join(mapping, Seq(keywordCol), "left")
       .withColumn(outName, coalesce(col(outName), lit(KeywordClassifier.Fallback)))
   }
 }

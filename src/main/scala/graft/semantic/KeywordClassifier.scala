@@ -27,14 +27,19 @@ trait KeywordClassifier extends Serializable {
   def categorize(keyword: Column): Column
 
   /** Attach `outName` to `df` by classifying `keywordCol`, computing the
-    * mapping once per DISTINCT keyword and broadcast-joining it back —
-    * the scale path for expensive classifiers (at 100 TB the distinct
-    * keyword set is millions of rows while the log is billions). */
+    * mapping once per DISTINCT keyword and joining it back — the scale
+    * path for expensive classifiers (at 100 TB the distinct keyword set
+    * is millions of rows while the log is billions). The mapping
+    * carries NO static broadcast hint: distinct keywords grow with the
+    * corpus, and a pinned hint fails hard at the 8 GB broadcast cap
+    * instead of demoting — AQE broadcasts the mapping while it measures
+    * small and shuffles on the keyword past the cap (r15 verdict
+    * item 2's class; PlanHygieneSpec forbids re-pinning). */
   def applyDistinct(spark: SparkSession, df: DataFrame, keywordCol: String,
                     outName: String): DataFrame = {
     val mapping = df.select(col(keywordCol)).na.drop().distinct()
       .withColumn(outName, categorize(col(keywordCol)))
-    df.join(broadcast(mapping), Seq(keywordCol), "left")
+    df.join(mapping, Seq(keywordCol), "left")
       .withColumn(outName, coalesce(col(outName), lit(KeywordClassifier.Fallback)))
   }
 }

@@ -218,6 +218,75 @@ class PlanHygieneSpec extends SparkSpec {
       s"unbounded join shapes in builders: ${offenders.mkString(", ")}")
   }
 
+  test("no registered query statically broadcasts an unbounded relation") {
+    // The r15 scale-killer class: a static broadcast() hint whose build
+    // side is a corpus-derived relation with no cardinality bound
+    // between the hint and the scan. A hint is not advisory — Spark
+    // attempts the exchange regardless of measured size and fails hard
+    // at the 8 GB broadcast cap instead of demoting to a sort-merge —
+    // so any side that can grow with the corpus (a base table, or an
+    // artifact relation like the boilerplate list, whose row count
+    // tracks duplicated-content volume) must stay unhinted and let AQE
+    // decide. Bounding nodes that legitimately cap a hinted side:
+    // a global (ungrouped) aggregate — ONE row by construction — and
+    // limits. A GROUPED aggregate does NOT bound (group-by seg over the
+    // corpus is corpus-sized); genuinely bounded grouped-key domains
+    // (fixed bucket counts, the label alphabet) are exempted per query
+    // below, with the bound stated.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Schema-bounded TPC-H dims: region is 5 rows and nation 25 by
+    // spec, at every scale factor — a static hint on them is honest.
+    val boundedTables = Set("region.parquet", "nation.parquet")
+    def unboundedLeaf(p: LogicalPlan): Option[String] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => None
+      case _: GlobalLimit | _: LocalLimit => None
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val paths = r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.getName)
+          case _ => Seq("<non-file relation>")
+        }
+        paths.find(n => !boundedTables(n))
+      case other =>
+        other.children.flatMap(unboundedLeaf).headOption
+    }
+    val exempt: Map[String, String] = Map(
+      // bounded query batch: vec_id < 10 filter on the hinted side —
+      // 10 rows by construction (the brute-force baseline's shape);
+      // a Filter is not a generic bound, so these stay name-exempted
+      "q_ann_bruteforce" -> "10-row query-batch filter",
+      "q_ann_int8" -> "10-row query-batch filter",
+      "q_ann_matryoshka" -> "10-row query-batch filter",
+      "q_ann_matryoshka_recall" -> "10-row query-batch filter",
+      "q_ann_rerank" -> "10-row query-batch filter",
+      "q_ann_rerank_recall" -> "10-row query-batch filter",
+      "q_bitext_mine" -> "bounded query-batch filter",
+      "q_hard_negatives" -> "10-row query-batch filter",
+      // grouped-agg sides whose grouping key has a FIXED domain, or
+      // fixed-size trained artifacts — bounded by construction, stated:
+      "q_dsir_weights_live" -> "256-row hashed bucket model × 1-row totals",
+      "q_ivf_drift" -> "K-row centroid artifact (K fixed at train time)",
+      "q_mixture_sample" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_pack_shards" -> "fixed-count pack-bucket offsets frame",
+      "q_trained_langid" -> "≤|langs|-row totals frame (label alphabet)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if constructionEager(name) || exempt.contains(name) =>
+        None
+      case (name, fn) =>
+        val hinted = fn(spark, sf0001).queryExecution.analyzed.collect {
+          case h: ResolvedHint
+              if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+            unboundedLeaf(h.child)
+        }.flatten
+        if (hinted.nonEmpty) Some(s"$name (${hinted.mkString(", ")})") else None
+    }
+    spark.catalog.clearCache()
+    assert(offenders.isEmpty,
+      s"static broadcast hints on unbounded relations in: " +
+        offenders.mkString("; "))
+  }
+
   test("no builder plan broadcasts a corpus-sized base-table side") {
     // The round-2 scale-killer class: a STATIC broadcast hint whose build
     // side scans an unbounded base table. AQE may still broadcast at

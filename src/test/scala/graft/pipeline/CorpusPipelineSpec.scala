@@ -81,7 +81,9 @@ class CorpusPipelineSpec extends SparkSpec {
   // v2 (round-15 verdict item 1): the composed modern recipe
   // ------------------------------------------------------------------
 
-  private def funnelV2 = graft.operators.PipelineV2Queries.corpusPipelineV2
+  // lazy val: the three v2 tests read identical stage rows — run the
+  // composed pipeline once, not per test (r15 advice)
+  private lazy val funnelV2 = graft.operators.PipelineV2Queries.corpusPipelineV2
     .run(spark, sf0001).collect()
     .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
     .toMap
