@@ -39,8 +39,9 @@ object DsirQueries {
   private def targetIn = TargetSrcs.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB: first 8 hex chars of md5 expression `m` as an integer, by
-    * digit arithmetic (the SampleQueries fragment). */
-  private def hexU8(m: String): String =
+    * digit arithmetic (the SampleQueries fragment). Shared with
+    * [[QualityClassifierQueries]]'s Pareto gate. */
+  private[operators] def hexU8(m: String): String =
     (1 to 8).map(i =>
       s"(strpos('0123456789abcdef', ($m)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
       .mkString("(", " + ", ")")
