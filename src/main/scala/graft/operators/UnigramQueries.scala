@@ -320,15 +320,17 @@ object UnigramQueries {
       .orderBy("doc_id")
   }
 
-  /** Tokenizer bake-off: per-source compression of BOTH trained
-    * tokenizers over the same word stream — the comparison that picks
-    * a tokenizer for a corpus mix. Two vocabulary-sized broadcast
-    * joins; the oracle replays the full BPE merge loop AND both
-    * unigram rounds in one statement. */
+  /** Tokenizer bake-off: per-source compression of all THREE trained
+    * tokenizers (BPE, unigram, WordPiece) over the same word stream —
+    * the comparison that picks a tokenizer for a corpus mix. Three
+    * vocabulary-sized broadcast joins; the oracle replays the full BPE
+    * merge loop, both unigram rounds, AND the WordPiece train+greedy
+    * unroll in one statement. */
   val tokBakeoff = Q(
     "q_tok_bakeoff",
     s"""WITH ${ChunkingQueries.bpeCtes},
        |$unigramCtes,
+       |${WordPieceQueries.wpCtes},
        |btok AS (
        |  SELECT w, CAST(len(string_split(trim(syms, chr(31)),
        |    chr(31) || chr(31))) AS BIGINT) AS bpe_tok
@@ -339,26 +341,33 @@ object UnigramQueries {
        |SELECT source, count(*) AS n_words,
        |  CAST(sum(b.bpe_tok) AS BIGINT) AS n_bpe_tokens,
        |  CAST(sum(u.n_tok) AS BIGINT) AS n_uni_tokens,
+       |  CAST(sum(t.n_tok) AS BIGINT) AS n_wp_tokens,
        |  CAST((1000 * sum(b.bpe_tok)) // count(*) AS BIGINT) AS bpe_per_kword,
-       |  CAST((1000 * sum(u.n_tok)) // count(*) AS BIGINT) AS uni_per_kword
+       |  CAST((1000 * sum(u.n_tok)) // count(*) AS BIGINT) AS uni_per_kword,
+       |  CAST((1000 * sum(t.n_tok)) // count(*) AS BIGINT) AS wp_per_kword
        |FROM (SELECT source, w FROM dw WHERE w <> '') d
        |JOIN btok b USING (w)
        |JOIN useg2 u USING (w)
+       |JOIN wpseg t USING (w)
        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val bpe = ChunkingQueries.bpeVocab(s, d)
       .select(col("w"), col("n_tokens").as("bpe_tok"))
     val uni = unigramVocab(s, d)
       .select(col("w"), col("n_tokens").as("uni_tok"))
+    val wp = WordPieceQueries.wpVocab(s, d)
+      .select(col("w"), col("n_tokens").as("wp_tok"))
     Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
-      .join(bpe, Seq("w")).join(uni, Seq("w"))
+      .join(bpe, Seq("w")).join(uni, Seq("w")).join(wp, Seq("w"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
         sum(col("bpe_tok")).as("n_bpe_tokens"),
         sum(col("uni_tok")).as("n_uni_tokens"),
+        sum(col("wp_tok")).as("n_wp_tokens"),
         expr("(1000 * sum(bpe_tok)) div count(1)").as("bpe_per_kword"),
-        expr("(1000 * sum(uni_tok)) div count(1)").as("uni_per_kword"))
+        expr("(1000 * sum(uni_tok)) div count(1)").as("uni_per_kword"),
+        expr("(1000 * sum(wp_tok)) div count(1)").as("wp_per_kword"))
       .orderBy("source")
   }
 
