@@ -75,6 +75,41 @@ object Bench {
       val times = passes.flatMap(_(name))
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
+    // Bloom-ledger telemetry (r15 verdict item 8): drive the
+    // representative incremental twin through the paths a deployment
+    // sees — seed (ledger invalidated), first batch (absent ledger →
+    // exact scan + rebuild), two fresh batches (|delta| bloom probes,
+    // the steady state), and a crash-restart replay (its own ids are in
+    // the ledger → bloom hit → exact fallback, the documented cost of a
+    // false positive). The per-kind counters land in BENCH_DETAIL so
+    // the "fresh batches never scan the stored index" claim is audited
+    // numbers, not scaladoc. Timed separately — never part of the
+    // query total the regression gate baselines on.
+    import org.apache.spark.sql.functions.col
+    graft.streaming.IngestTelemetry.reset()
+    val twinT0 = System.nanoTime()
+    val twinOk = try {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_bench_twin").toString
+      val (corpusT, pairT, bandD) =
+        ("bench_twin_corpus", "bench_twin_pairs", s"$scratch/bands")
+      graft.streaming.DedupStreams.seedCorpus(
+        spark, docs.filter(col("doc_id") % 10 < 7), corpusT, bandD, 4)
+      def slice(m: Int) = docs.filter(col("doc_id") % 10 === m)
+      graft.streaming.DedupStreams.processBatch(slice(7), 0L, corpusT, pairT, bandD, 4)
+      graft.streaming.DedupStreams.processBatch(slice(8), 1L, corpusT, pairT, bandD, 4)
+      graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
+      graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
+      Seq(corpusT, pairT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] twin drive failed: ${e.getMessage}"); false }
+    val twinSec = (System.nanoTime() - twinT0) / 1e9
+    spark.catalog.clearCache()
+    val bloomCounters = graft.streaming.IngestTelemetry.snapshot
     spark.stop()
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val succeeded = results.collect { case (k, Some(v)) => k -> r3(v) }
@@ -141,8 +176,12 @@ object Bench {
     val rg = regressions.map { case (k, p, c, r) =>
       s"""{"query":"$k","prev":$p,"cur":$c,"ratio":$r}"""
     }.mkString("[", ",", "]")
+    val bl = bloomCounters.map { case (w, ks) =>
+      s"\"$w\":" + ks.map { case (k, n) => s"\"$k\":$n" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"twin_ingest_sec":${r3(twinSec)},"twin_ingest_ok":$twinOk,"bloom_ledger":$bl,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))

@@ -183,7 +183,14 @@ object ScaleSmoke {
       // round-15: the composed v2 curation funnel — five artifact joins
       // + one cleaned-token hash-agg; expected ~linear (the token-grain
       // Gopher agg dominates)
-      "q_corpus_pipeline_v2")
+      "q_corpus_pipeline_v2",
+      // round-16: markup extraction (map-only wrap+strip + doc agg —
+      // expected linear), the Pareto quality classifier (map over the
+      // served DSIR weights — expected flat-ish at artifact size),
+      // WordPiece encode (vocabulary join, the bpe/unigram shape), and
+      // image-grain contamination (eval-bounded pigeonhole join)
+      "q_html_extract", "q_quality_classifier", "q_wordpiece_encode",
+      "q_mm_contamination")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
@@ -216,7 +223,10 @@ object ScaleSmoke {
       // output is corpus-linear by contract (r11 item 5)
       "q_line_excise_live", "q_winnow_matches", "q_winnow_matches_topk",
       // round-15 verdict item 1: the v2 funnel's growth curve
-      "q_corpus_pipeline_v2")
+      "q_corpus_pipeline_v2",
+      // round-16: the markup tier starts from raw text (no artifacts),
+      // so its growth curve measures the wrap+extract pass cleanly
+      "q_html_extract")
     val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
     require(unknownGrowth.isEmpty,
       s"smoke growth list names unknown queries: $unknownGrowth")

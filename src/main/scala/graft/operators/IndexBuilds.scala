@@ -47,6 +47,7 @@ object IndexBuilds {
     "idx_bpe_merges"    -> ((s, d) => { ChunkingQueries.bpeMergeTable(s, d); () }),
     "idx_kn_scores"     -> ((s, d) => { LangModelQueries.knScores(s, d); () }),
     "idx_unigram"       -> ((s, d) => { UnigramQueries.unigramVocab(s, d); () }),
+    "idx_wordpiece"     -> ((s, d) => { WordPieceQueries.wpVocab(s, d); () }),
     // avro FIXTURES pre-built here so q_s10/q_s11 serving passes are
     // read-only (round-10 verdict №2: the lazy in-serving build raced
     // its own directory overwrite once per ~hundred runs)

@@ -48,6 +48,31 @@ import graft.plans.Bloom
   *    exact scan permanently instead of paying probe + merge + 512 KiB
   *    rewrite on top of it every batch. Deployments sizing for more
   *    ids pass wider `bits`. */
+/** Process-global counters for the bloom-ledger fast path — which
+  * contract checks rode the |delta| probe and which paid the exact
+  * stored-index scan (and why). Surfaced by [[graft.Bench]] into
+  * BENCH_DETAIL.json the way `index_adopted` made artifact adoption
+  * auditable (r15 verdict item 8). Kinds: `cheap_pass` (valid ledger,
+  * no probe hit — the common fresh-ingest case), `bloom_hit_exact`
+  * (probe hit or probe error → exact scan), `ledger_absent_exact`
+  * (no usable ledger → exact scan + rebuild), `saturated_exact`
+  * (over-dense sketch → permanent exact mode). */
+object IngestTelemetry {
+  import scala.collection.concurrent.TrieMap
+  private val counters = TrieMap.empty[(String, String), Long]
+
+  private[streaming] def inc(what: String, kind: String): Unit =
+    counters.updateWith((what, kind)) { v => Some(v.getOrElse(0L) + 1L) }
+
+  /** what → kind → count, sorted for stable JSON. */
+  def snapshot: Seq[(String, Seq[(String, Long)])] =
+    counters.keySet.map(_._1).toSeq.sorted.map { w =>
+      w -> counters.toSeq.collect { case ((`w`, k), n) => k -> n }.sortBy(_._1)
+    }
+
+  private[graft] def reset(): Unit = counters.clear()
+}
+
 private[streaming] object IngestContract {
 
   /** 4M bits / 5 hashes ≈ 1% false positives at ~300k ids (default —
@@ -114,6 +139,7 @@ private[streaming] object IngestContract {
     if (saturated) {
       // permanent exact-scan mode: consulting a saturated sketch would
       // hit on every realistic batch, and rewriting it buys nothing
+      IngestTelemetry.inc(what, "saturated_exact")
       requireNewRecords(stored, deltaIds, idCol, batchId, what, remedy)
       return
     }
@@ -126,6 +152,10 @@ private[streaming] object IngestContract {
         .take(1).isEmpty
       catch { case NonFatal(_) => false } // unusable probe ⇒ exact path
     }
+    IngestTelemetry.inc(what,
+      if (cheapPass) "cheap_pass"
+      else if (ledDf.isEmpty) "ledger_absent_exact"
+      else "bloom_hit_exact")
     if (!cheapPass)
       requireNewRecords(stored, deltaIds, idCol, batchId, what, remedy)
     // 1-row driver materialization — the write below must not read the
