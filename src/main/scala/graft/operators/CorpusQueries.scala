@@ -805,4 +805,109 @@ object CorpusQueries {
         (col("target") >= col("src_toks")).as("saturated"))
       .orderBy("source")
   }
+
+  /** Temperature-mixture EPOCH schedule — the upsampling half that
+    * [[mixtureSample]]'s prefix-cut cannot express: when a source's
+    * α-flattened target EXCEEDS its available tokens, the recipe
+    * repeats the source (epochs > 1, the GPT-3 table-2.2 move where
+    * small high-quality domains run multiple epochs while the crawl
+    * runs a fraction of one). Budget = one corpus-equivalent
+    * (`t_total`), split by the α = 3/4 ppm shares; per source the
+    * schedule is `full_epochs = target div toks` whole passes plus a
+    * deterministic md5-gate-ordered document prefix filling the
+    * `target mod toks` remainder — so the drawn set is reproducible
+    * doc-for-doc, never a sampled approximation. Integer-exact
+    * throughout (the ppm shares reuse [[mixtureWeights]]' bit-exact
+    * fold; everything after is BIGINT div/mod; `t_total · ppm` stays
+    * under 2^63 up to ~10^12 corpus tokens).
+    *
+    * Scale: one corpus hash-agg, a |sources|-row targets frame
+    * (broadcast), and the same source-partitioned prefix window as
+    * [[tokenBudget]] — nothing corpus-wide shuffles twice. */
+  val mixtureEpochs = Q(
+    "q_mixture_epochs",
+    s"""WITH src AS (
+       |  SELECT source, CAST(sum(len($W)) AS BIGINT) AS toks
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, toks, sqrt(toks * sqrt(toks)) AS wt FROM src
+       |), tw AS (
+       |  SELECT *, list_reduce(
+       |    list(wt) OVER (ORDER BY source
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING
+       |                   AND UNBOUNDED FOLLOWING),
+       |    (a, b) -> a + b) AS totw
+       |  FROM w
+       |), tgt AS (
+       |  SELECT source, toks,
+       |    (SELECT CAST(sum(toks) AS BIGINT) FROM src)
+       |      * CAST(floor(1000000 * wt / totw) AS BIGINT) // 1000000 AS target
+       |  FROM tw
+       |), t AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS dtoks,
+       |    md5('sample|' || CAST(doc_id AS VARCHAR)) AS gate
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, dtoks,
+       |    CAST(sum(dtoks) OVER (PARTITION BY source ORDER BY gate, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t
+       |), rem AS (
+       |  SELECT c.source, count(*) AS partial_docs,
+       |    CAST(sum(c.dtoks) AS BIGINT) AS partial_tokens
+       |  FROM c JOIN tgt ON tgt.source = c.source
+       |  WHERE c.cum <= tgt.target % tgt.toks GROUP BY c.source
+       |)
+       |SELECT g.source, g.toks AS available_tokens, g.target AS target_tokens,
+       |  g.target // g.toks AS full_epochs,
+       |  CAST(coalesce(r.partial_docs, 0) AS BIGINT) AS partial_docs,
+       |  CAST(coalesce(r.partial_tokens, 0) AS BIGINT) AS partial_tokens,
+       |  (g.target // g.toks) * g.toks + coalesce(r.partial_tokens, 0)
+       |    AS drawn_tokens,
+       |  (1000 * ((g.target // g.toks) * g.toks
+       |           + coalesce(r.partial_tokens, 0))) // g.toks AS epochs_milli
+       |FROM tgt g LEFT JOIN rem r ON r.source = g.source
+       |ORDER BY g.source""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text")))).cast("long").as("toks"))
+      .withColumn("wt", sqrt(col("toks") * sqrt(col("toks"))))
+    val tot = src.agg(
+      sum(col("toks")).as("t_total"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("source"), col("wt")))),
+          x => x("wt")),
+        lit(0.0), (acc, x) => acc + x).as("totw"))
+    val tgt = src.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        floor(lit(1000000) * col("wt") / col("totw")).cast("long"))
+      .select(col("source"), col("toks"),
+        expr("t_total * share_ppm div 1000000").as("target"))
+    val c = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dtoks"),
+        md5(concat(lit("sample|"), col("doc_id").cast("string"))).as("gate"))
+      .withColumn("cum", sum(col("dtoks")).over(
+        Window.partitionBy("source").orderBy("gate", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rem = c.join(broadcast(tgt), Seq("source"))
+      .filter(col("cum") <= col("target") % col("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("partial_docs"),
+           sum(col("dtoks")).as("partial_tokens"))
+    tgt.join(rem, Seq("source"), "left")
+      .withColumn("full_epochs", expr("target div toks"))
+      .withColumn("partial_docs", coalesce(col("partial_docs"), lit(0L)))
+      .withColumn("partial_tokens", coalesce(col("partial_tokens"), lit(0L)))
+      .withColumn("drawn_tokens",
+        col("full_epochs") * col("toks") + col("partial_tokens"))
+      .withColumn("epochs_milli",
+        expr("(1000 * drawn_tokens) div toks"))
+      .select(col("source"), col("toks").as("available_tokens"),
+        col("target").as("target_tokens"), col("full_epochs"),
+        col("partial_docs"), col("partial_tokens"),
+        col("drawn_tokens"), col("epochs_milli"))
+      .orderBy("source")
+  }
 }

@@ -1008,6 +1008,236 @@ object SimilarityQueries {
               (col("hits").cast("double") / 5).as("recall"))
       .orderBy("query_id")
   }
+
+  // ---------------------------------------------------------------- //
+  // Binary (1-bit) quantization tier                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Binary codes: one sign bit per dimension against the per-dimension
+    * midrange threshold (lo+hi)/2, packed 32 bits per BIGINT word — two
+    * words for the 64-dim corpus. Midrange (not mean/median) because it
+    * is engine-exact: min/max are order-independent, one IEEE add and
+    * halving each, so Spark and the oracle threshold identically.
+    *
+    * Scale: 8 bytes of code per 32 dims — 16× less scan bandwidth than
+    * the float32 corpus, and distance is XOR+popcount (`bit_count`),
+    * the cheapest candidate-generation pass a 100 TB embedding store
+    * can run. Construction is one posexplode + two hash-aggs; the
+    * per-dim threshold frame is ONE row broadcast onto the scan (the
+    * q_ann_int8 stats idiom). Word packing uses a sum of distinct
+    * powers of two < 2^32 — exact in BIGINT, no sign-bit traps. */
+  private[operators] def binaryWords(s: org.apache.spark.sql.SparkSession,
+                                     d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val dims = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+    val stats = dims.groupBy("pos")
+      .agg(((min("x") + max("x")) / 2).as("t"))
+    // one row: pos-ordered midrange thresholds — broadcast, not collect
+    val thrRow = stats.agg(
+      expr("transform(array_sort(collect_list(struct(pos, t))), s -> s.t)")
+        .as("ts"))
+    dims.crossJoin(broadcast(thrRow))
+      .select(col("vec_id"), expr("pos div 32").as("word"),
+        when(col("x") > element_at(col("ts"), col("pos") + 1),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+          .otherwise(0L).as("bit"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("word") === 0, col("bit")).otherwise(0L)).as("w0"),
+           sum(when(col("word") === 1, col("bit")).otherwise(0L)).as("w1"))
+  }
+
+  /** Oracle twin of [[binaryWords]]: CTEs ending in `w(vec_id, w0, w1)`.
+    * generate_subscripts is 1-based, so word/shift use (pos-1). */
+  private val binWordsSql =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |bd AS (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v),
+      |bstats AS (SELECT pos, (min(x) + max(x)) / 2 AS t FROM bd GROUP BY pos),
+      |bbits AS (
+      |  SELECT vec_id, (pos - 1) // 32 AS word,
+      |    CASE WHEN x > t
+      |         THEN (CAST(1 AS BIGINT) << CAST((pos - 1) % 32 AS INT))
+      |         ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM bd JOIN bstats USING (pos)),
+      |w AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN word = 0 THEN bit ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(sum(CASE WHEN word = 1 THEN bit ELSE 0 END) AS BIGINT) AS w1
+      |  FROM bbits GROUP BY vec_id)""".stripMargin
+
+  private val hamSql =
+    "bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))"
+
+  /** Shared Hamming ranking scaffold over the packed words: broadcast
+    * query batch × corpus codes, integer distance, deterministic
+    * (hamming asc, vec_id) top-k. */
+  private def hammingTopK(w: DataFrame, k: Int): DataFrame = {
+    val q = w.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+              col("w0").as("qw0"), col("w1").as("qw1"))
+    val c = w.select(col("vec_id").as("neighbor_id"),
+                     col("w0").as("cw0"), col("w1").as("cw1"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(qw0 ^ cw0) + bit_count(qw1 ^ cw1) AS BIGINT)"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+  }
+
+  /** Binary-quantized top-5 by Hamming distance — the coarsest, fastest
+    * serving tier (32× smaller codes than float32; XOR+popcount
+    * distance). Integer distances make this tier fully hash-exact. */
+  val binaryTopK = Q(
+    "q_ann_binary",
+    s"""WITH $binWordsSql
+       |SELECT query_id, neighbor_id, rank, hamming FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST($hamSql AS BIGINT) AS hamming,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $hamSql, c.vec_id) AS rank
+       |  FROM (SELECT * FROM w WHERE vec_id < 10) q
+       |  JOIN w c ON c.vec_id <> q.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    hammingTopK(binaryWords(s, d), 5).orderBy("query_id", "rank")
+  }
+
+  /** Binary-shortlist + exact rescoring — the production binary-
+    * quantization stack: Hamming shortlists 20 candidates from the
+    * packed codes (cheap, bandwidth-bound), then ONLY those 20 rows
+    * per query touch the full-precision vectors for an exact cosine
+    * top-5. At 100 TB the full vectors stay cold: the rescoring join
+    * fetches 20·|queries| rows, not the corpus. */
+  val binaryRerankK = 20
+  val binaryRerank = Q(
+    "q_ann_binary_rerank",
+    s"""WITH $binWordsSql,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $hamSql, c.vec_id) AS rank
+       |    FROM (SELECT * FROM w WHERE vec_id < 10) q
+       |    JOIN w c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= $binaryRerankK
+       |)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    $cosSql AS cosine,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |                       ORDER BY $cosSql DESC, s.neighbor_id) AS rank
+       |  FROM short s
+       |  JOIN v q ON q.vec_id = s.query_id
+       |  JOIN v c ON c.vec_id = s.neighbor_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val short = hammingTopK(binaryWords(s, d), binaryRerankK)
+      .select("query_id", "neighbor_id")
+    val v = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(v.select(col("vec_id").as("query_id"), col("embedding").as("eq")),
+        Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosineSim(col("eq"), col("ec")))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@5 of the RAW binary tier vs the exact baseline — what one
+    * bit per dimension costs before rescoring. */
+  val binaryRecall = Q(
+    "q_ann_binary_recall",
+    s"""WITH $binWordsSql,
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |    JOIN v c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |), bb AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $hamSql, c.vec_id) AS rank
+       |    FROM (SELECT * FROM w WHERE vec_id < 10) q
+       |    JOIN w c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(bb.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(bb.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN bb
+       |  ON bb.query_id = bf.query_id AND bb.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val bf = bruteForceTopK.run(s, d).select("query_id", "neighbor_id")
+    val bb = binaryTopK.run(s, d)
+      .select(col("query_id"), col("neighbor_id").as("bb_neighbor"))
+    bf.join(bb,
+        bf("query_id") === bb("query_id") &&
+          bf("neighbor_id") === bb("bb_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("bb_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Recall@5 AFTER rescoring — the number that justifies the stack:
+    * a 20-deep Hamming shortlist plus exact rerank should recover most
+    * of what the raw 1-bit tier loses, at 1/16 the scan bandwidth. */
+  val binaryRerankRecall = Q(
+    "q_ann_binary_rerank_recall",
+    s"""WITH $binWordsSql,
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosSql DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q
+       |    JOIN v c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |), short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $hamSql, c.vec_id) AS rank
+       |    FROM (SELECT * FROM w WHERE vec_id < 10) q
+       |    JOIN w c ON c.vec_id <> q.vec_id
+       |  ) WHERE rank <= $binaryRerankK
+       |), rr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |                         ORDER BY $cosSql DESC, s.neighbor_id) AS rank
+       |    FROM short s
+       |    JOIN v q ON q.vec_id = s.query_id
+       |    JOIN v c ON c.vec_id = s.neighbor_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT bf.query_id, CAST(count(rr.neighbor_id) AS BIGINT) AS hits,
+       |  CAST(count(rr.neighbor_id) AS DOUBLE) / 5 AS recall
+       |FROM bf LEFT JOIN rr
+       |  ON rr.query_id = bf.query_id AND rr.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin) { (s, d) =>
+    val bf = bruteForceTopK.run(s, d).select("query_id", "neighbor_id")
+    val rr = binaryRerank.run(s, d)
+      .select(col("query_id"), col("neighbor_id").as("rr_neighbor"))
+    bf.join(rr,
+        bf("query_id") === rr("query_id") &&
+          bf("neighbor_id") === rr("rr_neighbor"), "left")
+      .groupBy(bf("query_id"))
+      .agg(count(col("rr_neighbor")).as("hits"))
+      .select(col("query_id"), col("hits"),
+              (col("hits").cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
 }
 
 /** Persisted kNN-graph artifact: the edge set is a derived index like

@@ -29,6 +29,12 @@ class PlanHygieneSpec extends SparkSpec {
     // int8 ANN: same bounded query-batch × corpus shape as bruteforce,
     // plus a ONE-row per-dim stats frame cross-joined onto the scan
     "q_ann_int8",
+    // binary (1-bit) tier: the same bounded query-batch × corpus shape
+    // over the packed Hamming codes (ONE-row threshold frame, the int8
+    // stats idiom); the rerank composes the shortlist through it, and
+    // the recall gauges compose two of these shapes
+    "q_ann_binary", "q_ann_binary_rerank",
+    "q_ann_binary_recall", "q_ann_binary_rerank_recall",
     // matryoshka: the same bounded query-batch × corpus shape over the
     // sliced prefix; the recall gauge composes two of them; the
     // two-stage rerank shortlists through the same shape before its
@@ -70,6 +76,10 @@ class PlanHygieneSpec extends SparkSpec {
     // crossed onto the |sources|-row weights frame; the per-doc join
     // is a broadcast equi-join on source (q_token_budget pattern)
     "q_mixture_sample",
+    // same ONE-row totals + |sources|-row targets shape as
+    // q_mixture_sample; the remainder-prefix join is broadcast
+    // equi-keyed on source
+    "q_mixture_epochs",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
@@ -256,6 +266,10 @@ class PlanHygieneSpec extends SparkSpec {
       // a Filter is not a generic bound, so these stay name-exempted
       "q_ann_bruteforce" -> "10-row query-batch filter",
       "q_ann_int8" -> "10-row query-batch filter",
+      "q_ann_binary" -> "10-row query-batch filter",
+      "q_ann_binary_rerank" -> "10-row query-batch filter",
+      "q_ann_binary_recall" -> "10-row query-batch filter",
+      "q_ann_binary_rerank_recall" -> "10-row query-batch filter",
       "q_ann_matryoshka" -> "10-row query-batch filter",
       "q_ann_matryoshka_recall" -> "10-row query-batch filter",
       "q_ann_rerank" -> "10-row query-batch filter",
@@ -267,6 +281,7 @@ class PlanHygieneSpec extends SparkSpec {
       "q_dsir_weights_live" -> "256-row hashed bucket model × 1-row totals",
       "q_ivf_drift" -> "K-row centroid artifact (K fixed at train time)",
       "q_mixture_sample" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_mixture_epochs" -> "≤|sources|-row targets frame (source alphabet)",
       "q_pack_shards" -> "fixed-count pack-bucket offsets frame",
       "q_trained_langid" -> "≤|langs|-row totals frame (label alphabet)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
