@@ -196,6 +196,33 @@ object PipelineV2Queries {
        |SELECT stage, n_docs, toks, eff_toks FROM stages ORDER BY stage""".stripMargin
   }
 
+  /** Gopher quality verdict over a CLEANED segment stream (doc_id, seg):
+    * word-grain stats (count, max repetition, char mass, stopword and
+    * short-word counts) gated by the Rae et al. table-A1 subset, all
+    * integer cross-multiplied. Shared by the batch [[survivorFrame]]
+    * and the on-arrival [[graft.streaming.AdmissionStreams]] twin so
+    * the rule set cannot drift between them (the ccWalkCtes lesson).
+    * Returns (doc_id, q_ok) for PASSING docs only — consumers left-join
+    * and read null as a fail. */
+  private[graft] def gopherOkFrame(cleanSegs: DataFrame): DataFrame = {
+    val swList = StopwordTable("en")
+    cleanSegs
+      .select(col("doc_id"), explode(split(col("seg"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"), max("cnt").as("max_cnt"),
+        sum(col("cnt") * length(col("t"))).as("total_chars"),
+        sum(when(col("t").isin(swList: _*), col("cnt")).otherwise(0L)).as("sw_toks"),
+        sum(when(length(col("t")) < 3, col("cnt")).otherwise(0L)).as("n_short"))
+      .filter(
+        col("n_words").between(50, 100000) &&
+          lit(3) * col("n_words") <= col("total_chars") &&
+          col("total_chars") <= lit(10) * col("n_words") &&
+          lit(5) * col("max_cnt") <= col("n_words") &&
+          col("sw_toks") >= 2 && lit(5) * col("n_short") <= col("n_words"))
+      .select(col("doc_id"), lit(true).as("q_ok"))
+  }
+
   /** Per-document survival frame (doc_id, source, raw_toks, kept, w_ppm,
     * cluster, level) — the v2 pipeline's doc-grain core, shared by the
     * funnel query, `CorpusPipeline.manifestV2`, and CorpusPipelineSpec's
@@ -214,23 +241,9 @@ object PipelineV2Queries {
     // on seg past the threshold (a pinned hint would instead fail hard
     // at the 8 GB broadcast cap; r15 verdict item 2).
     val bp = s.read.parquet(s"$bpDir/list").select(col("seg").as("bseg"))
-    val swList = StopwordTable("en")
-    val cds = BoilerplateQueries.segmentsOf(docs)
-      .join(bp, col("seg") === col("bseg"), "left_anti")
-      .select(col("doc_id"), explode(split(col("seg"), " ")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum("cnt").as("n_words"), max("cnt").as("max_cnt"),
-        sum(col("cnt") * length(col("t"))).as("total_chars"),
-        sum(when(col("t").isin(swList: _*), col("cnt")).otherwise(0L)).as("sw_toks"),
-        sum(when(length(col("t")) < 3, col("cnt")).otherwise(0L)).as("n_short"))
-    val qa = cds.filter(
-        col("n_words").between(50, 100000) &&
-          lit(3) * col("n_words") <= col("total_chars") &&
-          col("total_chars") <= lit(10) * col("n_words") &&
-          lit(5) * col("max_cnt") <= col("n_words") &&
-          col("sw_toks") >= 2 && lit(5) * col("n_short") <= col("n_words"))
-      .select(col("doc_id"), lit(true).as("q_ok"))
+    val qa = gopherOkFrame(
+      BoilerplateQueries.segmentsOf(docs)
+        .join(bp, col("seg") === col("bseg"), "left_anti"))
     // KN band policy over the frozen score artifact (the qualityMixture
     // keep rule: head + md5-gated half of middle)
     val lmk = LangModelQueries.knScores(s, d)

@@ -89,15 +89,14 @@ object CurationStreams {
     * top-30 would tie-break by doc_id — divergence confined to rows
     * whose weight equals the cut exactly). */
   def dsirScoreBatch(batch: DataFrame, batchId: Long, m: DsirModel,
-                     outDir: String): Unit = {
-    val one = batch
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("source"), col("text"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(length(col("text")).desc, col("text").desc)))
-      .filter(col("_rk") === 1)
-      .drop("_rk")
+                     outDir: String): Unit =
+    dsirScoreFrame(QualityStreams.oneRowPerDoc(batch), m)
+      .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+
+  /** Score one already-deduplicated (doc_id, source, text) frame under
+    * the frozen model — the micro-batch core, shared with the composed
+    * [[AdmissionStreams]] twin. */
+  private[streaming] def dsirScoreFrame(one: DataFrame, m: DsirModel): DataFrame =
     DsirQueries.bucketTokens(one)
       .join(broadcast(m.buckets), Seq("b"), "left")
       .na.fill(0L, Seq("ct", "cr"))
@@ -108,8 +107,6 @@ object CurationStreams {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("s").cast("long")).as("weight_bits"))
       .withColumn("selected", col("weight_bits") >= m.cut)
-      .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-  }
 
   /** Continuous wiring: documents scored on arrival under the model
     * trained once on `corpusDir`. */

@@ -125,19 +125,10 @@ object QualityStreams {
       cuts = s.read.parquet(s"$modelDir/cuts"))
   }
 
-  /** One micro-batch score-and-band (exposed for replay tests). */
-  def scoreBatch(batch: DataFrame, batchId: Long, m: KnModel,
-                 outDir: String): Unit = {
-    // same-batch re-fetch: keep one deterministic row per doc
-    // (longest text, then lexicographically greatest — the
-    // TokenizeStreams rule)
-    val one = batch
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("source"), col("text"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(length(col("text")).desc, col("text").desc)))
-      .filter(col("_rk") === 1)
+  /** Score-and-band one already-deduplicated (doc_id, source, text)
+    * frame against the frozen model — the micro-batch core, shared
+    * with the composed [[AdmissionStreams]] twin. */
+  private[streaming] def scoreFrame(one: DataFrame, m: KnModel): DataFrame =
     instOf(one)
       .withColumn("v", substring_index(col("bg"), " ", 1))
       .withColumn("wd", substring_index(col("bg"), " ", -1))
@@ -160,8 +151,25 @@ object QualityStreams {
           .when(col("avg_ppm") <= col("c2"), "middle")
           .otherwise("tail"))
       .select("doc_id", "source", "n_bigrams", "kn_bits", "avg_ppm", "band")
+
+  /** Keep one deterministic row per doc on same-batch re-fetch
+    * (longest text, then lexicographically greatest — the
+    * TokenizeStreams rule). Shared across the curation twins. */
+  private[streaming] def oneRowPerDoc(batch: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(length(col("text")).desc, col("text").desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+
+  /** One micro-batch score-and-band (exposed for replay tests). */
+  def scoreBatch(batch: DataFrame, batchId: Long, m: KnModel,
+                 outDir: String): Unit =
+    scoreFrame(oneRowPerDoc(batch), m)
       .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
-  }
 
   /** Continuous wiring: a stream of (doc_id, source, text) documents
     * scored micro-batch by micro-batch against the model trained on
