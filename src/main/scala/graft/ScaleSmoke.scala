@@ -190,7 +190,13 @@ object ScaleSmoke {
       // WordPiece encode (vocabulary join, the bpe/unigram shape), and
       // image-grain contamination (eval-bounded pigeonhole join)
       "q_html_extract", "q_quality_classifier", "q_wordpiece_encode",
-      "q_mm_contamination")
+      "q_mm_contamination",
+      // round-16: the binary (1-bit) serving stack — pack + Hamming
+      // shortlist + exact rescoring over the bounded query batch
+      // (expected linear in corpus, the bruteforce family's shape) —
+      // and the per-source epoch schedule (one corpus hash-agg + a
+      // |sources|-row frame, expected flat-ish after the agg)
+      "q_ann_binary_rerank", "q_mixture_epochs")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -826,9 +827,29 @@ object CorpusQueries {
     * [[tokenBudget]] — nothing corpus-wide shuffles twice. */
   val mixtureEpochs = Q(
     "q_mixture_epochs",
-    s"""WITH src AS (
-       |  SELECT source, CAST(sum(len($W)) AS BIGINT) AS toks
-       |  FROM documents GROUP BY source
+    s"""WITH pd AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS dtoks
+       |  FROM documents
+       |),
+       |$epochTailSql""".stripMargin) { (s, d) =>
+    epochScheduleFrame(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dtoks")))
+  }
+
+  /** Epoch-schedule oracle tail: assumes a CTE `pd(doc_id, source,
+    * dtoks)` is already declared; shared between [[mixtureEpochs]]
+    * (raw corpus tokens) and the v2 composition
+    * [[PipelineV2Queries.corpusSchedule]] (effective train tokens) so
+    * the arithmetic cannot drift between them. Sources with zero token
+    * mass are excluded — there is nothing to schedule and the epoch
+    * ratio would divide by zero. */
+  // lazy: referenced by mixtureEpochs' earlier val initializer
+  private[operators] lazy val epochTailSql: String =
+    s"""src AS (
+       |  SELECT source, CAST(sum(dtoks) AS BIGINT) AS toks
+       |  FROM pd GROUP BY source HAVING CAST(sum(dtoks) AS BIGINT) > 0
        |), w AS (
        |  SELECT source, toks, sqrt(toks * sqrt(toks)) AS wt FROM src
        |), tw AS (
@@ -843,15 +864,15 @@ object CorpusQueries {
        |    (SELECT CAST(sum(toks) AS BIGINT) FROM src)
        |      * CAST(floor(1000000 * wt / totw) AS BIGINT) // 1000000 AS target
        |  FROM tw
-       |), t AS (
-       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS dtoks,
+       |), gt AS (
+       |  SELECT source, doc_id, dtoks,
        |    md5('sample|' || CAST(doc_id AS VARCHAR)) AS gate
-       |  FROM documents
+       |  FROM pd
        |), c AS (
        |  SELECT source, dtoks,
        |    CAST(sum(dtoks) OVER (PARTITION BY source ORDER BY gate, doc_id
        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |  FROM t
+       |  FROM gt
        |), rem AS (
        |  SELECT c.source, count(*) AS partial_docs,
        |    CAST(sum(c.dtoks) AS BIGINT) AS partial_tokens
@@ -867,10 +888,16 @@ object CorpusQueries {
        |  (1000 * ((g.target // g.toks) * g.toks
        |           + coalesce(r.partial_tokens, 0))) // g.toks AS epochs_milli
        |FROM tgt g LEFT JOIN rem r ON r.source = g.source
-       |ORDER BY g.source""".stripMargin) { (s, d) =>
-    val src = Tables.documents(s, d)
+       |ORDER BY g.source""".stripMargin
+
+  /** Spark twin of [[epochTailSql]] over a (doc_id, source, dtoks)
+    * per-doc frame — the schedule kernel shared by the raw-corpus and
+    * curated-survivor compositions. */
+  private[operators] def epochScheduleFrame(pd: DataFrame): DataFrame = {
+    val src = pd
       .groupBy("source")
-      .agg(sum(size(tokens(col("text")))).cast("long").as("toks"))
+      .agg(sum(col("dtoks")).cast("long").as("toks"))
+      .filter(col("toks") > 0)
       .withColumn("wt", sqrt(col("toks") * sqrt(col("toks"))))
     val tot = src.agg(
       sum(col("toks")).as("t_total"),
@@ -884,9 +911,8 @@ object CorpusQueries {
         floor(lit(1000000) * col("wt") / col("totw")).cast("long"))
       .select(col("source"), col("toks"),
         expr("t_total * share_ppm div 1000000").as("target"))
-    val c = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("dtoks"),
+    val c = pd
+      .select(col("source"), col("doc_id"), col("dtoks"),
         md5(concat(lit("sample|"), col("doc_id").cast("string"))).as("gate"))
       .withColumn("cum", sum(col("dtoks")).over(
         Window.partitionBy("source").orderBy("gate", "doc_id")

@@ -84,11 +84,15 @@ object PipelineV2Queries {
 
   private def sw = StopwordTable("en").map(w => s"'$w'").mkString(", ")
 
-  private def funnelSql: String = {
+  /** The shared CTE prefix ending in `lvl(doc_id, source, raw_toks,
+    * kept, w_ppm, level)` — the oracle twin of [[survivorFrame]],
+    * consumed by both the funnel accounting ([[corpusPipelineV2]]) and
+    * the epoch-schedule composition ([[corpusSchedule]]). */
+  private def lvlCtes: String = {
     val kn = LangModelQueries.knCtes.stripPrefix("WITH ")
     val sg = BoilerplateQueries.SegWords
     val md = BoilerplateQueries.MinDocs
-    s"""WITH RECURSIVE $kn,
+    s"""$kn,
        |${DedupQueries.lshCtes},
        |${DedupQueries.ccWalkCtes("dd_")},
        |kl AS (
@@ -149,7 +153,7 @@ object PipelineV2Queries {
        |  UNION ALL SELECT doc_id FROM d_wts WHERE weight_bits > 0
        |),
        |lvl AS (
-       |  SELECT d.doc_id, CAST(len($W) AS BIGINT) AS raw_toks,
+       |  SELECT d.doc_id, d.source, CAST(len($W) AS BIGINT) AS raw_toks,
        |    coalesce(c.words_kept, 0) AS kept,
        |    CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS w_ppm,
        |    CASE
@@ -168,7 +172,11 @@ object PipelineV2Queries {
        |  LEFT JOIN sel s ON s.doc_id = d.doc_id
        |  LEFT JOIN kl ON kl.doc_id = d.doc_id
        |  LEFT JOIN cs ON cs.cluster = kl.cluster
-       |),
+       |)""".stripMargin
+  }
+
+  private def funnelSql: String =
+    s"""WITH RECURSIVE $lvlCtes,
        |stages AS (
        |  SELECT '0_raw' AS stage, count(*) AS n_docs,
        |    CAST(sum(raw_toks) AS BIGINT) AS toks,
@@ -194,7 +202,6 @@ object PipelineV2Queries {
        |  FROM lvl
        |)
        |SELECT stage, n_docs, toks, eff_toks FROM stages ORDER BY stage""".stripMargin
-  }
 
   /** Gopher quality verdict over a CLEANED segment stream (doc_id, seg):
     * word-grain stats (count, max repetition, char mass, stopword and
@@ -310,5 +317,33 @@ object PipelineV2Queries {
          |  '7_packed', (t6 + ${SeqLen - 1}) div $SeqLen, t6, e6
          |) AS (stage, n_docs, toks, eff_toks)""".stripMargin))
       .orderBy("stage")
+  }
+
+  /** The recipe's LAST stage, composed end-to-end: the temperature
+    * epoch schedule ([[CorpusQueries.epochTailSql]] — α = 3/4 shares,
+    * whole passes + md5-gated partial prefix) computed over the v2
+    * funnel's TRAIN survivors, weighted by their soft-dedup effective
+    * token mass (`kept · w_ppm / 10⁶`). This is what a trainer actually
+    * consumes: curate → weight → schedule — small high-quality sources
+    * repeat, the crawl runs a fraction, and the arithmetic is exactly
+    * the registered `q_mixture_epochs` kernel, shared so the two
+    * compositions cannot drift.
+    *
+    * Scale: everything upstream is the funnel's artifact-served plan;
+    * the schedule itself adds one hash-agg over the survivor frame, a
+    * |sources|-row targets frame, and one source-partitioned prefix
+    * window — the [[CorpusQueries.tokenBudget]] discipline. */
+  val corpusSchedule: Q = Q(
+    "q_corpus_schedule",
+    s"""WITH RECURSIVE $lvlCtes,
+       |pd AS (
+       |  SELECT doc_id, source, kept * w_ppm // 1000000 AS dtoks
+       |  FROM lvl WHERE level >= 6
+       |),
+       |${CorpusQueries.epochTailSql}""".stripMargin) { (s, d) =>
+    CorpusQueries.epochScheduleFrame(
+      survivorFrame(s, d).filter(col("level") >= 6)
+        .select(col("doc_id"), col("source"),
+          expr("kept * w_ppm div 1000000").as("dtoks")))
   }
 }

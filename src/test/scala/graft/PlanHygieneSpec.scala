@@ -80,6 +80,9 @@ class PlanHygieneSpec extends SparkSpec {
     // q_mixture_sample; the remainder-prefix join is broadcast
     // equi-keyed on source
     "q_mixture_epochs",
+    // the same epoch-schedule kernel composed over the v2 funnel's
+    // artifact-served survivor frame
+    "q_corpus_schedule",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
@@ -282,6 +285,7 @@ class PlanHygieneSpec extends SparkSpec {
       "q_ivf_drift" -> "K-row centroid artifact (K fixed at train time)",
       "q_mixture_sample" -> "≤|sources|-row targets frame (source alphabet)",
       "q_mixture_epochs" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_corpus_schedule" -> "≤|sources|-row targets frame (source alphabet)",
       "q_pack_shards" -> "fixed-count pack-bucket offsets frame",
       "q_trained_langid" -> "≤|langs|-row totals frame (label alphabet)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -164,4 +164,31 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(inflated == 0, "a manifest toks exceeds its raw token count")
     } finally m.unpersist()
   }
+
+  test("the epoch schedule runs over exactly the manifest's train " +
+    "effective mass and reconciles") {
+    val sched = graft.operators.PipelineV2Queries.corpusSchedule
+      .run(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))))
+      .toMap
+    // available mass per source == the manifest's train effective mass
+    val m = CorpusPipeline.manifestV2(spark, sf0001)
+      .filter(col("split") === "train")
+      .groupBy("source")
+      .agg(sum(expr("toks * weight_ppm div 1000000")).as("eff"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0) // zero-mass sources have nothing to schedule
+    assert(sched.keySet == m.keySet,
+      s"schedule sources != manifest train sources: ${sched.keySet} vs ${m.keySet}")
+    m.foreach { case (src, eff) =>
+      val (avail, target, full, pToks, drawn) = sched(src)
+      assert(avail == eff, s"$src: available $avail != manifest eff $eff")
+      assert(drawn == full * avail + pToks && drawn <= target,
+        s"$src: schedule does not reconcile: ${sched(src)}")
+    }
+    // the budget is one corpus-equivalent of TRAIN effective mass
+    assert(sched.values.map(_._5).sum <= m.values.sum,
+      "drawn total exceeds the one-corpus-equivalent budget")
+  }
 }
