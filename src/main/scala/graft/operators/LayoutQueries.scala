@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.tokens
+
+/** Storage-layout operators: Z-order (Morton-curve) clustering and its
+  * data-skipping audit — the table-maintenance pass a 100 TB lake runs
+  * so that multi-dimensional point predicates prune FILES, not rows
+  * (the Delta/Iceberg `OPTIMIZE ZORDER` idea, public since Morton 1966
+  * and the Hudi/Delta layout papers).
+  *
+  * Two dimensions with real query predicates stand in for the general
+  * case: a 5-bit source code (`u32(md5('zl|'||source)) % 32` — the
+  * house engine-independent hash; collisions merely share a code and
+  * cost a few extra scanned files, exactly as in production) and a
+  * 5-bit token-length band (`least(toks div 16, 31)`). The Morton key
+  * interleaves the two bit streams; FILES are the 64 coarse z-cells
+  * (`z div 16`) — cell assignment is a pure per-row map, so the layout
+  * pass is embarrassingly parallel (no global sort, no single-reducer
+  * window; real optimizers range-partition by the same key).
+  *
+  * The audit query scores the layout the way an engine's file-skipping
+  * does: a file is SCANNED for predicate `source = s` iff its
+  * [min,max] source-code range contains code(s). The linear
+  * (insertion-order) baseline applies the SAME range semantics to
+  * doc_id-contiguous files, so the comparison isolates the layout, not
+  * the metadata scheme. Everything is integer-exact.
+  */
+object LayoutQueries {
+
+  private val W = """string_split_regex(trim(text), '\s+')"""
+  private val Bits = 5          // per-dimension resolution
+  private val CellShift = 16L   // file = z div 16 -> 64 coarse cells
+  private val NFiles = 64L      // linear-baseline file count (matches)
+
+  /** Morton interleave via div/mod arithmetic (portable to both
+    * engines): dimension `a` takes the odd bit positions, `b` the even.
+    * `a`/`b` are SQL sub-expressions; `div` is the integer-divide
+    * spelling (`div` in Spark, `//` in DuckDB). */
+  private[operators] def zExpr(a: String, b: String, div: String): String =
+    (0 until Bits).map { i =>
+      s"(($a $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + (($b $div ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Spark column for the 5-bit source code. */
+  private def srcCode: org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(lit("zl|"), col("source"))), 1, 8), 16, 10)
+      .cast("long") % 32).as("d1")
+
+  private def srcCodeSql = s"${DsirQueries.hexU8("md5('zl|' || source)")} % 32"
+
+  /** Per-file layout statistics: how tightly the z-cells bound each
+    * dimension — the min/max metadata an engine skips files with. */
+  val zorderLayout = Q(
+    "q_zorder_layout",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    $srcCodeSql AS d1,
+       |    least(CAST(len($W) AS BIGINT) // 16, 31) AS d2
+       |  FROM documents
+       |), z AS (
+       |  SELECT doc_id, d1, d2, ${zExpr("d1", "d2", "//")} AS zv FROM t
+       |)
+       |SELECT zv // $CellShift AS file_id, count(*) AS n_docs,
+       |  min(d1) AS d1_min, max(d1) AS d1_max,
+       |  min(d2) AS d2_min, max(d2) AS d2_max
+       |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin) { (s, d) =>
+    zcells(s, d)
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("d1").as("d1_min"), max("d1").as("d1_max"),
+        min("d2").as("d2_min"), max("d2").as("d2_max"))
+      .orderBy("file_id")
+  }
+
+  /** (doc_id, source, d1, d2, file_id) — the layout assignment, shared
+    * by the stats and audit queries. */
+  private def zcells(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), srcCode,
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("d2", expr("least(toks div 16, 31)"))
+      .withColumn("zv", expr(zExpr("d1", "d2", "div")))
+      .withColumn("file_id", expr(s"zv div $CellShift"))
+      .drop("toks")
+
+  /** Data-skipping audit: files scanned for `source = s` under the
+    * z-order layout vs the insertion-order baseline, SAME min/max range
+    * semantics. The linear baseline's files are doc_id-contiguous
+    * (`doc_id div ceil(n/$NFiles)`). */
+  val zorderPrune = Q(
+    "q_zorder_prune",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    $srcCodeSql AS d1,
+       |    least(CAST(len($W) AS BIGINT) // 16, 31) AS d2
+       |  FROM documents
+       |), z AS (
+       |  SELECT doc_id, source, d1, ${zExpr("d1", "d2", "//")} AS zv FROM t
+       |), zf AS (
+       |  SELECT zv // $CellShift AS file_id, min(d1) AS lo, max(d1) AS hi
+       |  FROM z GROUP BY file_id
+       |), lf AS (
+       |  SELECT doc_id // ((SELECT (count(*) + $NFiles - 1) // $NFiles FROM t))
+       |      AS file_id,
+       |    min(d1) AS lo, max(d1) AS hi
+       |  FROM t GROUP BY file_id
+       |), srcs AS (SELECT source, min(d1) AS code FROM t GROUP BY source)
+       |SELECT s.source, s.code,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM zf
+       |   WHERE s.code BETWEEN zf.lo AND zf.hi) AS z_files,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lf
+       |   WHERE s.code BETWEEN lf.lo AND lf.hi) AS lin_files,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM zf) AS z_total,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lf) AS lin_total
+       |FROM srcs s ORDER BY s.source""".stripMargin) { (s, d) =>
+    val cells = zcells(s, d)
+    val zf = cells.groupBy("file_id")
+      .agg(min("d1").as("lo"), max("d1").as("hi"))
+    val n1 = cells.agg(
+      expr(s"(count(*) + $NFiles - 1) div $NFiles").as("per_file"))
+    val lf = cells.crossJoin(broadcast(n1))
+      .select(expr("doc_id div per_file").as("file_id"), col("d1"))
+      .groupBy("file_id")
+      .agg(min("d1").as("lo"), max("d1").as("hi"))
+    val srcs = cells.groupBy("source").agg(min("d1").as("code"))
+    // files-scanned counts: |sources| × |files| metadata joins — both
+    // sides are bounded derived frames (≤64 rows and ≤|sources| rows);
+    // no static broadcast hint (grouped-agg sides are formally
+    // unbounded to the hygiene rule) — AQE broadcasts the ≤64-row side
+    val zc = srcs.join(zf,
+        col("code").between(col("lo"), col("hi")), "left")
+      .groupBy("source", "code").agg(count(col("lo")).as("z_files"))
+    val lc = srcs.join(lf,
+        col("code").between(col("lo"), col("hi")), "left")
+      .groupBy("source", "code").agg(count(col("lo")).as("lin_files"))
+    val tot = zf.agg(count(lit(1)).as("z_total"))
+      .crossJoin(lf.agg(count(lit(1)).as("lin_total")))
+    zc.join(lc, Seq("source", "code"))
+      .crossJoin(broadcast(tot))
+      .select("source", "code", "z_files", "lin_files", "z_total", "lin_total")
+      .orderBy("source")
+  }
+}

@@ -51,6 +51,10 @@ class PlanHygieneSpec extends SparkSpec {
     // calendar spine: |days| × |event types| — two metadata-sized
     // derived frames crossed; data-sized work is all equi-keyed
     "q_gapfill_daily", "q_rolling_7day",
+    // file-skipping audit: ≤64-row file-stats frames range-joined onto
+    // the ≤|sources|-row code frame — metadata × metadata by
+    // construction; the corpus-sized work is two hash-aggs
+    "q_zorder_prune",
     // ONE-row bigram-total normalizer frame broadcast onto the
     // vocabulary-sized survivor set (q_mixture_weights pattern)
     "q_text_collocations",
