@@ -319,6 +319,87 @@ object PipelineV2Queries {
       .orderBy("stage")
   }
 
+  /** Quality-vs-quantity sweep — the data-recipe curve behind every
+    * threshold choice (the "how much do we lose if we filter harder"
+    * plot): for a 10-step grid over the KN perplexity range, how many
+    * documents and whitespace tokens survive `avg_ppm ≤ k·max/10`, and
+    * how much DSIR quality mass they carry. One pass over the two
+    * persisted artifacts (kn_scores + dsir_weights) with ten
+    * conditional sums — the grid costs nothing extra; the comparison
+    * `10·avg_ppm ≤ k·max` is the integer-exact form of
+    * `avg_ppm ≤ floor(k·max/10)`. Target-slice docs carry no DSIR
+    * weight (they are the distribution) — their quality term is 0.
+    * `ws_tokens = n_bigrams + 1`, exact for every scored (≥2-token)
+    * document; the sweep is over scored documents by construction.
+    * The quality column stays a SUM: per-bucket means would divide
+    * possibly-negative log-odds mass (div truncates in Spark, floors
+    * in DuckDB) — consumers divide on their side of the boundary. */
+  val filterSweep: Q = {
+    // grid over [min, max] ppm (an outlier must stretch only the last
+    // step, not collapse the whole curve); `10·(a−mn) ≤ k·(mp−mn)` is
+    // the exact integer form of `a ≤ mn + floor(k·(mp−mn)/10)`, and
+    // every term is provably non-negative (no floor-vs-truncate trap)
+    def keep(k: Int) = s"10 * (avg_ppm - mn) <= $k * (mp - mn)"
+    val d10 = (1 to 10).map(k =>
+      s"CAST(sum(CASE WHEN ${keep(k)} THEN 1 ELSE 0 END) AS BIGINT) AS d$k")
+    val t10 = (1 to 10).map(k =>
+      s"CAST(sum(CASE WHEN ${keep(k)} THEN toks ELSE 0 END) AS BIGINT) AS t$k")
+    val q10 = (1 to 10).map(k =>
+      s"CAST(sum(CASE WHEN ${keep(k)} THEN wb ELSE 0 END) AS BIGINT) AS q$k")
+    val sums = (d10 ++ t10 ++ q10).mkString(",\n    ")
+    val rows = (1 to 10).map(k =>
+      s"SELECT $k AS decile, mn + ($k * (mp - mn)) // 10 AS threshold_ppm, " +
+        s"d$k AS n_docs, t$k AS ws_tokens, q$k AS quality_bits FROM a")
+      .mkString("\n  UNION ALL ")
+    Q(
+      "q_filter_sweep",
+      s"""WITH ${LangModelQueries.knCtes.stripPrefix("WITH ")},
+         |$dsirBlock,
+         |j AS (
+         |  SELECT ds.avg_ppm, ds.n_bigrams + 1 AS toks,
+         |    coalesce(w.weight_bits, 0) AS wb
+         |  FROM ds LEFT JOIN d_wts w ON w.doc_id = ds.doc_id
+         |), mx AS (
+         |  SELECT CAST(max(avg_ppm) AS BIGINT) AS mp,
+         |    CAST(min(avg_ppm) AS BIGINT) AS mn
+         |  FROM j
+         |),
+         |a AS (
+         |  SELECT mp, mn,
+         |    $sums
+         |  FROM j CROSS JOIN mx GROUP BY mp, mn
+         |)
+         |SELECT decile, threshold_ppm, n_docs, ws_tokens, quality_bits
+         |FROM ($rows) ORDER BY decile""".stripMargin) { (s, d) =>
+      val j = LangModelQueries.knScores(s, d)
+        .select(col("doc_id"), col("avg_ppm"),
+          (col("n_bigrams") + lit(1L)).as("toks"))
+        .join(DsirQueries.weightsTable(s, d)
+          .select(col("doc_id"), col("weight_bits")), Seq("doc_id"), "left")
+        .select(col("avg_ppm"), col("toks"),
+          coalesce(col("weight_bits"), lit(0L)).as("wb"))
+      val mx = j.agg(max("avg_ppm").cast("long").as("mp"),
+                     min("avg_ppm").cast("long").as("mn"))
+      def keepC(k: Int) =
+        lit(10) * (col("avg_ppm") - col("mn")) <= lit(k) * (col("mp") - col("mn"))
+      val aggs =
+        (1 to 10).map(k => sum(when(keepC(k), 1L).otherwise(0L)).as(s"d$k")) ++
+        (1 to 10).map(k => sum(when(keepC(k), col("toks")).otherwise(0L)).as(s"t$k")) ++
+        (1 to 10).map(k => sum(when(keepC(k), col("wb")).otherwise(0L)).as(s"q$k"))
+      val a = j.crossJoin(broadcast(mx))
+        .groupBy("mp", "mn").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = (1 to 10).map(k =>
+        s"$k, mn + ($k" + s"L * (mp - mn)) div 10, d$k, t$k, q$k")
+        .mkString(",\n        ")
+      a.select(expr(
+        s"""stack(10,
+           |        $stackArgs
+           |) AS (decile, threshold_ppm, n_docs, ws_tokens, quality_bits)"""
+          .stripMargin))
+        .orderBy("decile")
+    }
+  }
+
   /** The recipe's LAST stage, composed end-to-end: the temperature
     * epoch schedule ([[CorpusQueries.epochTailSql]] — α = 3/4 shares,
     * whole passes + md5-gated partial prefix) computed over the v2

@@ -67,6 +67,9 @@ class PlanHygieneSpec extends SparkSpec {
     // ONE-row global-budget frame broadcast onto the scan
     // (q_mixture_weights pattern)
     "q_token_budget",
+    // ONE-row max-ppm frame broadcast onto the two-artifact join
+    // (q_token_budget pattern); the ten-step grid is conditional sums
+    "q_filter_sweep",
     // ONE-row token-totals frame crossed onto the 256-row bucket model
     // before it broadcasts onto the raw token stream
     // (q_mixture_weights pattern); the _live twin keeps the
