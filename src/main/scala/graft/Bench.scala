@@ -110,6 +110,38 @@ object Bench {
     val twinSec = (System.nanoTime() - twinT0) / 1e9
     spark.catalog.clearCache()
     val bloomCounters = graft.streaming.IngestTelemetry.snapshot
+    // Admission-funnel telemetry (round 16): drive the composed
+    // curation twin — train the three frozen models, admit the corpus
+    // in three out-of-order slices, replay one — and land the per-level
+    // verdict counts, so the on-arrival funnel's stage attribution is
+    // audited numbers in the canonical artifact. Timed separately,
+    // never part of the regression-gated query total.
+    val admT0 = System.nanoTime()
+    var admLevels: Seq[(Int, Long)] = Seq.empty
+    val admOk = try {
+      val docsA = Tables.documents(spark, sfDir)
+        .select("doc_id", "source", "text")
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_bench_adm").toString
+      val m = graft.streaming.AdmissionStreams.train(
+        spark, sfDir, s"$scratch/models")
+      def slice(k: Int) = docsA.filter(col("doc_id") % 3 === k)
+      graft.streaming.AdmissionStreams.admitBatch(slice(2), 0L, m, s"$scratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(0), 1L, m, s"$scratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(1), 2L, m, s"$scratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(2), 3L, m, s"$scratch/out")
+      admLevels = graft.streaming.AdmissionStreams
+        .admitted(spark, s"$scratch/out")
+        .groupBy("level").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val p = new org.apache.hadoop.fs.Path(scratch)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] admission drive failed: ${e.getMessage}")
+      false }
+    val admSec = (System.nanoTime() - admT0) / 1e9
+    spark.catalog.clearCache()
     spark.stop()
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val succeeded = results.collect { case (k, Some(v)) => k -> r3(v) }
@@ -180,8 +212,10 @@ object Bench {
       s"\"$w\":" + ks.map { case (k, n) => s"\"$k\":$n" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val af = admLevels.map { case (l, n) => s"\"level$l\":$n" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"twin_ingest_sec":${r3(twinSec)},"twin_ingest_ok":$twinOk,"bloom_ledger":$bl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"twin_ingest_sec":${r3(twinSec)},"twin_ingest_ok":$twinOk,"bloom_ledger":$bl,"admission_sec":${r3(admSec)},"admission_ok":$admOk,"admission_funnel":$af,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))

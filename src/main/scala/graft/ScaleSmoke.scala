@@ -196,7 +196,13 @@ object ScaleSmoke {
       // (expected linear in corpus, the bruteforce family's shape) —
       // and the per-source epoch schedule (one corpus hash-agg + a
       // |sources|-row frame, expected flat-ish after the agg)
-      "q_ann_binary_rerank", "q_mixture_epochs")
+      "q_ann_binary_rerank", "q_mixture_epochs",
+      // round-16: layout clustering (pure map + 64-cell agg), its
+      // skipping audit (two hash-aggs + metadata joins), the composed
+      // schedule (funnel artifacts + one agg + bounded window), and
+      // the artifact-pair threshold sweep (one conditional-sum pass)
+      "q_zorder_layout", "q_zorder_prune", "q_corpus_schedule",
+      "q_filter_sweep")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
