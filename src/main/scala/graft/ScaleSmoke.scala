@@ -202,7 +202,7 @@ object ScaleSmoke {
       // schedule (funnel artifacts + one agg + bounded window), and
       // the artifact-pair threshold sweep (one conditional-sum pass)
       "q_zorder_layout", "q_zorder_prune", "q_corpus_schedule",
-      "q_filter_sweep")
+      "q_filter_sweep", "q_hilbert_layout", "q_curve_compare")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)

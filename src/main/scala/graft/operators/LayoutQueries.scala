@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions.tokens
@@ -143,5 +144,165 @@ object LayoutQueries {
       .crossJoin(broadcast(tot))
       .select("source", "code", "z_files", "lin_files", "z_total", "lin_total")
       .orderBy("source")
+  }
+
+  // ------------------------------------------------------------------
+  // Hilbert curve — the locality-optimal alternative
+  // ------------------------------------------------------------------
+
+  /** One Hilbert xy→d iteration per CTE, 5 unrolled (the canonical
+    * quadrant-rotation recurrence, Hilbert 1891 / the public xy2d
+    * form): quadrant digit `(3·rx) XOR ry` spelled as a CASE, then the
+    * rotation (ry=0 ∧ rx=1 → flip both against n−1 and swap; ry=0 ∧
+    * rx=0 → swap; ry=1 → identity). `div` is the integer-divide
+    * spelling per engine. Emits CTEs `h0..h4` from a base CTE
+    * `hb(doc_id, source, x, y, d)`; the Hilbert index is `h4.d`. */
+  private def hilbertCtes(div: String): String =
+    Seq(16, 8, 4, 2, 1).zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "hb" else s"h${i - 1}"
+      s"""h$i AS (
+         |  SELECT doc_id, source,
+         |    d + ${s * s} * (CASE WHEN (x $div $s) % 2 = 0
+         |                         THEN (y $div $s) % 2
+         |                         ELSE 3 - (y $div $s) % 2 END) AS d,
+         |    CASE WHEN (y $div $s) % 2 = 1 THEN x
+         |         WHEN (x $div $s) % 2 = 1 THEN 31 - y ELSE y END AS x,
+         |    CASE WHEN (y $div $s) % 2 = 1 THEN y
+         |         WHEN (x $div $s) % 2 = 1 THEN 31 - x ELSE x END AS y
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  /** Spark twin of [[hilbertCtes]]: folds the 5 iterations over
+    * (d1, d2) columns, leaving a `hd` Hilbert-index column. */
+  private[operators] def hilbertCol(df: DataFrame): DataFrame =
+    Seq(16, 8, 4, 2, 1).foldLeft(
+      df.withColumn("hx", col("d1")).withColumn("hy", col("d2"))
+        .withColumn("hd", lit(0L))) { (acc, s) =>
+      acc
+        .withColumn("hd", expr(
+          s"""hd + ${s * s} * (CASE WHEN (hx div $s) % 2 = 0
+             |                      THEN (hy div $s) % 2
+             |                      ELSE 3 - (hy div $s) % 2 END)""".stripMargin))
+        .withColumn("nhx", expr(
+          s"""CASE WHEN (hy div $s) % 2 = 1 THEN hx
+             |     WHEN (hx div $s) % 2 = 1 THEN 31 - hy ELSE hy END"""
+            .stripMargin))
+        .withColumn("nhy", expr(
+          s"""CASE WHEN (hy div $s) % 2 = 1 THEN hy
+             |     WHEN (hx div $s) % 2 = 1 THEN 31 - hx ELSE hx END"""
+            .stripMargin))
+        .drop("hx", "hy")
+        .withColumnRenamed("nhx", "hx").withColumnRenamed("nhy", "hy")
+    }
+
+  private def hbSql =
+    s"""hb AS (
+       |  SELECT doc_id, source,
+       |    $srcCodeSql AS x,
+       |    least(CAST(len($W) AS BIGINT) // 16, 31) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Per-file stats of the Hilbert layout — same 64-cell file grain as
+    * [[zorderLayout]], so the two curves compare like for like. */
+  val hilbertLayout = Q(
+    "q_hilbert_layout",
+    s"""WITH $hbSql,
+       |${hilbertCtes("//")},
+       |cells AS (
+       |  SELECT hb.doc_id, hb.x AS d1, hb.y AS d2, h4.d // $CellShift AS file_id
+       |  FROM hb JOIN h4 USING (doc_id)
+       |)
+       |SELECT file_id, count(*) AS n_docs,
+       |  min(d1) AS d1_min, max(d1) AS d1_max,
+       |  min(d2) AS d2_min, max(d2) AS d2_max
+       |FROM cells GROUP BY file_id ORDER BY file_id""".stripMargin) { (s, d) =>
+    hilbertCol(zcells(s, d).select("doc_id", "source", "d1", "d2"))
+      .withColumn("file_id", expr(s"hd div $CellShift"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("d1").as("d1_min"), max("d1").as("d1_max"),
+        min("d2").as("d2_min"), max("d2").as("d2_max"))
+      .orderBy("file_id")
+  }
+
+  /** Three-way locality comparison — one row per layout with the
+    * numbers an engine's file-skipping feels: file count, the summed
+    * per-file code-range width of each dimension (smaller = tighter
+    * min/max metadata = fewer false-positive file scans), and the
+    * largest file. The linear baseline uses the SAME doc_id-contiguous
+    * files as [[zorderPrune]]. */
+  val curveCompare = Q(
+    "q_curve_compare",
+    s"""WITH $hbSql,
+       |${hilbertCtes("//")},
+       |t AS (SELECT doc_id, x AS d1, y AS d2 FROM hb),
+       |hz AS (
+       |  SELECT t.doc_id, t.d1, t.d2,
+       |    h4.d // $CellShift AS hfile,
+       |    ${zExpr("t.d1", "t.d2", "//")} // $CellShift AS zfile,
+       |    t.doc_id // ((SELECT (count(*) + $NFiles - 1) // $NFiles FROM t))
+       |      AS lfile
+       |  FROM t JOIN h4 USING (doc_id)
+       |), per AS (
+       |  SELECT 'hilbert' AS layout, hfile AS file_id, count(*) AS n,
+       |    max(d1) - min(d1) + 1 AS s1, max(d2) - min(d2) + 1 AS s2,
+       |    min(d1) AS m1, min(d2) AS m2
+       |  FROM hz GROUP BY hfile
+       |  UNION ALL
+       |  SELECT 'linear', lfile, count(*),
+       |    max(d1) - min(d1) + 1, max(d2) - min(d2) + 1,
+       |    min(d1), min(d2)
+       |  FROM hz GROUP BY lfile
+       |  UNION ALL
+       |  SELECT 'zorder', zfile, count(*),
+       |    max(d1) - min(d1) + 1, max(d2) - min(d2) + 1,
+       |    min(d1), min(d2)
+       |  FROM hz GROUP BY zfile
+       |), sp AS (
+       |  SELECT layout, n, s1, s2,
+       |    coalesce(abs(m1 - lag(m1) OVER w) + abs(m2 - lag(m2) OVER w), 0)
+       |      AS seam
+       |  FROM per WINDOW w AS (PARTITION BY layout ORDER BY file_id)
+       |)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(s1) AS BIGINT) AS d1_span_mass,
+       |  CAST(sum(s2) AS BIGINT) AS d2_span_mass,
+       |  CAST(sum(seam) AS BIGINT) AS seam_mass,
+       |  CAST(max(n) AS BIGINT) AS max_file_docs
+       |FROM sp GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+    val base = hilbertCol(zcells(s, d)
+      .select("doc_id", "source", "d1", "d2", "file_id")
+      .withColumnRenamed("file_id", "zfile"))
+      .withColumn("hfile", expr(s"hd div $CellShift"))
+    val n1 = base.agg(
+      expr(s"(count(*) + $NFiles - 1) div $NFiles").as("per_file"))
+    val hz = base.crossJoin(broadcast(n1))
+      .withColumn("lfile", expr("doc_id div per_file"))
+    def sideOf(tag: String, fileCol: String) =
+      hz.groupBy(col(fileCol).as("file_id"))
+        .agg(count(lit(1)).as("n"),
+          (max("d1") - min("d1") + 1).as("s1"),
+          (max("d2") - min("d2") + 1).as("s2"),
+          min("d1").as("m1"), min("d2").as("m2"))
+        .withColumn("layout", lit(tag))
+    val per = sideOf("hilbert", "hfile")
+      .unionByName(sideOf("linear", "lfile"))
+      .unionByName(sideOf("zorder", "zfile"))
+    // seam: how far apart consecutive occupied files sit in key space —
+    // the curve-order locality z trades away (long diagonal jumps) and
+    // Hilbert keeps (unit steps); window partitioned by layout (3 small
+    // groups), never corpus-sized
+    val w = Window.partitionBy("layout").orderBy("file_id")
+    val sp = per.withColumn("seam",
+      coalesce(abs(col("m1") - lag("m1", 1).over(w)) +
+        abs(col("m2") - lag("m2", 1).over(w)), lit(0L)))
+    sp.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum("s1").as("d1_span_mass"), sum("s2").as("d2_span_mass"),
+        sum("seam").as("seam_mass"),
+        max("n").as("max_file_docs"))
+      .orderBy("layout")
   }
 }

@@ -55,6 +55,9 @@ class PlanHygieneSpec extends SparkSpec {
     // the ≤|sources|-row code frame — metadata × metadata by
     // construction; the corpus-sized work is two hash-aggs
     "q_zorder_prune",
+    // ONE-row per-file-count frame broadcast onto the scan for the
+    // linear baseline (q_token_budget pattern); layouts are hash-aggs
+    "q_curve_compare",
     // ONE-row bigram-total normalizer frame broadcast onto the
     // vocabulary-sized survivor set (q_mixture_weights pattern)
     "q_text_collocations",
