@@ -118,28 +118,30 @@ object Bench {
     // never part of the regression-gated query total.
     val admT0 = System.nanoTime()
     var admLevels: Seq[(Int, Long)] = Seq.empty
+    val admScratch = java.nio.file.Files
+      .createTempDirectory("graft_bench_adm").toString
     val admOk = try {
       val docsA = Tables.documents(spark, sfDir)
         .select("doc_id", "source", "text")
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_bench_adm").toString
       val m = graft.streaming.AdmissionStreams.train(
-        spark, sfDir, s"$scratch/models")
+        spark, sfDir, s"$admScratch/models")
       def slice(k: Int) = docsA.filter(col("doc_id") % 3 === k)
-      graft.streaming.AdmissionStreams.admitBatch(slice(2), 0L, m, s"$scratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(0), 1L, m, s"$scratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(1), 2L, m, s"$scratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(2), 3L, m, s"$scratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(2), 0L, m, s"$admScratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(0), 1L, m, s"$admScratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(1), 2L, m, s"$admScratch/out")
+      graft.streaming.AdmissionStreams.admitBatch(slice(2), 3L, m, s"$admScratch/out")
       admLevels = graft.streaming.AdmissionStreams
-        .admitted(spark, s"$scratch/out")
+        .admitted(spark, s"$admScratch/out")
         .groupBy("level").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-      val p = new org.apache.hadoop.fs.Path(scratch)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       true
     } catch { case e: Throwable =>
       System.err.println(s"[bench] admission drive failed: ${e.getMessage}")
-      false }
+      false
+    } finally { // scratch (3 model sets + 4 verdict partitions) must not
+      val p = new org.apache.hadoop.fs.Path(admScratch) // outlive the run
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     val admSec = (System.nanoTime() - admT0) / 1e9
     spark.catalog.clearCache()
     spark.stop()

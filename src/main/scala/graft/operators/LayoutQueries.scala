@@ -36,15 +36,27 @@ object LayoutQueries {
   private val CellShift = 16L   // file = z div 16 -> 64 coarse cells
   private val NFiles = 64L      // linear-baseline file count (matches)
 
-  /** Morton interleave via div/mod arithmetic (portable to both
-    * engines): dimension `a` takes the odd bit positions, `b` the even.
-    * `a`/`b` are SQL sub-expressions; `div` is the integer-divide
-    * spelling (`div` in Spark, `//` in DuckDB). */
-  private[operators] def zExpr(a: String, b: String, div: String): String =
-    (0 until Bits).map { i =>
-      s"(($a $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
-        s" + (($b $div ${1L << i}) % 2) * ${1L << (2 * i)}"
-    }.mkString("(", " + ", ")")
+  /** Morton key: the shared [[graft.plans.ZOrder]] primitive (the one
+    * `q_zorder_key`/`q_zorder3` already pin), d2 on even bit positions
+    * and d1 on odd — one interleave definition across the repo. */
+  private def zKeySql(d1: String, d2: String): String =
+    graft.plans.ZOrder.zSql(d2, d1, Bits)
+
+  /** Linear-baseline file id over a CTE named `t`: doc_id-contiguous
+    * files of ceil(n/$NFiles) rows — ONE definition shared by both
+    * audits so the baselines cannot desynchronize. */
+  private def linFileSql: String =
+    s"doc_id // ((SELECT (count(*) + $NFiles - 1) // $NFiles FROM t))"
+
+  /** Spark twin of [[linFileSql]]: adds an `lfile` column (the per-file
+    * row budget is a ONE-row global agg broadcast onto the frame). */
+  private def withLinFile(cells: DataFrame): DataFrame = {
+    val n1 = cells.agg(
+      expr(s"(count(*) + $NFiles - 1) div $NFiles").as("per_file"))
+    cells.crossJoin(broadcast(n1))
+      .withColumn("lfile", expr("doc_id div per_file"))
+      .drop("per_file")
+  }
 
   /** Spark column for the 5-bit source code. */
   private def srcCode: org.apache.spark.sql.Column =
@@ -63,7 +75,7 @@ object LayoutQueries {
        |    least(CAST(len($W) AS BIGINT) // 16, 31) AS d2
        |  FROM documents
        |), z AS (
-       |  SELECT doc_id, d1, d2, ${zExpr("d1", "d2", "//")} AS zv FROM t
+       |  SELECT doc_id, d1, d2, ${zKeySql("d1", "d2")} AS zv FROM t
        |)
        |SELECT zv // $CellShift AS file_id, count(*) AS n_docs,
        |  min(d1) AS d1_min, max(d1) AS d1_max,
@@ -84,7 +96,7 @@ object LayoutQueries {
       .select(col("doc_id"), col("source"), srcCode,
         size(tokens(col("text"))).cast("long").as("toks"))
       .withColumn("d2", expr("least(toks div 16, 31)"))
-      .withColumn("zv", expr(zExpr("d1", "d2", "div")))
+      .withColumn("zv", graft.plans.ZOrder.zValue(col("d2"), col("d1"), Bits))
       .withColumn("file_id", expr(s"zv div $CellShift"))
       .drop("toks")
 
@@ -100,13 +112,12 @@ object LayoutQueries {
        |    least(CAST(len($W) AS BIGINT) // 16, 31) AS d2
        |  FROM documents
        |), z AS (
-       |  SELECT doc_id, source, d1, ${zExpr("d1", "d2", "//")} AS zv FROM t
+       |  SELECT doc_id, source, d1, ${zKeySql("d1", "d2")} AS zv FROM t
        |), zf AS (
        |  SELECT zv // $CellShift AS file_id, min(d1) AS lo, max(d1) AS hi
        |  FROM z GROUP BY file_id
        |), lf AS (
-       |  SELECT doc_id // ((SELECT (count(*) + $NFiles - 1) // $NFiles FROM t))
-       |      AS file_id,
+       |  SELECT $linFileSql AS file_id,
        |    min(d1) AS lo, max(d1) AS hi
        |  FROM t GROUP BY file_id
        |), srcs AS (SELECT source, min(d1) AS code FROM t GROUP BY source)
@@ -121,11 +132,8 @@ object LayoutQueries {
     val cells = zcells(s, d)
     val zf = cells.groupBy("file_id")
       .agg(min("d1").as("lo"), max("d1").as("hi"))
-    val n1 = cells.agg(
-      expr(s"(count(*) + $NFiles - 1) div $NFiles").as("per_file"))
-    val lf = cells.crossJoin(broadcast(n1))
-      .select(expr("doc_id div per_file").as("file_id"), col("d1"))
-      .groupBy("file_id")
+    val lf = withLinFile(cells)
+      .groupBy(col("lfile").as("file_id"))
       .agg(min("d1").as("lo"), max("d1").as("hi"))
     val srcs = cells.groupBy("source").agg(min("d1").as("code"))
     // files-scanned counts: |sources| × |files| metadata joins — both
@@ -241,9 +249,8 @@ object LayoutQueries {
        |hz AS (
        |  SELECT t.doc_id, t.d1, t.d2,
        |    h4.d // $CellShift AS hfile,
-       |    ${zExpr("t.d1", "t.d2", "//")} // $CellShift AS zfile,
-       |    t.doc_id // ((SELECT (count(*) + $NFiles - 1) // $NFiles FROM t))
-       |      AS lfile
+       |    (${zKeySql("t.d1", "t.d2")}) // $CellShift AS zfile,
+       |    $linFileSql AS lfile
        |  FROM t JOIN h4 USING (doc_id)
        |), per AS (
        |  SELECT 'hilbert' AS layout, hfile AS file_id, count(*) AS n,
@@ -276,10 +283,7 @@ object LayoutQueries {
       .select("doc_id", "source", "d1", "d2", "file_id")
       .withColumnRenamed("file_id", "zfile"))
       .withColumn("hfile", expr(s"hd div $CellShift"))
-    val n1 = base.agg(
-      expr(s"(count(*) + $NFiles - 1) div $NFiles").as("per_file"))
-    val hz = base.crossJoin(broadcast(n1))
-      .withColumn("lfile", expr("doc_id div per_file"))
+    val hz = withLinFile(base)
     def sideOf(tag: String, fileCol: String) =
       hz.groupBy(col(fileCol).as("file_id"))
         .agg(count(lit(1)).as("n"),

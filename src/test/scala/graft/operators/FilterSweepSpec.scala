@@ -17,10 +17,14 @@ class FilterSweepSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == (1 to 10))
 
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(b._2 > a._2, s"thresholds must strictly grow: $a -> $b")
+      // >= not >: a corpus whose ppm spread is under 10 legitimately
+      // repeats a threshold (the grid floors into [mn, mp])
+      assert(b._2 >= a._2, s"thresholds must not decrease: $a -> $b")
       assert(b._3 >= a._3 && b._4 >= a._4,
         s"survivor counts must not shrink as the gate loosens: $a -> $b")
     }
+    assert(rows.last._2 > rows.head._2,
+      "the sf0.001 fixture's ppm spread should span a non-trivial grid")
 
     val kn = LangModelQueries.knScores(spark, sf0001)
     assert(rows.last._3 == kn.count(),

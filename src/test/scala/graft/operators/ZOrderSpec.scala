@@ -8,19 +8,8 @@ import graft.SparkSpec
   * strictly fewer file-ranges than the insertion-order baseline under
   * identical min/max metadata semantics. */
 class ZOrderSpec extends SparkSpec {
-
-  test("Morton interleave matches hand-computed values") {
-    val cases = Seq( // (d1, d2, z): d1 odd bits, d2 even bits
-      (0L, 0L, 0L), (1L, 0L, 2L), (0L, 1L, 1L), (1L, 1L, 3L),
-      (3L, 3L, 15L), (16L, 0L, 512L), (0L, 16L, 256L),
-      (31L, 31L, 1023L), (5L, 2L, 38L)) // 5=101,2=010 -> 100110
-    cases.foreach { case (a, b, want) =>
-      val got = spark.sql(
-        s"SELECT ${LayoutQueries.zExpr(a.toString, b.toString, "div")} AS z")
-        .head().getLong(0)
-      assert(got == want, s"z($a,$b) = $got, want $want")
-    }
-  }
+  // The Morton primitive itself (graft.plans.ZOrder) is value-pinned by
+  // ZOrderLayoutSpec — this suite covers the layout/audit tier on top.
 
   test("layout partitions the corpus; ranges are valid and tight enough " +
     "to skip; the audit beats the linear baseline") {

@@ -18,10 +18,17 @@ class StreamingAdmissionSpec extends SparkSpec {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  // trained once per suite run, fresh (never a stale dir from an older
+  // code version), and shared so either test runs in isolation
+  private lazy val model = {
+    cleanup(s"$outD-model")
+    AdmissionStreams.train(spark, sf0001, s"$outD-model")
+  }
+
   test("out-of-order replay reproduces the batch funnel levels; " +
     "divergence only at band-cut ties; replay idempotent") {
-    cleanup(outD); cleanup(s"$outD-model")
-    val m = AdmissionStreams.train(spark, sf0001, s"$outD-model")
+    cleanup(outD)
+    val m = model
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "source", "text")
     AdmissionStreams.admitBatch(docs.filter(col("doc_id") % 3 === 2), 0L, m, outD)
@@ -70,14 +77,15 @@ class StreamingAdmissionSpec extends SparkSpec {
   test("unseen source fails the LM gate as unbanded but stays visible; " +
     "a boilerplate-only doc attributes to excision") {
     cleanup(s"$outD-novel")
-    val m = AdmissionStreams.load(spark, s"$outD-model")
+    val m = model
     // a long fluent doc from a source the trainer never saw, and a doc
-    // that is one giant repetition of a known boilerplate segment
+    // that IS a known boilerplate segment (its only segment excises,
+    // leaving zero kept words)
     val bpSeg = m.bp.select("bseg").head().getString(0)
     val novel = Seq(
       (900001L, "src_new",
         (1 to 80).map(i => s"the quick brown fox $i").mkString(" ")),
-      (900002L, "src0", (bpSeg + " ") * 1)).toDF("doc_id", "source", "text")
+      (900002L, "src0", bpSeg)).toDF("doc_id", "source", "text")
     AdmissionStreams.admitBatch(novel, 0L, m, s"$outD-novel")
     val got = AdmissionStreams.admitted(spark, s"$outD-novel")
       .collect().map(r => r.getLong(0) ->
