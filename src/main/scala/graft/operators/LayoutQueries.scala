@@ -89,16 +89,22 @@ object LayoutQueries {
       .orderBy("file_id")
   }
 
-  /** (doc_id, source, d1, d2, file_id) — the layout assignment, shared
-    * by the stats and audit queries. */
-  private def zcells(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** (doc_id, source, d1, d2, zv, file_id) — the layout assignment
+    * over any (doc_id, source, text) frame; shared by the stats and
+    * audit queries AND the on-arrival twin
+    * ([[graft.streaming.LayoutStreams]]) so batch and stream can never
+    * assign a document to different cells. */
+  private[graft] def zcellsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), srcCode,
         size(tokens(col("text"))).cast("long").as("toks"))
       .withColumn("d2", expr("least(toks div 16, 31)"))
       .withColumn("zv", graft.plans.ZOrder.zValue(col("d2"), col("d1"), Bits))
       .withColumn("file_id", expr(s"zv div $CellShift"))
       .drop("toks")
+
+  private def zcells(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    zcellsOf(Tables.documents(s, d))
 
   /** Data-skipping audit: files scanned for `source = s` under the
     * z-order layout vs the insertion-order baseline, SAME min/max range
