@@ -59,7 +59,8 @@ class SentinelGuardSpec extends AnyFunSuite {
     "gif_phash" -> "direct-emission: q_mm_gif_frames emits the frame rows",
     "wav_phash" -> "direct-emission: q_mm_wav_phash emits the hash rows",
     "inv" -> "bounded/keyed: postings probed by query term; collection stats are a 1-row frame recomputed in every oracle",
-    "unigram" -> "direct-emission: q_unigram_vocab emits the vocabulary rows")
+    "unigram" -> "direct-emission: q_unigram_vocab emits the vocabulary rows",
+    "wordpiece" -> "direct-emission: q_wordpiece_vocab emits the pieces rows (oracle replays training); q_wordpiece_encode aggregates the SAME vocab segmentation the emission rows pin")
 
   private def readAll(p: Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
