@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 255 queries x 2 bench passes + 30 builders generate enough
+  // whole-stage-codegen classes to exhaust the 240m default code
+  // cache mid-run — the JIT then stops compiling and late CPU-bound
+  // loops (the bounded NLJ recall oracles) run 2-3x slow in-bench
+  // while timing at-canonical in isolation
+  "-XX:ReservedCodeCacheSize=512m",
 )
