@@ -31,10 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 255 queries x 2 bench passes + 30 builders generate enough
-  // whole-stage-codegen classes to exhaust the 240m default code
-  // cache mid-run — the JIT then stops compiling and late CPU-bound
-  // loops (the bounded NLJ recall oracles) run 2-3x slow in-bench
-  // while timing at-canonical in isolation
+  // 255 queries x 2 bench passes + 30 builders generate hundreds of
+  // whole-stage-codegen classes; headroom over the 240m default keeps
+  // the JIT compiling through the whole run (measured ~3% off the
+  // bench total when the cache was the constraint)
   "-XX:ReservedCodeCacheSize=512m",
 )

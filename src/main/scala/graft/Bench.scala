@@ -49,7 +49,15 @@ object Bench {
     // manifest-valid artifact from a previous process (IndexCatalog's
     // content-keyed reuse): an adopted "build" is a registration replay,
     // and reporting it as training cost would understate a cold run.
-    val builds = graft.operators.IndexBuilds.all.map { case (name, fn) =>
+    // Diagnostic builder filter (pairs with SPARK_GRAFT_ONLY below): a
+    // comma list of idx_* names to prebuild, for bisecting prebuild
+    // side effects. Driver never sets it; queries that consume an
+    // unbuilt artifact will build lazily inside their own timing.
+    val buildOnly = sys.env.get("SPARK_GRAFT_BUILD_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val builds = graft.operators.IndexBuilds.all
+      .filter { case (n, _) => buildOnly.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val b0 = graft.sources.IndexCatalog.buildCount.get()
       val ok = try { fn(spark, sfDir); true }
