@@ -893,7 +893,7 @@ object CorpusQueries {
   /** Spark twin of [[epochTailSql]] over a (doc_id, source, dtoks)
     * per-doc frame — the schedule kernel shared by the raw-corpus and
     * curated-survivor compositions. */
-  private[operators] def epochScheduleFrame(pd: DataFrame): DataFrame = {
+  private[graft] def epochScheduleFrame(pd: DataFrame): DataFrame = {
     val src = pd
       .groupBy("source")
       .agg(sum(col("dtoks")).cast("long").as("toks"))

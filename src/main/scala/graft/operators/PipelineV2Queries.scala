@@ -413,7 +413,15 @@ object PipelineV2Queries {
     * Scale: everything upstream is the funnel's artifact-served plan;
     * the schedule itself adds one hash-agg over the survivor frame, a
     * |sources|-row targets frame, and one source-partitioned prefix
-    * window — the [[CorpusQueries.tokenBudget]] discipline. */
+    * window — the [[CorpusQueries.tokenBudget]] discipline. The kernel
+    * consumes its per-doc frame twice (targets agg + prefix window),
+    * so THIS self-contained query computes the survivor joins twice
+    * (~2× a funnel pass — fine at the oracle gate's SFs); a production
+    * build schedules over the WRITTEN manifest instead
+    * ([[graft.pipeline.CorpusPipeline.writeManifest]] then
+    * [[CorpusQueries.epochScheduleFrame]] on the persisted table), so
+    * the funnel runs once and the double-consumption hits a parquet
+    * read, not the join tree. */
   val corpusSchedule: Q = Q(
     "q_corpus_schedule",
     s"""WITH RECURSIVE $lvlCtes,

@@ -109,6 +109,18 @@ object CorpusPipeline {
       manifestDf.filter(col("split") === "train")
         .select("doc_id", "toks").filter(col("toks") > 0), L)
 
+  /** Temperature epoch schedule over a (written) v2 manifest's TRAIN
+    * slice — the production form of the registered `q_corpus_schedule`:
+    * the funnel runs once into the manifest, and the schedule kernel's
+    * double consumption (targets agg + prefix window) hits a parquet
+    * read instead of recomputing the survivor join tree. Row-identical
+    * to the self-contained query (CorpusPipelineSpec pins it). */
+  def epochSchedule(manifestDf: DataFrame): DataFrame =
+    graft.operators.CorpusQueries.epochScheduleFrame(
+      manifestDf.filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          expr("toks * weight_ppm div 1000000").as("dtoks")))
+
   /** Write the train-split sequence manifest next to the doc manifest. */
   def writeSequences(spark: SparkSession, manifestDf: DataFrame,
                      outDir: String, L: Long = 512L): DataFrame = {

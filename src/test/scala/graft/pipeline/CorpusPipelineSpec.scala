@@ -190,5 +190,15 @@ class CorpusPipelineSpec extends SparkSpec {
     // the budget is one corpus-equivalent of TRAIN effective mass
     assert(sched.values.map(_._5).sum <= m.values.sum,
       "drawn total exceeds the one-corpus-equivalent budget")
+
+    // the production form — schedule over the manifest (funnel runs
+    // once) — is row-identical to the self-contained query
+    val viaManifest = CorpusPipeline
+      .epochSchedule(CorpusPipeline.manifestV2(spark, sf0001))
+    val direct = graft.operators.PipelineV2Queries.corpusSchedule
+      .run(spark, sf0001)
+    assert(viaManifest.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaManifest).isEmpty,
+      "manifest-served schedule diverges from the self-contained query")
   }
 }
