@@ -82,6 +82,15 @@ object Bench {
     // skipped under a filter so a subset run can't re-baseline anything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    // ANY diagnostic filter makes the whole run print-only (round-16
+    // advice): a SPARK_GRAFT_BUILD_ONLY run skips prebuilds, so lazy
+    // in-query builds inflate query times — letting it overwrite
+    // BENCH_DETAIL.json would silently re-baseline the regression gate
+    // loose. The telemetry drives below are also skipped under a
+    // filter — they are canonical-artifact payload, and slowing a
+    // bisection loop with an untimed 30 s admission drive defeats the
+    // filter's purpose.
+    val diagnostic = only.nonEmpty || buildOnly.nonEmpty
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = Seq.fill(2)(qlist.map { case (name, fn) =>
@@ -103,26 +112,50 @@ object Bench {
     // query total the regression gate baselines on.
     import org.apache.spark.sql.functions.col
     graft.streaming.IngestTelemetry.reset()
+    // Crash-safety (round-16 verdict item 2): the twin tables are
+    // MANAGED, so a killed run strands their warehouse locations and
+    // the next run's seed dies with LOCATION_ALREADY_EXISTS — exactly
+    // how the r16 canonical lost its bloom-ledger telemetry. Sweep
+    // both names (metastore entry AND warehouse dir — a dir can
+    // survive its catalog entry after a crash) BEFORE seeding, and
+    // again in `finally` so this run's own failure can't strand them.
+    val twinTables = Seq("bench_twin_corpus", "bench_twin_pairs")
+    def sweepTwinTables(): Unit = twinTables.foreach { t =>
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] twin sweep of $t failed: ${e.getMessage}")
+      }
+    }
     val twinT0 = System.nanoTime()
-    val twinOk = try {
-      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val twinOk = !diagnostic && {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_bench_twin").toString
-      val (corpusT, pairT, bandD) =
-        ("bench_twin_corpus", "bench_twin_pairs", s"$scratch/bands")
-      graft.streaming.DedupStreams.seedCorpus(
-        spark, docs.filter(col("doc_id") % 10 < 7), corpusT, bandD, 4)
-      def slice(m: Int) = docs.filter(col("doc_id") % 10 === m)
-      graft.streaming.DedupStreams.processBatch(slice(7), 0L, corpusT, pairT, bandD, 4)
-      graft.streaming.DedupStreams.processBatch(slice(8), 1L, corpusT, pairT, bandD, 4)
-      graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
-      graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
-      Seq(corpusT, pairT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      val p = new org.apache.hadoop.fs.Path(scratch)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      true
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] twin drive failed: ${e.getMessage}"); false }
+      try {
+        sweepTwinTables()
+        val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val Seq(corpusT, pairT) = twinTables
+        val bandD = s"$scratch/bands"
+        graft.streaming.DedupStreams.seedCorpus(
+          spark, docs.filter(col("doc_id") % 10 < 7), corpusT, bandD, 4)
+        def slice(m: Int) = docs.filter(col("doc_id") % 10 === m)
+        graft.streaming.DedupStreams.processBatch(slice(7), 0L, corpusT, pairT, bandD, 4)
+        graft.streaming.DedupStreams.processBatch(slice(8), 1L, corpusT, pairT, bandD, 4)
+        graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
+        graft.streaming.DedupStreams.processBatch(slice(9), 2L, corpusT, pairT, bandD, 4)
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] twin drive failed: ${e.getMessage}"); false
+      } finally {
+        sweepTwinTables()
+        val p = new org.apache.hadoop.fs.Path(scratch)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
     val twinSec = (System.nanoTime() - twinT0) / 1e9
     spark.catalog.clearCache()
     val bloomCounters = graft.streaming.IngestTelemetry.snapshot
@@ -134,29 +167,31 @@ object Bench {
     // never part of the regression-gated query total.
     val admT0 = System.nanoTime()
     var admLevels: Seq[(Int, Long)] = Seq.empty
-    val admScratch = java.nio.file.Files
-      .createTempDirectory("graft_bench_adm").toString
-    val admOk = try {
-      val docsA = Tables.documents(spark, sfDir)
-        .select("doc_id", "source", "text")
-      val m = graft.streaming.AdmissionStreams.train(
-        spark, sfDir, s"$admScratch/models")
-      def slice(k: Int) = docsA.filter(col("doc_id") % 3 === k)
-      graft.streaming.AdmissionStreams.admitBatch(slice(2), 0L, m, s"$admScratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(0), 1L, m, s"$admScratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(1), 2L, m, s"$admScratch/out")
-      graft.streaming.AdmissionStreams.admitBatch(slice(2), 3L, m, s"$admScratch/out")
-      admLevels = graft.streaming.AdmissionStreams
-        .admitted(spark, s"$admScratch/out")
-        .groupBy("level").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-      true
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] admission drive failed: ${e.getMessage}")
-      false
-    } finally { // scratch (3 model sets + 4 verdict partitions) must not
-      val p = new org.apache.hadoop.fs.Path(admScratch) // outlive the run
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val admOk = !diagnostic && {
+      val admScratch = java.nio.file.Files
+        .createTempDirectory("graft_bench_adm").toString
+      try {
+        val docsA = Tables.documents(spark, sfDir)
+          .select("doc_id", "source", "text")
+        val m = graft.streaming.AdmissionStreams.train(
+          spark, sfDir, s"$admScratch/models")
+        def slice(k: Int) = docsA.filter(col("doc_id") % 3 === k)
+        graft.streaming.AdmissionStreams.admitBatch(slice(2), 0L, m, s"$admScratch/out")
+        graft.streaming.AdmissionStreams.admitBatch(slice(0), 1L, m, s"$admScratch/out")
+        graft.streaming.AdmissionStreams.admitBatch(slice(1), 2L, m, s"$admScratch/out")
+        graft.streaming.AdmissionStreams.admitBatch(slice(2), 3L, m, s"$admScratch/out")
+        admLevels = graft.streaming.AdmissionStreams
+          .admitted(spark, s"$admScratch/out")
+          .groupBy("level").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] admission drive failed: ${e.getMessage}")
+        false
+      } finally { // scratch (3 model sets + 4 verdict partitions) must not
+        val p = new org.apache.hadoop.fs.Path(admScratch) // outlive the run
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
     val admSec = (System.nanoTime() - admT0) / 1e9
     spark.catalog.clearCache()
@@ -234,8 +269,8 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"queries":$qs,"index_build_sec":$indexBuild,"index_builds":$bs,"index_adopted":$ad,"artifact_provenance":$prov,"regressions":$rg,"failed":$fl,"twin_ingest_sec":${r3(twinSec)},"twin_ingest_ok":$twinOk,"bloom_ledger":$bl,"admission_sec":${r3(admSec)},"admission_ok":$admOk,"admission_funnel":$af,"sf":"$sfDir"}"""
-    if (only.nonEmpty) { // diagnostic subset: never overwrite the canonical
-      println(detail)
+    if (diagnostic) { // ANY filter: print-only, never overwrite the canonical
+      println(s"""{"diagnostic":true,"detail":$detail}""")
       return
     }
     java.nio.file.Files.write(

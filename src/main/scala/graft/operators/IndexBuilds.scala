@@ -33,6 +33,7 @@ object IndexBuilds {
       import SimilarityQueries._
       PqIndex.codes(s, d, ivfK, ivfIters, pqDsub, pqCodes, pqIters); ()
     }),
+    "idx_binary"        -> ((s, d) => { BinaryIndex.words(s, d); () }),
     "idx_sem_pairs"     -> ((s, d) => { DedupQueries.semPairs(s, d); () }),
     "idx_sem_keep"      -> ((s, d) => { DedupQueries.semKeepList(s, d); () }),
     "idx_sem2_pairs"    -> ((s, d) => { DedupQueries.semPairs2(s, d); () }),

@@ -17,6 +17,10 @@ import graft.sources.IndexCatalog.tag
   *  - `boilerplate/list`    → `q_line_dupes` emits the whole list;
   *  - `boilerplate/excised` → `q_line_excise` emits every doc's excision;
   *  - `dsir_weights`        → `q_dsir_weights` emits every doc's weight;
+  *  - `binary` (codes)      → the four `q_ann_binary*` queries rank over
+  *    the WHOLE code table; a stale tail row can stay out of every top-k
+  *    (green gate) while silently mis-shortlisting, so the byte check is
+  *    the only attributable audit;
   *  - `winnow_fp`           → the root of the winnow chain: topk/partners
   *    live plans RECOMPUTE FROM IT, so only a direct sentinel vs the
   *    corpus-level plan can catch it stale;
@@ -51,6 +55,10 @@ object SentinelChecks {
       d => s"dsir_weights_${tag(d)}",
       (s, d) => DsirQueries.weightsTable(s, d),
       (s, d) => DsirQueries.weightsFrame(s, d)),
+    Check("ann_binary_codes",
+      d => s"binary_${tag(d)}",
+      (s, d) => BinaryIndex.words(s, d),
+      (s, d) => SimilarityQueries.binaryWords(s, d)),
     Check("winnow_fp",
       d => s"winnow_fp_${tag(d)}",
       (s, d) => WinnowQueries.fingerprintTable(s, d),

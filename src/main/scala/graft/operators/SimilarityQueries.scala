@@ -1025,7 +1025,17 @@ object SimilarityQueries {
     * can run. Construction is one posexplode + two hash-aggs; the
     * per-dim threshold frame is ONE row broadcast onto the scan (the
     * q_ann_int8 stats idiom). Word packing uses a sum of distinct
-    * powers of two < 2^32 — exact in BIGINT, no sign-bit traps. */
+    * powers of two < 2^32 — exact in BIGINT, no sign-bit traps.
+    *
+    * This is the LIVE builder plan — serving goes through the
+    * [[BinaryIndex]] `idx_binary` artifact (round-16 verdict item 1:
+    * recomputing the codes in-plan per query defeats the tier's whole
+    * 16×-less-bandwidth point; at 100 TB codes are packed once and
+    * every query scans only the code table). Kept callable as the
+    * sentinel twin: construction is deterministic, so artifact reads
+    * are bit-identical to this recompute. Two packed words ⇒ dims ≤ 64
+    * assumed here; the builder asserts it loudly (a wider corpus would
+    * otherwise silently drop high bits from both engines' codes). */
   private[operators] def binaryWords(s: org.apache.spark.sql.SparkSession,
                                      d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
@@ -1101,7 +1111,7 @@ object SimilarityQueries {
        |  FROM (SELECT * FROM w WHERE vec_id < 10) q
        |  JOIN w c ON c.vec_id <> q.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    hammingTopK(binaryWords(s, d), 5).orderBy("query_id", "rank")
+    hammingTopK(BinaryIndex.words(s, d), 5).orderBy("query_id", "rank")
   }
 
   /** Binary-shortlist + exact rescoring — the production binary-
@@ -1132,7 +1142,7 @@ object SimilarityQueries {
        |  JOIN v q ON q.vec_id = s.query_id
        |  JOIN v c ON c.vec_id = s.neighbor_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val short = hammingTopK(binaryWords(s, d), binaryRerankK)
+    val short = hammingTopK(BinaryIndex.words(s, d), binaryRerankK)
       .select("query_id", "neighbor_id")
     val v = Tables.embeddings(s, d).select("vec_id", "embedding")
     val win = Window.partitionBy("query_id")
@@ -1274,6 +1284,51 @@ object KnnIndex {
       IndexCatalog.persistBucketedTable(
         SimilarityQueries.knnEdgesPlan(s, d), dir, table, 8,
         Seq("vec_a"), Seq("rank"), idCols = Seq("vec_a", "vec_b"))
+    }
+    s.table(table)
+  }
+}
+
+/** Persisted binary-code artifact (round-16 verdict item 1): the packed
+  * sign-bit words are trained data exactly like [[IvfIndex]]'s
+  * assignments — derived once per corpus, consumed by every query in
+  * the tier. Without it, all four `q_ann_binary*` queries re-ran the
+  * posexplode + two hash-aggs construction per execution, which both
+  * tripped the bench regression gate (2.28×) and inverted the tier's
+  * 100 TB value proposition: the point of 1-bit codes is that queries
+  * scan 16×-smaller PRECOMPUTED codes while the float corpus stays
+  * cold. Bucketing on vec_id gives the Hamming candidate join a
+  * statistics-bearing, exchange-free scan side. Deterministic
+  * construction (midrange thresholds are order-independent; packing is
+  * an integer sum) keeps artifact reads bit-identical to a recompute,
+  * so the DuckDB oracles replay construction and still hash-match, and
+  * the ArtifactSentinel check ([[SentinelChecks]] `ann_binary_codes`)
+  * audits served-vs-live bytes per gate run. */
+object BinaryIndex {
+  import graft.sources.IndexCatalog
+
+  private def binaryKey(d: String) = s"binary_${IndexCatalog.tag(d)}"
+
+  /** Build (first caller only) and read the packed-code table
+    * (vec_id, w0, w1). */
+  def words(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bkey = binaryKey(d)
+    val table = IndexCatalog.tableName(bkey)
+    IndexCatalog.ensure(s, bkey, inputs = Seq(d),
+        owners = Seq(SimilarityQueries.getClass, BinaryIndex.getClass,
+          graft.Tables.getClass,
+          graft.sources.BucketedTableSink.getClass)) { dir =>
+      // Two packed words hold 64 sign bits: a wider corpus would have
+      // its high dims silently dropped from BOTH the Spark and oracle
+      // codes (corrupted Hamming distances, no error) — fail loudly
+      // here, once per build, instead (round-16 advice).
+      val maxDim = Tables.embeddings(s, d)
+        .agg(max(size(col("embedding")))).head().getInt(0)
+      require(maxDim <= 64,
+        s"binary tier packs 2×32-bit words (≤64 dims); corpus has $maxDim")
+      IndexCatalog.persistBucketedTable(
+        SimilarityQueries.binaryWords(s, d), dir, table, 8,
+        Seq("vec_id"), idCols = Seq("vec_id"))
     }
     s.table(table)
   }
