@@ -57,6 +57,7 @@ object IndexBuilds {
     "idx_blob_chunks"   -> ((s, d) => { BlobQueries.chunkTable(s, d); () }),
     "idx_boilerplate"   -> ((s, d) => { BoilerplateQueries.boilerplateDir(s, d); () }),
     "idx_dsir_weights"  -> ((s, d) => { DsirQueries.weightsTable(s, d); () }),
+    "idx_v2_manifest"   -> ((s, d) => { V2ManifestIndex.manifest(s, d); () }),
     "idx_avro_docs"     -> ((s, d) => { SourceQueries.avroDocsFixture(s, d); () }),
     "idx_avro_vecs"     -> ((s, d) => { SourceQueries.avroVecsFixture(s, d); () }))
 }

@@ -87,8 +87,11 @@ object PipelineV2Queries {
   /** The shared CTE prefix ending in `lvl(doc_id, source, raw_toks,
     * kept, w_ppm, level)` — the oracle twin of [[survivorFrame]],
     * consumed by both the funnel accounting ([[corpusPipelineV2]]) and
-    * the epoch-schedule composition ([[corpusSchedule]]). */
-  private def lvlCtes: String = {
+    * the epoch-schedule composition ([[corpusSchedule]]). `pareto`
+    * swaps stage 5's pool admission from the DSIR sign threshold to
+    * the trained classifier's Pareto gate
+    * ([[QualityClassifierQueries.paretoPoolSql]]). */
+  private def lvlCtes(pareto: Boolean = false): String = {
     val kn = LangModelQueries.knCtes.stripPrefix("WITH ")
     val sg = BoilerplateQueries.SegWords
     val md = BoilerplateQueries.MinDocs
@@ -150,7 +153,9 @@ object PipelineV2Queries {
        |sel AS (
        |  SELECT doc_id FROM documents
        |  WHERE source IN (${DsirQueries.TargetSrcs.map(s => s"'$s'").mkString(", ")})
-       |  UNION ALL SELECT doc_id FROM d_wts WHERE weight_bits > 0
+       |  UNION ALL ${
+           if (pareto) QualityClassifierQueries.paretoPoolSql("d_wts")
+           else "SELECT doc_id FROM d_wts WHERE weight_bits > 0"}
        |),
        |lvl AS (
        |  SELECT d.doc_id, d.source, CAST(len($W) AS BIGINT) AS raw_toks,
@@ -175,8 +180,9 @@ object PipelineV2Queries {
        |)""".stripMargin
   }
 
-  private def funnelSql: String =
-    s"""WITH RECURSIVE $lvlCtes,
+  private def funnelSql(pareto: Boolean = false): String = {
+    val s5 = if (pareto) "5_pareto" else "5_dsir"
+    s"""WITH RECURSIVE ${lvlCtes(pareto)},
        |stages AS (
        |  SELECT '0_raw' AS stage, count(*) AS n_docs,
        |    CAST(sum(raw_toks) AS BIGINT) AS toks,
@@ -189,7 +195,7 @@ object PipelineV2Queries {
        |    CAST(sum(kept) AS BIGINT) FROM lvl WHERE level >= 3
        |  UNION ALL SELECT '4_softdedup', count(*), CAST(sum(kept) AS BIGINT),
        |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 3
-       |  UNION ALL SELECT '5_dsir', count(*), CAST(sum(kept) AS BIGINT),
+       |  UNION ALL SELECT '$s5', count(*), CAST(sum(kept) AS BIGINT),
        |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 4
        |  UNION ALL SELECT '6_train_split', count(*), CAST(sum(kept) AS BIGINT),
        |    CAST(sum(kept * w_ppm // 1000000) AS BIGINT) FROM lvl WHERE level >= 6
@@ -202,6 +208,7 @@ object PipelineV2Queries {
        |  FROM lvl
        |)
        |SELECT stage, n_docs, toks, eff_toks FROM stages ORDER BY stage""".stripMargin
+  }
 
   /** Gopher quality verdict over a CLEANED segment stream (doc_id, seg):
     * word-grain stats (count, max repetition, char mass, stopword and
@@ -234,9 +241,13 @@ object PipelineV2Queries {
     * cluster, level) — the v2 pipeline's doc-grain core, shared by the
     * funnel query, `CorpusPipeline.manifestV2`, and CorpusPipelineSpec's
     * cross-consistency pins. Levels: 0 excision-dropped, 1 quality-
-    * failed, 2 LM-band-failed, 3 DSIR-rejected, 5 survivor (val/test),
-    * 6 train survivor. */
-  private[graft] def survivorFrame(s: SparkSession, d: String): DataFrame = {
+    * failed, 2 LM-band-failed, 3 admission-rejected, 5 survivor
+    * (val/test), 6 train survivor. `pareto` swaps stage 5's pool
+    * admission from the DSIR sign threshold to the trained
+    * classifier's Pareto gate — same frozen weights artifact, a
+    * different admission dial over it. */
+  private[graft] def survivorFrame(s: SparkSession, d: String,
+                                   pareto: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     val bpDir = BoilerplateQueries.boilerplateDir(s, d)
     val kept = s.read.parquet(s"$bpDir/excised")
@@ -262,10 +273,15 @@ object PipelineV2Queries {
     // soft dedup weights from the persisted keep-list's cluster labels
     val kl = DedupQueries.lshKeepList(s, d).select("doc_id", "cluster")
     val cs = kl.groupBy("cluster").agg(count(lit(1)).as("csize"))
-    // DSIR threshold admission from the persisted weights
+    // pool admission from the persisted weights: DSIR sign threshold
+    // by default, the classifier's Pareto gate under the variant dial
+    val pool =
+      if (pareto)
+        QualityClassifierQueries.paretoPoolFrame(DsirQueries.weightsTable(s, d))
+      else DsirQueries.weightsTable(s, d)
+        .filter(col("weight_bits") > 0).select(col("doc_id"))
     val sel = docs.filter(DsirQueries.isTarget).select(col("doc_id"))
-      .union(DsirQueries.weightsTable(s, d)
-        .filter(col("weight_bits") > 0).select(col("doc_id")))
+      .union(pool)
       .select(col("doc_id"), lit(true).as("sel_ok"))
     docs
       .select(col("doc_id"), col("source"),
@@ -290,10 +306,10 @@ object PipelineV2Queries {
           .otherwise(6).as("level"))
   }
 
-  /** The audited v2 funnel: 8 stage rows of (n_docs, kept tokens,
-    * weighted effective tokens). */
-  val corpusPipelineV2: Q = Q("q_corpus_pipeline_v2", funnelSql) { (s, d) =>
-    val lvl = survivorFrame(s, d)
+  /** Funnel accounting over a survivor frame: 8 stage rows of (n_docs,
+    * kept tokens, weighted effective tokens), stage 5 labeled by the
+    * admission dial in force. */
+  private def funnelFrame(lvl: DataFrame, stage5: String): DataFrame = {
     def cnt(k: Int) = sum(when(col("level") >= k, 1L).otherwise(0L))
     def tk(k: Int) = sum(when(col("level") >= k, col("kept")).otherwise(0L))
     def ef(k: Int) = sum(when(col("level") >= k,
@@ -312,12 +328,36 @@ object PipelineV2Queries {
          |  '2_quality', n2, t2, t2,
          |  '3_lm_band', n3, t3, t3,
          |  '4_softdedup', n3, t3, e3,
-         |  '5_dsir', n4, t4, e4,
+         |  '$stage5', n4, t4, e4,
          |  '6_train_split', n6, t6, e6,
          |  '7_packed', (t6 + ${SeqLen - 1}) div $SeqLen, t6, e6
          |) AS (stage, n_docs, toks, eff_toks)""".stripMargin))
       .orderBy("stage")
   }
+
+  /** The audited v2 funnel: 8 stage rows of (n_docs, kept tokens,
+    * weighted effective tokens). */
+  val corpusPipelineV2: Q = Q("q_corpus_pipeline_v2", funnelSql()) { (s, d) =>
+    funnelFrame(survivorFrame(s, d), "5_dsir")
+  }
+
+  /** The v2 funnel under the ALTERNATIVE admission dial (round-16
+    * verdict item 5): stage 5 admits pool documents by the trained
+    * quality classifier's Pareto gate
+    * ([[QualityClassifierQueries]] — GPT-3/PaLM's stochastic
+    * target-vs-crawl filter) instead of DSIR's sign threshold. Both
+    * dials consume the SAME frozen `dsir_weights` artifact, so this
+    * variant prices the policy choice alone: the threshold keeps every
+    * more-target-than-raw document; Pareto keeps all of the certain
+    * top but lets a deterministic-md5 "lucky" fraction of low scorers
+    * through (so the kept set doesn't collapse onto the target
+    * distribution). Downstream stages (leak-free split, packing
+    * arithmetic) are unchanged — one executable funnel per dial, both
+    * oracle-checked, hash-divergent only at stages ≥ 5. */
+  val corpusPipelinePareto: Q =
+    Q("q_corpus_pipeline_pareto", funnelSql(pareto = true)) { (s, d) =>
+      funnelFrame(survivorFrame(s, d, pareto = true), "5_pareto")
+    }
 
   /** Quality-vs-quantity sweep — the data-recipe curve behind every
     * threshold choice (the "how much do we lose if we filter harder"
@@ -422,17 +462,78 @@ object PipelineV2Queries {
     * [[CorpusQueries.epochScheduleFrame]] on the persisted table), so
     * the funnel runs once and the double-consumption hits a parquet
     * read, not the join tree. */
-  val corpusSchedule: Q = Q(
-    "q_corpus_schedule",
-    s"""WITH RECURSIVE $lvlCtes,
+  private def scheduleSql: String =
+    s"""WITH RECURSIVE ${lvlCtes()},
        |pd AS (
        |  SELECT doc_id, source, kept * w_ppm // 1000000 AS dtoks
        |  FROM lvl WHERE level >= 6
        |),
-       |${CorpusQueries.epochTailSql}""".stripMargin) { (s, d) =>
+       |${CorpusQueries.epochTailSql}""".stripMargin
+
+  val corpusSchedule: Q = Q("q_corpus_schedule", scheduleSql) { (s, d) =>
     CorpusQueries.epochScheduleFrame(
       survivorFrame(s, d).filter(col("level") >= 6)
         .select(col("doc_id"), col("source"),
           expr("kept * w_ppm div 1000000").as("dtoks")))
+  }
+
+  /** The PRODUCTION form of [[corpusSchedule]] (round-16 verdict item
+    * 4): the schedule kernel over the PERSISTED v2 manifest
+    * ([[V2ManifestIndex]]) instead of the self-contained survivor join
+    * tree. The self-contained form above stays registered for oracle
+    * honesty — it proves the composition from raw tables — but its
+    * kernel consumes the per-doc frame twice, so it pays ~2 funnel
+    * passes per run (2.83 s at sf0.1, the bench's worst server). Here
+    * the funnel runs ONCE into the manifest artifact and both kernel
+    * consumptions hit a pruned parquet read (`split=train` directory),
+    * which is what a trainer deploys. Same oracle SQL: the manifest's
+    * train slice is exactly the level-6 survivors with their effective
+    * token mass, so the served schedule is row-identical to the
+    * self-contained one (CorpusPipelineSpec pins this equality). */
+  val corpusScheduleServed: Q = Q("q_corpus_schedule_served", scheduleSql) {
+    (s, d) =>
+      graft.pipeline.CorpusPipeline.epochSchedule(
+        V2ManifestIndex.manifest(s, d))
+  }
+}
+
+/** Persisted v2-manifest artifact: the curate→weight pipeline's output
+  * table (doc_id, source, split, shard, toks, weight_ppm), built once
+  * per corpus by [[graft.pipeline.CorpusPipeline.manifestV2]] and
+  * served to every downstream consumer (epoch schedule, sequence
+  * chunking, per-split accounting). At 100 TB the funnel is a
+  * multi-hour job; its consumers must read a table, not re-run the
+  * join tree. Written `partitionBy(split)` so the train-slice readers
+  * prune at the directory level. Deterministic construction (md5
+  * gates, integer weights, seeded packing) keeps artifact reads
+  * bit-identical to a recompute — the [[SentinelChecks]]
+  * `v2_manifest` byte check audits exactly that per gate run. */
+object V2ManifestIndex {
+  import graft.sources.IndexCatalog
+
+  /** Transitive owners: the funnel composes boilerplate excision, the
+    * Gopher rules, the KN band, LSH soft-dedup, DSIR admission and the
+    * shard packer — an edit to ANY of those changes manifest bytes. */
+  private val v2mOwners: Seq[Class[_]] = Seq(
+    PipelineV2Queries.getClass, graft.pipeline.CorpusPipeline.getClass,
+    ShardPacking.getClass, BoilerplateQueries.getClass,
+    LangModelQueries.getClass, DedupQueries.getClass,
+    DedupResolve.getClass, DsirQueries.getClass,
+    graft.Tables.getClass, graft.functions.TextFunctions.getClass,
+    classOf[graft.plans.WordShingles], classOf[graft.plans.MinHashes],
+    classOf[graft.plans.MinHashBands])
+
+  private def v2mKey(d: String) = s"v2manifest_${IndexCatalog.tag(d)}"
+
+  /** Build (first caller only) and read the manifest table. */
+  def manifest(s: SparkSession, d: String): DataFrame = {
+    val dir = IndexCatalog.ensure(s, v2mKey(d), inputs = Seq(d),
+        owners = v2mOwners) { dir =>
+      graft.pipeline.CorpusPipeline.manifestV2(s, d)
+        .write.mode("overwrite").partitionBy("split")
+        .parquet(s"$dir/manifest")
+      IndexCatalog.declareIds("path", "manifest", Seq("doc_id"))
+    }
+    s.read.parquet(s"$dir/manifest")
   }
 }

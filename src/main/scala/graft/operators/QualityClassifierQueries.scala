@@ -84,6 +84,27 @@ object QualityClassifierQueries {
   private def hexU8 = DsirQueries.hexU8(
     "md5('qclf|' || CAST(doc_id AS VARCHAR))")
 
+  /** DuckDB twin of the Pareto POOL admission as a doc_id set over a
+    * DSIR weights CTE named `wtsName` — the fragment
+    * [[PipelineV2Queries]]'s Pareto funnel variant splices where the
+    * threshold funnel has `WHERE weight_bits > 0`, so the gate
+    * arithmetic lives in exactly one place per engine. */
+  private[operators] def paretoPoolSql(wtsName: String): String =
+    s"""SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      greatest(-100, least(100,
+       |        (100 * weight_bits + 6400 * n_tokens) // n_tokens - 6400))
+       |        AS score_pct
+       |    FROM $wtsName) pq
+       |  WHERE $hexU8
+       |      * (300 - score_pct) * (300 - score_pct) * (300 - score_pct)
+       |      < $ParetoRhs""".stripMargin
+
+  /** Spark twin of [[paretoPoolSql]]: the admitted doc_ids of a DSIR
+    * weights frame under the Pareto gate. */
+  private[operators] def paretoPoolFrame(w: DataFrame): DataFrame =
+    classify(w).filter(col("admitted")).select(col("doc_id"))
+
   private def scoredCtes: String =
     s"""${DsirQueries.scoreCtes},
        |qsc AS (

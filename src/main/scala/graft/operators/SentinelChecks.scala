@@ -21,6 +21,8 @@ import graft.sources.IndexCatalog.tag
   *    the WHOLE code table; a stale tail row can stay out of every top-k
   *    (green gate) while silently mis-shortlisting, so the byte check is
   *    the only attributable audit;
+  *  - `v2manifest`          → `q_corpus_schedule_served` aggregates the
+  *    whole train slice into the epoch schedule;
   *  - `winnow_fp`           → the root of the winnow chain: topk/partners
   *    live plans RECOMPUTE FROM IT, so only a direct sentinel vs the
   *    corpus-level plan can catch it stale;
@@ -59,6 +61,10 @@ object SentinelChecks {
       d => s"binary_${tag(d)}",
       (s, d) => BinaryIndex.words(s, d),
       (s, d) => SimilarityQueries.binaryWords(s, d)),
+    Check("v2_manifest",
+      d => s"v2manifest_${tag(d)}",
+      (s, d) => V2ManifestIndex.manifest(s, d),
+      (s, d) => graft.pipeline.CorpusPipeline.manifestV2(s, d)),
     Check("winnow_fp",
       d => s"winnow_fp_${tag(d)}",
       (s, d) => WinnowQueries.fingerprintTable(s, d),

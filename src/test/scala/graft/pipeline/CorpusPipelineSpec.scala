@@ -200,5 +200,13 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(viaManifest.exceptAll(direct).isEmpty &&
       direct.exceptAll(viaManifest).isEmpty,
       "manifest-served schedule diverges from the self-contained query")
+
+    // the REGISTERED artifact-served query (reads the idx_v2_manifest
+    // catalog artifact, not a fresh manifestV2 plan) matches too
+    val served = graft.operators.PipelineV2Queries.corpusScheduleServed
+      .run(spark, sf0001)
+    assert(served.exceptAll(direct).isEmpty &&
+      direct.exceptAll(served).isEmpty,
+      "artifact-served schedule diverges from the self-contained query")
   }
 }
