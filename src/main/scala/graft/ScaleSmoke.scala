@@ -238,7 +238,15 @@ object ScaleSmoke {
       "q_corpus_pipeline_v2",
       // round-16: the markup tier starts from raw text (no artifacts),
       // so its growth curve measures the wrap+extract pass cleanly
-      "q_html_extract")
+      "q_html_extract",
+      // round-17 (r16 verdict item 6): the binary tier's growth curve —
+      // now artifact-served, so cold absorbs the pack build and the min
+      // measures the Hamming-shortlist + exact-rescore serve (expected
+      // ~linear in corpus: one code-table scan per bounded query batch);
+      // and the layout audits — q_zorder_prune is two metadata hash-aggs
+      // over the assignment map (expected ~linear in rows), the curve
+      // comparison adds the Hilbert/seam passes over the same map
+      "q_ann_binary_rerank", "q_zorder_prune", "q_curve_compare")
     val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
     require(unknownGrowth.isEmpty,
       s"smoke growth list names unknown queries: $unknownGrowth")

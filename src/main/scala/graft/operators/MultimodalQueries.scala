@@ -673,19 +673,27 @@ object MultimodalQueries {
   /** The JOINT multimodal dedup verdict — the multimodal twin of
     * `q_dedup_verdict`: for every document in the multimodal slice, the
     * final keep decision folding the text gate (MinHash-LSH connected
-    * components), the image gate (perceptual-hash cluster keeper), and
-    * the audio gate (band-energy fingerprint keeper), with the cheapest
-    * failing gate attributed (text > image > audio precedence — the
+    * components), the image gate (perceptual-hash cluster keeper), the
+    * audio gate (band-energy fingerprint keeper), and the VIDEO gate
+    * (round-16 verdict item 7 — the GIF frame signatures joined the
+    * contamination audit a round before the release verdict; now both
+    * consume them): two animations are duplicates iff their sampled
+    * frame-hash SEQUENCES are identical (frame-order-preserving concat
+    * of per-frame aHashes — a doc-grain signature from the frame-grain
+    * artifact), keeper = min doc_id per sequence. The cheapest failing
+    * gate is attributed (text > image > audio > video precedence — the
     * order a staged pipeline evaluates them). A real release pipeline
     * runs exactly this fold: a document survives only if no modality
     * marks it a duplicate.
     *
-    * Serving composes three PERSISTED artifacts ([[DedupQueries
-    * .lshKeepList]], [[phashFrame]], [[wavPhashFrame]]) with plain
-    * doc_id equi-joins — nothing re-pairs, nothing decodes; at 100 TB
-    * this is three artifact joins over the slice, corpus-linear. The
-    * oracle replays all three signature chains (LSH + recursive
-    * components, pixel aHash, PCM band-energy hash) end to end. */
+    * Serving composes four PERSISTED artifacts ([[DedupQueries
+    * .lshKeepList]], [[phashFrame]], [[wavPhashFrame]],
+    * [[gifFrameTable]]) with plain doc_id equi-joins plus one
+    * doc-grain hash-agg over the frame rows — nothing re-pairs,
+    * nothing decodes; at 100 TB this is four artifact joins over the
+    * slice, corpus-linear. The oracle replays all four signature
+    * chains (LSH + recursive components, pixel aHash, PCM band-energy
+    * hash, per-frame GIF aHash closed form) end to end. */
   val mmVerdict = Q(
     "q_mm_verdict",
     s"""WITH RECURSIVE ${DedupQueries.lshCtes},
@@ -700,18 +708,37 @@ object MultimodalQueries {
       |), wkeep AS (
       |  SELECT doc_id,
       |    doc_id = min(doc_id) OVER (PARTITION BY phash) AS k FROM whash
+      |), vfr AS (
+      |  SELECT doc_id, frame_idx,
+      |    repeat('1', CAST(8 + (doc_id + frame_idx) % 48 AS INTEGER)) ||
+      |    repeat('0', CAST(56 - (doc_id + frame_idx) % 48 AS INTEGER)) AS ahash
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(unnest(range(0, 2 + doc_id % 3)) AS INTEGER) AS frame_idx
+      |    FROM documents WHERE doc_id < 500)
+      |  WHERE frame_idx % 2 = 0
+      |), vsig AS (
+      |  SELECT doc_id, string_agg(ahash, '|' ORDER BY frame_idx) AS vh
+      |  FROM vfr GROUP BY doc_id
+      |), vkeep AS (
+      |  SELECT doc_id,
+      |    doc_id = min(doc_id) OVER (PARTITION BY vh) AS k FROM vsig
       |)
       |SELECT d.doc_id,
       |  d.doc_id NOT IN (SELECT id FROM tdrop) AS text_keep,
       |  ik.k AS image_keep,
       |  wk.k AS audio_keep,
-      |  (d.doc_id NOT IN (SELECT id FROM tdrop) AND ik.k AND wk.k) AS keep,
+      |  vk.k AS video_keep,
+      |  (d.doc_id NOT IN (SELECT id FROM tdrop)
+      |    AND ik.k AND wk.k AND vk.k) AS keep,
       |  CASE WHEN d.doc_id IN (SELECT id FROM tdrop) THEN 'text'
       |       WHEN NOT ik.k THEN 'image'
+      |       WHEN NOT vk.k THEN 'video'
       |       WHEN NOT wk.k THEN 'audio' ELSE 'kept' END AS dropped_by
       |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
       |JOIN ikeep ik ON ik.doc_id = d.doc_id
       |JOIN wkeep wk ON wk.doc_id = d.doc_id
+      |JOIN vkeep vk ON vk.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     // one shared election rule ([[hashKeepers]], sentinel-excluding);
     // a doc whose payload produced no valid signature cannot be a
@@ -721,19 +748,32 @@ object MultimodalQueries {
       hashKeepers(hashes).select(col("doc_id"), col("keep").as(name))
     val tdrop = DedupQueries.lshKeepList(s, d).filter(!col("keep"))
       .select(col("doc_id"), lit(true).as("tdropped"))
+    // doc-grain video signature: frame-order-preserving concat of the
+    // artifact's per-frame hashes (array_sort on (frame_idx, ahash)
+    // structs orders by the leading field)
+    val vsig = gifFrameTable(s, d)
+      .groupBy("doc_id")
+      .agg(expr("""array_join(
+                  |  transform(
+                  |    array_sort(collect_list(struct(frame_idx, ahash))),
+                  |    x -> x.ahash), '|')""".stripMargin).as("phash"))
     Tables.documents(s, d).filter(col("doc_id") < 500).select("doc_id")
       .join(tdrop, Seq("doc_id"), "left")
       .join(keepOf(phashFrame(s, d), "image_keep"), Seq("doc_id"), "left")
       .join(keepOf(wavPhashFrame(s, d), "audio_keep"), Seq("doc_id"), "left")
+      .join(keepOf(vsig, "video_keep"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("tdropped").isNull.as("text_keep"),
         coalesce(col("image_keep"), lit(true)).as("image_keep"),
-        coalesce(col("audio_keep"), lit(true)).as("audio_keep"))
+        coalesce(col("audio_keep"), lit(true)).as("audio_keep"),
+        coalesce(col("video_keep"), lit(true)).as("video_keep"))
       .withColumn("keep",
-        col("text_keep") && col("image_keep") && col("audio_keep"))
+        col("text_keep") && col("image_keep") && col("audio_keep") &&
+          col("video_keep"))
       .withColumn("dropped_by",
         when(!col("text_keep"), "text")
           .when(!col("image_keep"), "image")
+          .when(!col("video_keep"), "video")
           .when(!col("audio_keep"), "audio")
           .otherwise("kept"))
       .orderBy("doc_id")

@@ -93,6 +93,10 @@ class PlanHygieneSpec extends SparkSpec {
     // the same epoch-schedule kernel composed over the v2 funnel's
     // artifact-served survivor frame
     "q_corpus_schedule",
+    // the same kernel over the persisted v2-manifest artifact's train
+    // slice (the production serving path) — same ONE-row totals +
+    // |sources|-row targets shape
+    "q_corpus_schedule_served",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
@@ -296,6 +300,7 @@ class PlanHygieneSpec extends SparkSpec {
       "q_mixture_sample" -> "≤|sources|-row targets frame (source alphabet)",
       "q_mixture_epochs" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_schedule" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_corpus_schedule_served" -> "≤|sources|-row targets frame (source alphabet)",
       "q_pack_shards" -> "fixed-count pack-bucket offsets frame",
       "q_trained_langid" -> "≤|langs|-row totals frame (label alphabet)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -39,17 +39,21 @@ class MultimodalSpec extends SparkSpec {
     val rows = MultimodalQueries.mmVerdict.run(spark, sf0001).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val (tk, ik, ak, keep, by) = (r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3), r.getBoolean(4), r.getString(5))
-      assert(keep == (tk && ik && ak), s"fold mismatch at ${r.getLong(0)}")
-      // attribution = first failing gate in text > image > audio order
+      val (tk, ik, ak, vk, keep, by) = (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getString(6))
+      assert(keep == (tk && ik && ak && vk),
+        s"fold mismatch at ${r.getLong(0)}")
+      // attribution = first failing gate, text > image > video > audio
+      // (pixel-derived gates adjacent; audio last)
       val want = if (!tk) "text" else if (!ik) "image"
-                 else if (!ak) "audio" else "kept"
+                 else if (!vk) "video" else if (!ak) "audio" else "kept"
       assert(by == want, s"attribution mismatch at ${r.getLong(0)}")
     }
-    // non-vacuous: the corpus actually drops docs via at least the
-    // image gate (398/500 images dedup), and keeps at least one doc
-    assert(rows.exists(_.getString(5) == "image"))
-    assert(rows.exists(_.getString(5) == "kept"))
+    // non-vacuous: the corpus drops docs via the image, video AND
+    // audio gates, and keeps at least one doc
+    assert(rows.exists(_.getString(6) == "image"))
+    assert(rows.exists(_.getString(6) == "video"))
+    assert(rows.exists(_.getString(6) == "audio"))
+    assert(rows.exists(_.getString(6) == "kept"))
   }
 }

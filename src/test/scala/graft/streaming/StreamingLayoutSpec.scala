@@ -21,14 +21,26 @@ class StreamingLayoutSpec extends SparkSpec {
       ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .toMap
 
-  test("out-of-order replay reproduces the batch layout stats; " +
-    "re-ingest never double-counts") {
+  /** Ledger seeded once per suite run (lazy fixture, the
+    * StreamingAdmissionSpec model): each test forces it, so either
+    * test runs green in isolation and no test reads a stale /tmp
+    * ledger from an older code version (round-16 advice — the
+    * late-arrival test used to depend on the replay test having run
+    * first in the same JVM). */
+  private lazy val seeded: Unit = {
     cleanup()
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "source", "text")
     LayoutStreams.assignBatch(docs.filter(col("doc_id") % 3 === 1), 0L, outD)
     LayoutStreams.assignBatch(docs.filter(col("doc_id") % 3 === 2), 1L, outD)
     LayoutStreams.assignBatch(docs.filter(col("doc_id") % 3 === 0), 2L, outD)
+  }
+
+  test("out-of-order replay reproduces the batch layout stats; " +
+    "re-ingest never double-counts") {
+    seeded
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text")
 
     val got = statsMap(LayoutStreams.layoutStats(spark, outD))
     val want = statsMap(
@@ -42,6 +54,7 @@ class StreamingLayoutSpec extends SparkSpec {
   }
 
   test("late arrivals only widen or keep each file's bounding ranges") {
+    seeded
     val before = statsMap(LayoutStreams.layoutStats(spark, outD))
     // synthetic late doc: lands in some cell, must only widen it
     val late = Seq((990001L, "srcX", (1 to 500).map(i => s"w$i").mkString(" ")))
