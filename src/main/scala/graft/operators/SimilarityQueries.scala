@@ -1040,14 +1040,27 @@ object SimilarityQueries {
                                      d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val dims = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
-    val stats = dims.groupBy("pos")
+    packWords(v, binaryThresholdRow(v))
+  }
+
+  /** Per-dim midrange thresholds of a (vec_id, e) corpus as ONE
+    * pos-ordered array row — the binary tier's trained "model"
+    * (broadcast onto the packing scan, never collected). Shared by
+    * [[binaryWords]] and [[graft.streaming.CodeStreams]]'s frozen
+    * threshold model so the two cannot drift. */
+  private[graft] def binaryThresholdRow(v: DataFrame): DataFrame =
+    v.select(posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("pos")
       .agg(((min("x") + max("x")) / 2).as("t"))
-    // one row: pos-ordered midrange thresholds — broadcast, not collect
-    val thrRow = stats.agg(
-      expr("transform(array_sort(collect_list(struct(pos, t))), s -> s.t)")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, t))), s -> s.t)")
         .as("ts"))
-    dims.crossJoin(broadcast(thrRow))
+
+  /** Pack a (vec_id, e) frame into (vec_id, w0, w1) sign-bit words
+    * against a 1-row thresholds frame — the kernel shared by the batch
+    * builder and the pack-on-arrival twin. */
+  private[graft] def packWords(v: DataFrame, thrRow: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+      .crossJoin(broadcast(thrRow))
       .select(col("vec_id"), expr("pos div 32").as("word"),
         when(col("x") > element_at(col("ts"), col("pos") + 1),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
@@ -1055,7 +1068,6 @@ object SimilarityQueries {
       .groupBy("vec_id")
       .agg(sum(when(col("word") === 0, col("bit")).otherwise(0L)).as("w0"),
            sum(when(col("word") === 1, col("bit")).otherwise(0L)).as("w1"))
-  }
 
   /** Oracle twin of [[binaryWords]]: CTEs ending in `w(vec_id, w0, w1)`.
     * generate_subscripts is 1-based, so word/shift use (pos-1). */
