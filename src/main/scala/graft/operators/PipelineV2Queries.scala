@@ -515,6 +515,7 @@ object V2ManifestIndex {
     * Gopher rules, the KN band, LSH soft-dedup, DSIR admission and the
     * shard packer — an edit to ANY of those changes manifest bytes. */
   private val v2mOwners: Seq[Class[_]] = Seq(
+    V2ManifestIndex.getClass,
     PipelineV2Queries.getClass, graft.pipeline.CorpusPipeline.getClass,
     ShardPacking.getClass, BoilerplateQueries.getClass,
     LangModelQueries.getClass, DedupQueries.getClass,
@@ -525,15 +526,30 @@ object V2ManifestIndex {
 
   private def v2mKey(d: String) = s"v2manifest_${IndexCatalog.tag(d)}"
 
-  /** Build (first caller only) and read the manifest table. */
+  /** Build (first caller only) and read the manifest table. A schema
+    * sidecar is written next to the data: a corpus the funnel rejects
+    * WHOLESALE (the 10× near-dup smoke corpus — every replica segment
+    * becomes boilerplate, every doc excises to zero) yields an EMPTY
+    * manifest, and an empty partitioned parquet dir has no footer to
+    * infer from; the declared schema keeps the artifact readable so
+    * downstream consumers see zero rows, not an error. */
   def manifest(s: SparkSession, d: String): DataFrame = {
     val dir = IndexCatalog.ensure(s, v2mKey(d), inputs = Seq(d),
         owners = v2mOwners) { dir =>
-      graft.pipeline.CorpusPipeline.manifestV2(s, d)
-        .write.mode("overwrite").partitionBy("split")
+      val m = graft.pipeline.CorpusPipeline.manifestV2(s, d)
+      m.write.mode("overwrite").partitionBy("split")
         .parquet(s"$dir/manifest")
+      val p = new org.apache.hadoop.fs.Path(dir, "manifest_schema.ddl")
+      val out = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(p, true)
+      try out.write(m.schema.toDDL.getBytes("UTF-8")) finally out.close()
       IndexCatalog.declareIds("path", "manifest", Seq("doc_id"))
     }
-    s.read.parquet(s"$dir/manifest")
+    val p = new org.apache.hadoop.fs.Path(dir, "manifest_schema.ddl")
+    val in = p.getFileSystem(s.sparkContext.hadoopConfiguration).open(p)
+    val ddl =
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(s"$dir/manifest")
   }
 }
