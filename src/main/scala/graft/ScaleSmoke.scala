@@ -202,7 +202,13 @@ object ScaleSmoke {
       // schedule (funnel artifacts + one agg + bounded window), and
       // the artifact-pair threshold sweep (one conditional-sum pass)
       "q_zorder_layout", "q_zorder_prune", "q_corpus_schedule",
-      "q_filter_sweep", "q_hilbert_layout", "q_curve_compare")
+      "q_filter_sweep", "q_hilbert_layout", "q_curve_compare",
+      // round-17: the manifest-served schedule (artifact read + the
+      // bounded kernel — expected flat-ish; on THIS corpus the funnel
+      // rejects everything, so it also proves the zero-survivor path
+      // serves instead of erroring) and the Pareto-admission funnel
+      // (a second full funnel pass — the v2 growth shape)
+      "q_corpus_schedule_served", "q_corpus_pipeline_pareto")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
