@@ -846,7 +846,12 @@ object CorpusQueries {
     * mass are excluded — there is nothing to schedule and the epoch
     * ratio would divide by zero. */
   // lazy: referenced by mixtureEpochs' earlier val initializer
-  private[operators] lazy val epochTailSql: String =
+  /** Shared oracle core for the epoch kernel's two tails: per-source
+    * totals, α = 3/4 targets, and the md5-gate-ordered per-doc prefix
+    * cumsum `c(source, doc_id, dtoks, cum)` — the SELECT the schedule
+    * tail aggregates and the draws tail emits. One text, so the two
+    * surfaces cannot disagree about what "drawn" means. */
+  private[operators] lazy val epochCoreCtes: String =
     s"""src AS (
        |  SELECT source, CAST(sum(dtoks) AS BIGINT) AS toks
        |  FROM pd GROUP BY source HAVING CAST(sum(dtoks) AS BIGINT) > 0
@@ -869,11 +874,14 @@ object CorpusQueries {
        |    md5('sample|' || CAST(doc_id AS VARCHAR)) AS gate
        |  FROM pd
        |), c AS (
-       |  SELECT source, dtoks,
+       |  SELECT source, doc_id, dtoks,
        |    CAST(sum(dtoks) OVER (PARTITION BY source ORDER BY gate, doc_id
        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM gt
-       |), rem AS (
+       |)""".stripMargin
+
+  private[operators] lazy val epochTailSql: String =
+    s"""$epochCoreCtes, rem AS (
        |  SELECT c.source, count(*) AS partial_docs,
        |    CAST(sum(c.dtoks) AS BIGINT) AS partial_tokens
        |  FROM c JOIN tgt ON tgt.source = c.source
@@ -890,10 +898,9 @@ object CorpusQueries {
        |FROM tgt g LEFT JOIN rem r ON r.source = g.source
        |ORDER BY g.source""".stripMargin
 
-  /** Spark twin of [[epochTailSql]] over a (doc_id, source, dtoks)
-    * per-doc frame — the schedule kernel shared by the raw-corpus and
-    * curated-survivor compositions. */
-  private[graft] def epochScheduleFrame(pd: DataFrame): DataFrame = {
+  /** Spark twin of [[epochCoreCtes]]'s `tgt`: the per-source α = 3/4
+    * targets frame. */
+  private def epochTargets(pd: DataFrame): DataFrame = {
     val src = pd
       .groupBy("source")
       .agg(sum(col("dtoks")).cast("long").as("toks"))
@@ -906,17 +913,28 @@ object CorpusQueries {
           array_sort(collect_list(struct(col("source"), col("wt")))),
           x => x("wt")),
         lit(0.0), (acc, x) => acc + x).as("totw"))
-    val tgt = src.crossJoin(broadcast(tot))
+    src.crossJoin(broadcast(tot))
       .withColumn("share_ppm",
         floor(lit(1000000) * col("wt") / col("totw")).cast("long"))
       .select(col("source"), col("toks"),
         expr("t_total * share_ppm div 1000000").as("target"))
-    val c = pd
-      .select(col("source"), col("doc_id"), col("dtoks"),
+  }
+
+  /** Spark twin of [[epochCoreCtes]]'s `c`: the md5-gate-ordered
+    * per-doc prefix cumsum. */
+  private def epochCum(pd: DataFrame): DataFrame =
+    pd.select(col("source"), col("doc_id"), col("dtoks"),
         md5(concat(lit("sample|"), col("doc_id").cast("string"))).as("gate"))
       .withColumn("cum", sum(col("dtoks")).over(
         Window.partitionBy("source").orderBy("gate", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Spark twin of [[epochTailSql]] over a (doc_id, source, dtoks)
+    * per-doc frame — the schedule kernel shared by the raw-corpus and
+    * curated-survivor compositions. */
+  private[graft] def epochScheduleFrame(pd: DataFrame): DataFrame = {
+    val tgt = epochTargets(pd)
+    val c = epochCum(pd)
     val rem = c.join(broadcast(tgt), Seq("source"))
       .filter(col("cum") <= col("target") % col("toks"))
       .groupBy(col("source"))
@@ -935,5 +953,57 @@ object CorpusQueries {
         col("partial_docs"), col("partial_tokens"),
         col("drawn_tokens"), col("epochs_milli"))
       .orderBy("source")
+  }
+
+  /** Oracle tail MATERIALIZING the schedule's drawn set: one row per
+    * (source, doc) with a positive draw count — `full_epochs` passes
+    * over every doc plus one extra for the md5-gate-ordered partial
+    * prefix. Shares [[epochCoreCtes]] with the schedule tail, so the
+    * aggregate and the materialization cannot disagree about what
+    * "drawn" means. */
+  private[operators] lazy val epochDrawsTailSql: String =
+    s"""$epochCoreCtes
+       |SELECT c.source, c.doc_id,
+       |  CAST(g.target // g.toks +
+       |       CASE WHEN c.cum <= g.target % g.toks THEN 1 ELSE 0 END
+       |       AS BIGINT) AS draws,
+       |  CAST(c.dtoks AS BIGINT) AS dtoks
+       |FROM c JOIN tgt g ON g.source = c.source
+       |WHERE g.target // g.toks > 0 OR c.cum <= g.target % g.toks
+       |ORDER BY c.source, c.doc_id""".stripMargin
+
+  /** Spark twin of [[epochDrawsTailSql]]: the materialized drawn set. */
+  private[graft] def epochDrawsFrame(pd: DataFrame): DataFrame =
+    epochCum(pd).join(broadcast(epochTargets(pd)), Seq("source"))
+      .withColumn("full_epochs", expr("target div toks"))
+      .withColumn("in_partial", col("cum") <= col("target") % col("toks"))
+      .filter(col("full_epochs") > 0 || col("in_partial"))
+      .select(col("source"), col("doc_id"),
+        (col("full_epochs") +
+          when(col("in_partial"), 1L).otherwise(0L)).as("draws"),
+        col("dtoks").cast("long").as("dtoks"))
+      .orderBy("source", "doc_id")
+
+  /** The epoch schedule MATERIALIZED doc-for-doc — what the loader
+    * actually iterates: every drawn (source, doc) with its repeat
+    * count. [[mixtureEpochs]] reports the per-source aggregate
+    * contract; this emits the reproducible draw list behind it (the
+    * GPT-3 table-2.2 sampling made deterministic: whole passes for
+    * everyone, the remainder filled by the md5-gate-ordered prefix —
+    * no RNG, so a re-run of the data loader sees the identical
+    * sequence of repeats). Scale: the same one hash-agg +
+    * source-partitioned prefix window as the schedule; output is at
+    * most one row per drawn doc, i.e. corpus-linear. */
+  val mixtureDraws = Q(
+    "q_mixture_draws",
+    s"""WITH pd AS (
+       |  SELECT source, doc_id, CAST(len($W) AS BIGINT) AS dtoks
+       |  FROM documents
+       |),
+       |$epochDrawsTailSql""".stripMargin) { (s, d) =>
+    epochDrawsFrame(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dtoks")))
   }
 }

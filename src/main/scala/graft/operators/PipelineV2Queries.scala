@@ -495,6 +495,29 @@ object PipelineV2Queries {
       graft.pipeline.CorpusPipeline.epochSchedule(
         V2ManifestIndex.manifest(s, d))
   }
+
+  /** The drawn set behind [[corpusScheduleServed]], materialized
+    * doc-for-doc over the persisted manifest's train slice — the
+    * loader-facing surface: every curated train document the schedule
+    * draws, with its repeat count (whole passes + the md5-gate-ordered
+    * partial prefix). Same artifact read + kernel as the schedule
+    * (shared [[CorpusQueries.epochDrawsFrame]] /
+    * [[CorpusQueries.epochDrawsTailSql]]); the oracle recomputes the
+    * whole funnel, the serving path reads the pruned `split=train`
+    * directory. */
+  val corpusDrawsServed: Q = Q(
+    "q_corpus_draws_served",
+    s"""WITH RECURSIVE ${lvlCtes()},
+       |pd AS (
+       |  SELECT doc_id, source, kept * w_ppm // 1000000 AS dtoks
+       |  FROM lvl WHERE level >= 6
+       |),
+       |${CorpusQueries.epochDrawsTailSql}""".stripMargin) { (s, d) =>
+    CorpusQueries.epochDrawsFrame(
+      V2ManifestIndex.manifest(s, d).filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          expr("toks * weight_ppm div 1000000").as("dtoks")))
+  }
 }
 
 /** Persisted v2-manifest artifact: the curate→weight pipeline's output

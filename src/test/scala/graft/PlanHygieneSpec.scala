@@ -97,6 +97,9 @@ class PlanHygieneSpec extends SparkSpec {
     // slice (the production serving path) — same ONE-row totals +
     // |sources|-row targets shape
     "q_corpus_schedule_served",
+    // the kernel's draws tails (raw corpus + manifest-served): same
+    // ONE-row totals + |sources|-row targets shape, emitted per doc
+    "q_mixture_draws", "q_corpus_draws_served",
     // |langs|-row totals frame (≤5) + ONE-row vocabulary-size frame
     // crossed onto the distinct-token frame: the vote grid is
     // vocab × |langs| BY DESIGN — bounded by the label alphabet,
@@ -301,6 +304,8 @@ class PlanHygieneSpec extends SparkSpec {
       "q_mixture_epochs" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_schedule" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_schedule_served" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_mixture_draws" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_corpus_draws_served" -> "≤|sources|-row targets frame (source alphabet)",
       "q_pack_shards" -> "fixed-count pack-bucket offsets frame",
       "q_trained_langid" -> "≤|langs|-row totals frame (label alphabet)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -64,5 +64,22 @@ class MixtureEpochsSpec extends SparkSpec {
     // flattening direction: crawl's drawn share < its corpus share
     assert(cDrawn.toDouble / got.values.map(_._6).sum <
       cAvail.toDouble / availTotal)
+
+    // the MATERIALIZED drawn set reconciles with the aggregate contract
+    // per source: sum(draws·dtoks) == drawn_tokens, and the extra-pass
+    // doc count == partial_docs
+    val draws = CorpusQueries.mixtureDraws.run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (s, (avail, _, full, pDocs, _, drawn, _)) =>
+      val rows = draws.filter(_._1 == s)
+      assert(rows.map(r => r._3 * r._4).sum == drawn,
+        s"$s: materialized draw mass != drawn_tokens")
+      assert(rows.count(_._3 == full + 1) == pDocs,
+        s"$s: extra-pass doc count != partial_docs")
+      if (full > 0)
+        assert(rows.map(_._4).sum == avail,
+          s"$s: a full pass must cover every doc exactly once")
+    }
   }
 }
