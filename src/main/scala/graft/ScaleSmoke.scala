@@ -208,7 +208,16 @@ object ScaleSmoke {
       // rejects everything, so it also proves the zero-survivor path
       // serves instead of erroring) and the Pareto-admission funnel
       // (a second full funnel pass — the v2 growth shape)
-      "q_corpus_schedule_served", "q_corpus_pipeline_pareto")
+      "q_corpus_schedule_served", "q_corpus_pipeline_pareto",
+      // round-18: the drawn-set materialization (r17 verdict item 3 —
+      // the loader-facing surface; output is O(train-survivors), so
+      // expected near-flat like its schedule sibling, and zero-row on
+      // this wholesale-rejected corpus), and the lvl-served funnel
+      // accountings for both dials (one artifact scan + one hash-agg
+      // each — r17 item 4; the self-contained pareto form above stays
+      // as the honesty twin)
+      "q_mixture_draws", "q_corpus_draws_served",
+      "q_corpus_pipeline_v2_served", "q_corpus_pipeline_pareto_served")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
@@ -256,11 +265,21 @@ object ScaleSmoke {
     val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
     require(unknownGrowth.isEmpty,
       s"smoke growth list names unknown queries: $unknownGrowth")
+    // Deliberately-live builders are honesty twins of served artifacts:
+    // their cost is corpus-linear BY DESIGN (proven across the 1×/10×
+    // decade), and at 30× they dominate the smoke's wall-clock
+    // (q_line_excise_live alone was 41.9 s of the r17 30× pass — r17
+    // verdict item 7). Cap them to the first two tiers: the served
+    // twins carry the 30× line for the same family.
+    val liveCapped30 = Set("q_line_excise_live")
     val growthTiers = Seq(("1x", src, 1), ("10x", out, replicas),
       (s"${replicas30}x", out30, replicas30))
     val growth = growthNames.flatMap { name =>
       Seq(SparkEntry.queries(name)).flatMap { fn =>
-        growthTiers.map { case (tag, dd, vol) =>
+        growthTiers.filterNot { case (tag, _, _) =>
+          tag.endsWith("x") && tag != "1x" && tag != "10x" &&
+            liveCapped30.contains(name)
+        }.map { case (tag, dd, vol) =>
           def once(): Option[Double] =
             try {
               val t0 = System.nanoTime()

@@ -58,6 +58,8 @@ object IndexBuilds {
     "idx_boilerplate"   -> ((s, d) => { BoilerplateQueries.boilerplateDir(s, d); () }),
     "idx_dsir_weights"  -> ((s, d) => { DsirQueries.weightsTable(s, d); () }),
     "idx_v2_manifest"   -> ((s, d) => { V2ManifestIndex.manifest(s, d); () }),
+    "idx_v2_manifest_pareto" ->
+      ((s, d) => { V2ManifestIndex.manifest(s, d, pareto = true); () }),
     "idx_avro_docs"     -> ((s, d) => { SourceQueries.avroDocsFixture(s, d); () }),
     "idx_avro_vecs"     -> ((s, d) => { SourceQueries.avroVecsFixture(s, d); () }))
 }

@@ -681,8 +681,9 @@ object MultimodalQueries {
     * frame-hash SEQUENCES are identical (frame-order-preserving concat
     * of per-frame aHashes — a doc-grain signature from the frame-grain
     * artifact), keeper = min doc_id per sequence. The cheapest failing
-    * gate is attributed (text > image > audio > video precedence — the
-    * order a staged pipeline evaluates them). A real release pipeline
+    * gate is attributed (text > image > video > audio precedence — the
+    * order a staged pipeline evaluates them, pixel-derived gates
+    * adjacent). A real release pipeline
     * runs exactly this fold: a document survives only if no modality
     * marks it a duplicate.
     *

@@ -22,7 +22,11 @@ import graft.sources.IndexCatalog.tag
   *    (green gate) while silently mis-shortlisting, so the byte check is
   *    the only attributable audit;
   *  - `v2manifest`          → `q_corpus_schedule_served` aggregates the
-  *    whole train slice into the epoch schedule;
+  *    whole train slice into the epoch schedule; its `lvl` table →
+  *    `q_corpus_pipeline_v2_served` aggregates EVERY doc's level;
+  *  - `v2manifest_pareto`'s `lvl` table →
+  *    `q_corpus_pipeline_pareto_served` (same full-aggregate shape
+  *    under the other admission dial);
   *  - `winnow_fp`           → the root of the winnow chain: topk/partners
   *    live plans RECOMPUTE FROM IT, so only a direct sentinel vs the
   *    corpus-level plan can catch it stale;
@@ -65,6 +69,14 @@ object SentinelChecks {
       d => s"v2manifest_${tag(d)}",
       (s, d) => V2ManifestIndex.manifest(s, d),
       (s, d) => graft.pipeline.CorpusPipeline.manifestV2(s, d)),
+    Check("v2_lvl",
+      d => s"v2manifest_${tag(d)}",
+      (s, d) => V2ManifestIndex.lvlFrame(s, d),
+      (s, d) => PipelineV2Queries.survivorFrame(s, d)),
+    Check("v2_lvl_pareto",
+      d => s"v2manifest_pareto_${tag(d)}",
+      (s, d) => V2ManifestIndex.lvlFrame(s, d, pareto = true),
+      (s, d) => PipelineV2Queries.survivorFrame(s, d, pareto = true)),
     Check("winnow_fp",
       d => s"winnow_fp_${tag(d)}",
       (s, d) => WinnowQueries.fingerprintTable(s, d),

@@ -72,9 +72,17 @@ object CorpusPipeline {
     * (what a loader actually reads), not the raw one. Cross-consistency
     * with the registered `q_corpus_pipeline_v2` funnel — row counts,
     * token totals, split partition — is pinned by CorpusPipelineSpec. */
-  def manifestV2(spark: SparkSession, sfDir: String): DataFrame = {
-    val sv = graft.operators.PipelineV2Queries.survivorFrame(spark, sfDir)
-      .filter(col("level") >= 5) // all survivors (train + val + test)
+  def manifestV2(spark: SparkSession, sfDir: String,
+                 pareto: Boolean = false): DataFrame =
+    manifestV2From(
+      graft.operators.PipelineV2Queries.survivorFrame(spark, sfDir, pareto))
+
+  /** The packing tail of [[manifestV2]] over an already-computed
+    * survivor frame — split out so an artifact build that also persists
+    * the per-doc level frame ([[graft.operators.V2ManifestIndex]]) runs
+    * the funnel join tree ONCE, not once per output table. */
+  def manifestV2From(sv0: DataFrame): DataFrame = {
+    val sv = sv0.filter(col("level") >= 5) // all survivors (train + val + test)
     val gate = substring(
       md5(concat(lit("split|"), col("cluster").cast("string"))), 1, 2)
     val split = sv

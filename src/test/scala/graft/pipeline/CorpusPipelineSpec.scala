@@ -209,4 +209,25 @@ class CorpusPipelineSpec extends SparkSpec {
       direct.exceptAll(served).isEmpty,
       "artifact-served schedule diverges from the self-contained query")
   }
+
+  test("the served funnel accounting matches the self-contained form, " +
+    "both admission dials") {
+    import graft.operators.PipelineV2Queries._
+    // DSIR dial: the 8-stage accounting over the persisted lvl frame
+    // must be row-identical to the full survivor join tree
+    val direct = corpusPipelineV2.run(spark, sf0001)
+    val served = corpusPipelineV2Served.run(spark, sf0001)
+    assert(served.exceptAll(direct).isEmpty &&
+      direct.exceptAll(served).isEmpty,
+      "lvl-served v2 funnel diverges from the self-contained query")
+    // Pareto dial: same over the v2manifest_pareto artifact
+    val directP = corpusPipelinePareto.run(spark, sf0001)
+    val servedP = corpusPipelineParetoServed.run(spark, sf0001)
+    assert(servedP.exceptAll(directP).isEmpty &&
+      directP.exceptAll(servedP).isEmpty,
+      "lvl-served pareto funnel diverges from the self-contained query")
+    // and the dials genuinely differ where the dial acts (stage 5+)
+    val s5 = directP.filter(col("stage") === "5_pareto").count()
+    assert(s5 == 1, "pareto funnel lost its dial-labeled stage row")
+  }
 }
