@@ -462,15 +462,15 @@ object PipelineV2Queries {
     * [[CorpusQueries.epochScheduleFrame]] on the persisted table), so
     * the funnel runs once and the double-consumption hits a parquet
     * read, not the join tree. */
-  private def scheduleSql: String =
-    s"""WITH RECURSIVE ${lvlCtes()},
+  private def scheduleSql(pareto: Boolean = false): String =
+    s"""WITH RECURSIVE ${lvlCtes(pareto)},
        |pd AS (
        |  SELECT doc_id, source, kept * w_ppm // 1000000 AS dtoks
        |  FROM lvl WHERE level >= 6
        |),
        |${CorpusQueries.epochTailSql}""".stripMargin
 
-  val corpusSchedule: Q = Q("q_corpus_schedule", scheduleSql) { (s, d) =>
+  val corpusSchedule: Q = Q("q_corpus_schedule", scheduleSql()) { (s, d) =>
     CorpusQueries.epochScheduleFrame(
       survivorFrame(s, d).filter(col("level") >= 6)
         .select(col("doc_id"), col("source"),
@@ -490,11 +490,25 @@ object PipelineV2Queries {
     * train slice is exactly the level-6 survivors with their effective
     * token mass, so the served schedule is row-identical to the
     * self-contained one (CorpusPipelineSpec pins this equality). */
-  val corpusScheduleServed: Q = Q("q_corpus_schedule_served", scheduleSql) {
+  val corpusScheduleServed: Q = Q("q_corpus_schedule_served", scheduleSql()) {
     (s, d) =>
       graft.pipeline.CorpusPipeline.epochSchedule(
         V2ManifestIndex.manifest(s, d))
   }
+
+  /** The Pareto dial's loader-facing schedule (dial symmetry with
+    * [[corpusScheduleServed]]): the epoch kernel over the
+    * `v2manifest_pareto` artifact's train slice. The two dials admit
+    * different pools at stage 5, so their train survivor sets — and
+    * therefore their epoch schedules — genuinely differ; a trainer
+    * comparing admission policies consumes exactly this pair. The
+    * oracle recomputes the Pareto funnel from raw tables; the serving
+    * path is a pruned parquet read + the bounded kernel. */
+  val corpusScheduleParetoServed: Q =
+    Q("q_corpus_schedule_pareto_served", scheduleSql(pareto = true)) { (s, d) =>
+      graft.pipeline.CorpusPipeline.epochSchedule(
+        V2ManifestIndex.manifest(s, d, pareto = true))
+    }
 
   /** The drawn set behind [[corpusScheduleServed]], materialized
     * doc-for-doc over the persisted manifest's train slice — the
@@ -573,8 +587,6 @@ object V2ManifestIndex {
     classOf[graft.plans.WordShingles], classOf[graft.plans.MinHashes],
     classOf[graft.plans.MinHashBands])
 
-  private def v2mKey(d: String, pareto: Boolean) =
-    s"v2manifest${if (pareto) "_pareto" else ""}_${IndexCatalog.tag(d)}"
 
   private def writeDdl(s: SparkSession, dir: String, name: String,
                        ddl: String): Unit = {
@@ -607,18 +619,27 @@ object V2ManifestIndex {
     * has no footer to infer from; the declared schema keeps the
     * artifact readable so downstream consumers see zero rows, not an
     * error. */
+  private def build(s: SparkSession, d: String,
+                    pareto: Boolean)(dir: String): Unit = {
+    val sv = PipelineV2Queries.survivorFrame(s, d, pareto)
+    sv.write.mode("overwrite").parquet(s"$dir/lvl")
+    writeDdl(s, dir, "lvl_schema.ddl", sv.schema.toDDL)
+    val m = graft.pipeline.CorpusPipeline.manifestV2From(sv)
+    m.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$dir/manifest")
+    writeDdl(s, dir, "manifest_schema.ddl", m.schema.toDDL)
+    IndexCatalog.declareIds("path", "manifest", Seq("doc_id"))
+  }
+
+  // one ensure site per dial, each with its own literal key, so
+  // SentinelGuardSpec's static key-prefix extraction sees both prefixes
   private def ensureDir(s: SparkSession, d: String, pareto: Boolean): String =
-    IndexCatalog.ensure(s, v2mKey(d, pareto), inputs = Seq(d),
-        owners = v2mOwners) { dir =>
-      val sv = PipelineV2Queries.survivorFrame(s, d, pareto)
-      sv.write.mode("overwrite").parquet(s"$dir/lvl")
-      writeDdl(s, dir, "lvl_schema.ddl", sv.schema.toDDL)
-      val m = graft.pipeline.CorpusPipeline.manifestV2From(sv)
-      m.write.mode("overwrite").partitionBy("split")
-        .parquet(s"$dir/manifest")
-      writeDdl(s, dir, "manifest_schema.ddl", m.schema.toDDL)
-      IndexCatalog.declareIds("path", "manifest", Seq("doc_id"))
-    }
+    if (pareto)
+      IndexCatalog.ensure(s, s"v2manifest_pareto_${IndexCatalog.tag(d)}",
+        inputs = Seq(d), owners = v2mOwners)(build(s, d, pareto = true))
+    else
+      IndexCatalog.ensure(s, s"v2manifest_${IndexCatalog.tag(d)}",
+        inputs = Seq(d), owners = v2mOwners)(build(s, d, pareto = false))
 
   /** Read the packed survivor manifest for the given admission dial. */
   def manifest(s: SparkSession, d: String, pareto: Boolean = false): DataFrame =

@@ -95,8 +95,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_corpus_schedule",
     // the same kernel over the persisted v2-manifest artifact's train
     // slice (the production serving path) — same ONE-row totals +
-    // |sources|-row targets shape
-    "q_corpus_schedule_served",
+    // |sources|-row targets shape; the pareto twin reads the other
+    // dial's manifest through the identical kernel
+    "q_corpus_schedule_served", "q_corpus_schedule_pareto_served",
     // the kernel's draws tails (raw corpus + manifest-served): same
     // ONE-row totals + |sources|-row targets shape, emitted per doc
     "q_mixture_draws", "q_corpus_draws_served",
@@ -304,6 +305,7 @@ class PlanHygieneSpec extends SparkSpec {
       "q_mixture_epochs" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_schedule" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_schedule_served" -> "≤|sources|-row targets frame (source alphabet)",
+      "q_corpus_schedule_pareto_served" -> "≤|sources|-row targets frame (source alphabet)",
       "q_mixture_draws" -> "≤|sources|-row targets frame (source alphabet)",
       "q_corpus_draws_served" -> "≤|sources|-row targets frame (source alphabet)",
       "q_pack_shards" -> "fixed-count pack-bucket offsets frame",

@@ -105,14 +105,17 @@ def write_diff(out_dir, name, cols, want, got, limit=20):
 
 
 def main(sf_dir, out_dir):
+    import time
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    t_start = time.monotonic()
     for name in sorted(oracle):
         sql = oracle[name]
         spark_dir = os.path.join(out_dir, name)
+        t0 = time.monotonic()
         try:
             want = con.execute(sql).fetchall()
             want_cols = [d[0] for d in con.description]
@@ -120,6 +123,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
+        t_oracle = time.monotonic() - t0
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -155,9 +159,13 @@ def main(sf_dir, out_dir):
             write_diff(out_dir, name, want_cols, a, b)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(a)} rows)")
+            # per-query oracle time in the gate log: the t2 compare went
+            # over budget once (CORRECTNESS_r17 = {}) because nobody saw
+            # the cost distribution — keep it visible
+            print(f"PASS {name} ({len(a)} rows, oracle {t_oracle:.2f}s)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail "
+          f"({time.monotonic() - t_start:.1f}s total)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
