@@ -219,10 +219,15 @@ object ScaleSmoke {
       "q_mixture_draws", "q_corpus_draws_served",
       "q_corpus_pipeline_v2_served", "q_corpus_pipeline_pareto_served",
       // round-18: the Pareto dial's loader-facing schedule (pruned
-      // artifact read + bounded kernel, the schedule_served shape) and
-      // the binary tier's drift gauge (one corpus posexplode to |dims|
-      // rows — expected linear, the packing pass's own growth)
-      "q_corpus_schedule_pareto_served", "q_binary_drift")
+      // artifact read + bounded kernel, the schedule_served shape), the
+      // binary tier's drift gauge (one corpus posexplode to |dims|
+      // rows — expected linear, the packing pass's own growth), and the
+      // winnow bucket histogram (the r17-item-8 decomposition's
+      // permanent observable: bucket COUNT stays ~flat on the replica
+      // corpus while sizes scale with replicas — output-quadratic pair
+      // growth with zero cap exclusions)
+      "q_corpus_schedule_pareto_served", "q_binary_drift",
+      "q_winnow_buckets")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)

@@ -404,6 +404,37 @@ object WinnowQueries {
       .orderBy("doc_id")
   }
 
+  /** Fingerprint bucket-size HISTOGRAM — the telemetry twin of the
+    * [[WinnowMaxBucket]] guard (round-17 verdict item 8: the 30× smoke
+    * measured q_winnow_matches at e_30/10 = 1.36 and the decomposition
+    * needed a bucket observable): for each bucket size n (documents
+    * sharing one fingerprint hash), how many buckets exist and whether
+    * that size is excluded by the cap. On a healthy corpus the mass
+    * sits at tiny n; a replica-dense corpus pushes whole bands of
+    * buckets toward `replicas`-sized — the histogram says whether pair
+    * growth is bucket-population growth (n² within a fixed size) or
+    * size growth marching toward the cap. Output is ≤ |distinct bucket
+    * sizes| rows — bounded telemetry over the persisted fingerprint
+    * artifact (one distinct + two hash-aggs). */
+  val bucketHistogram = Q(
+    "q_winnow_buckets",
+    s"""WITH $selCtes,
+       |fp AS (SELECT DISTINCT doc_id, fkey // $PosSpan AS fh FROM sel),
+       |bk AS (SELECT fh, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM fp GROUP BY fh)
+       |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  n_docs > $WinnowMaxBucket AS excluded
+       |FROM bk WHERE n_docs >= 2
+       |GROUP BY n_docs ORDER BY n_docs""".stripMargin) { (s, d) =>
+    fingerprintTable(s, d).select("doc_id", "fh").distinct()
+      .groupBy("fh").agg(count(lit(1)).as("n_docs"))
+      .groupBy("n_docs").agg(count(lit(1)).as("n_buckets"))
+      .filter(col("n_docs") >= 2)
+      .select(col("n_docs"), col("n_buckets"),
+        (col("n_docs") > WinnowMaxBucket).as("excluded"))
+      .orderBy("n_docs")
+  }
+
   /** Span ATTRIBUTION for every matched pair — the locality payoff that
     * distinguishes winnowing from MinHash: each shared fingerprint hash
     * is decoded back to its selection positions in BOTH documents
