@@ -72,8 +72,15 @@ object AdmissionStreams {
   /** Admission verdicts for one already-deduplicated batch:
     * (doc_id, source, raw_toks, kept, band, weight_bits, level) with
     * level 0 excised-to-zero, 1 Gopher-failed, 2 LM-band-failed,
-    * 3 DSIR-rejected, 4 admitted. */
-  private[streaming] def admitFrame(one: DataFrame, m: AdmissionModel): DataFrame = {
+    * 3 admission-rejected, 4 admitted. `pareto` swaps the pool gate
+    * from DSIR's sign threshold to the trained classifier's Pareto
+    * gate ([[graft.operators.QualityClassifierQueries.classify]] — the
+    * SAME column expressions the batch funnel variant splices, over
+    * the same frozen bucket model, so the streaming dial can never
+    * drift from the batch one), mirroring
+    * [[graft.operators.PipelineV2Queries.survivorFrame]]'s dial. */
+  private[streaming] def admitFrame(one: DataFrame, m: AdmissionModel,
+                                    pareto: Boolean = false): DataFrame = {
     val cleanSegs = BoilerplateQueries.segmentsOf(one)
       .join(m.bp, col("seg") === col("bseg"), "left_anti")
     val keptw = cleanSegs
@@ -81,8 +88,15 @@ object AdmissionStreams {
       .agg(sum(size(split(col("seg"), " ")).cast("long")).as("kept"))
     val qa = PipelineV2Queries.gopherOkFrame(cleanSegs.select("doc_id", "seg"))
     val lm = QualityStreams.scoreFrame(one, m.kn).select("doc_id", "band")
-    val ds = CurationStreams.dsirScoreFrame(one, m.dsir)
-      .select("doc_id", "weight_bits")
+    val ds0 = CurationStreams.dsirScoreFrame(one, m.dsir)
+    val ds =
+      if (pareto)
+        graft.operators.QualityClassifierQueries
+          .classify(ds0.select("doc_id", "n_tokens", "weight_bits"))
+          .select(col("doc_id"), col("weight_bits"),
+            col("admitted").as("pool_ok"))
+      else ds0.select(col("doc_id"), col("weight_bits"),
+        (col("weight_bits") > 0).as("pool_ok"))
     one.select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("raw_toks"))
       .join(keptw, Seq("doc_id"), "left")
@@ -99,7 +113,7 @@ object AdmissionStreams {
             substring(md5(col("doc_id").cast("string")), 1, 2) < "80"),
         lit(false)))
       .withColumn("sel_ok",
-        DsirQueries.isTarget || col("weight_bits") > 0)
+        DsirQueries.isTarget || coalesce(col("pool_ok"), lit(false)))
       .withColumn("level",
         when(col("kept") === 0, 0)
           .when(col("q_ok").isNull, 1)
@@ -112,19 +126,19 @@ object AdmissionStreams {
 
   /** One micro-batch admission pass (exposed for replay tests). */
   def admitBatch(batch: DataFrame, batchId: Long, m: AdmissionModel,
-                 outDir: String): Unit =
-    admitFrame(QualityStreams.oneRowPerDoc(batch), m)
+                 outDir: String, pareto: Boolean = false): Unit =
+    admitFrame(QualityStreams.oneRowPerDoc(batch), m, pareto)
       .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
 
   /** Continuous wiring: admission decided micro-batch by micro-batch
-    * under models trained once on `corpusDir`. */
+    * under models trained once on `corpusDir`, under either dial. */
   def admitStream(docs: DataFrame, corpusDir: String, modelRoot: String,
-                  outDir: String): DataStreamWriter[Row] = {
+                  outDir: String, pareto: Boolean = false): DataStreamWriter[Row] = {
     val m = train(docs.sparkSession, corpusDir, modelRoot)
     docs.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) admitBatch(batch, batchId, m, outDir)
+        if (!batch.isEmpty) admitBatch(batch, batchId, m, outDir, pareto)
       }
   }
 

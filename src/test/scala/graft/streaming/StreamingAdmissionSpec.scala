@@ -74,6 +74,55 @@ class StreamingAdmissionSpec extends SparkSpec {
       "replayed batch changed the admission ledger")
   }
 
+  test("the Pareto dial on arrival reproduces the batch Pareto funnel " +
+    "levels; the two dials genuinely differ at the admission stage") {
+    val outP = s"$outD-pareto"
+    cleanup(outP)
+    val m = model
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text")
+    AdmissionStreams.admitBatch(docs.filter(col("doc_id") % 2 === 1), 0L, m,
+      outP, pareto = true)
+    AdmissionStreams.admitBatch(docs.filter(col("doc_id") % 2 === 0), 1L, m,
+      outP, pareto = true)
+    val got = AdmissionStreams.admitted(spark, outP)
+    assert(got.count() == docs.count(), "every ingested doc gets a verdict")
+    // batch truth under the SAME dial: survivor levels 0-3 map 1:1;
+    // 5/6 (split grades, undecidable on arrival) -> 4
+    val want = graft.operators.PipelineV2Queries
+      .survivorFrame(spark, sf0001, pareto = true)
+      .select(col("doc_id"),
+        when(col("level") >= 5, 4).otherwise(col("level")).as("blevel"))
+    val joined = got.join(want, "doc_id").cache()
+    try {
+      val diverged = joined.filter(col("level") =!= col("blevel"))
+        .join(graft.operators.LangModelQueries.knScores(spark, sf0001)
+          .select("doc_id", "avg_ppm"), "doc_id")
+        .join(m.kn.cuts, "source")
+        .collect()
+      // same band-tie caveat as the threshold dial; the admission gate
+      // itself is deterministic md5 arithmetic and can never diverge
+      diverged.foreach { r =>
+        val ppm = r.getLong(r.fieldIndex("avg_ppm"))
+        assert(ppm == r.getLong(r.fieldIndex("c1")) ||
+          ppm == r.getLong(r.fieldIndex("c2")),
+          s"pareto-dial divergence off the band-tie boundary: $r")
+      }
+    } finally joined.unpersist()
+    // the dial is not a no-op: the Pareto gate admits a different pool
+    // than the sign threshold on this corpus (63 vs 22 docs at sf0.001)
+    cleanup(s"$outD-thr")
+    AdmissionStreams.admitBatch(docs, 0L, m, s"$outD-thr")
+    val thr = AdmissionStreams.admitted(spark, s"$outD-thr")
+      .groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val par = got.groupBy("level").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(thr.getOrElse(4, 0L) != par.getOrElse(4, 0L),
+      s"the two admission dials admitted identical pools: $thr vs $par")
+    cleanup(outP); cleanup(s"$outD-thr")
+  }
+
   test("unseen source fails the LM gate as unbanded but stays visible; " +
     "a boilerplate-only doc attributes to excision") {
     cleanup(s"$outD-novel")
