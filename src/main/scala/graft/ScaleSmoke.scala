@@ -271,7 +271,14 @@ object ScaleSmoke {
       // and the layout audits — q_zorder_prune is two metadata hash-aggs
       // over the assignment map (expected ~linear in rows), the curve
       // comparison adds the Hilbert/seam passes over the same map
-      "q_ann_binary_rerank", "q_zorder_prune", "q_curve_compare")
+      "q_ann_binary_rerank", "q_zorder_prune", "q_curve_compare",
+      // round-18 (r17 verdict item 3): the drawn-set materialization's
+      // growth curves — the served form is a pruned artifact read +
+      // bounded kernel (expected near-flat; zero rows on this
+      // wholesale-rejected corpus, so the curve also proves the
+      // zero-survivor path), the raw kernel recomputes the funnel
+      // (the q_corpus_pipeline_v2 growth shape)
+      "q_mixture_draws", "q_corpus_draws_served")
     val unknownGrowth = growthNames.filterNot(SparkEntry.queries.contains)
     require(unknownGrowth.isEmpty,
       s"smoke growth list names unknown queries: $unknownGrowth")
