@@ -98,10 +98,32 @@ object BinaryLifecycle {
     GenerationedTable.read(s, thresholdsDir(store), gen)
 
   /** The pointed (or pinned) generation's packed code table — what the
-    * Hamming serving tier scans. */
+    * Hamming serving tier scans. An UNPINNED read resolves the
+    * THRESHOLDS pointer, not the codes dir's own: retrain swings the
+    * per-dir pointers in stats → codes → thresholds order, so between
+    * the codes and thresholds writes the codes pointer is already at
+    * gen N while the committed model is still gen N−1 — resolving the
+    * codes pointer there would pair new codes with old thresholds, the
+    * exact mixed-generation state the design forbids. The thresholds
+    * pointer is the single commit point; orphan codes generations are
+    * unreachable until it swings. */
   def codes(s: SparkSession, store: String,
             gen: Option[Int] = None): DataFrame =
-    GenerationedTable.read(s, codesDir(store), gen)
+    GenerationedTable.read(s, codesDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The training-time per-dim balance baseline of the pointed (or
+    * pinned) generation — same single-commit-point rule as [[codes]]. */
+  def stats(s: SparkSession, store: String,
+            gen: Option[Int] = None): DataFrame =
+    GenerationedTable.read(s, statsDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The store's committed generation = the thresholds pointer, the
+    * ONLY pointer unpinned readers may resolve (it swings last). */
+  def committedGeneration(s: SparkSession, store: String): Int =
+    GenerationedTable.latest(s, thresholdsDir(store)).getOrElse(
+      throw new IllegalStateException(s"$store has no trained generation"))
 
   /** The drift gauge's verdict, with the measured per-dim extremes
     * exposed so an operator (or a test) can see WHY. */

@@ -116,6 +116,18 @@ class BinaryLifecycleSpec extends SparkSpec {
     assert(GenerationedTable.latest(
       spark, BinaryLifecycle.thresholdsDir(store)).contains(1))
     assert(BinaryLifecycle.driftCheck(vecs, store).generation == 1)
+    // inside the crash window the codes dir's OWN pointer is already at
+    // the orphan gen 2, but an UNPINNED codes()/stats() read resolves
+    // the thresholds pointer (the single commit point) and still serves
+    // the committed gen-1 pair — never mixed-generation
+    assert(GenerationedTable.latest(
+      spark, BinaryLifecycle.codesDir(store)).contains(2))
+    assert(BinaryLifecycle.committedGeneration(spark, store) == 1)
+    assert(codeKey(BinaryLifecycle.codes(spark, store)) ==
+      codeKey(BinaryLifecycle.codes(spark, store, Some(1))),
+      "unpinned codes() read the orphan generation inside the crash window")
+    assert(BinaryLifecycle.stats(spark, store).count() ==
+      BinaryLifecycle.stats(spark, store, Some(1)).count())
     // the next retrain re-derives gen 2 from the thresholds dir and
     // overwrites the orphan — no wedge
     val g2 = BinaryLifecycle.retrain(drifted, store)
