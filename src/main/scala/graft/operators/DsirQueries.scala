@@ -160,6 +160,49 @@ object DsirQueries {
     * importance weight (doc_id tie-break), i.e. the slice DSIR would
     * resample into the training mix — one TakeOrdered over the persisted
     * weights (no global sort, no rescore). */
+  /** The DSIR drift gauge's measurement frame ([[DsirLifecycle]],
+    * round-18 verdict item 1): per hashed bucket, the CURRENT token
+    * stream's share in exact ppm beside the frozen model's fitted
+    * target/raw shares and their skew (the per-bucket signal the
+    * importance weight sums). This is the exact frame
+    * [[DsirLifecycle.driftCheck]] joins against its training baseline —
+    * registered self-gauged (model and stream from the same corpus, the
+    * `q_binary_drift` discipline) so the measurement machinery is
+    * oracle-checked end-to-end.
+    *
+    * Scale: one token explode into three 256-row hash-aggs, two 1-row
+    * broadcasts, a 256-row output — corpus-linear audit, nothing
+    * pairs, nothing collected. */
+  val dsirDrift = Q(
+    "q_dsir_drift",
+    s"""WITH $scoreCtes,
+       |cur AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+       |        FROM bk GROUP BY b),
+       |ctot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all FROM cur)
+       |SELECT cur.b AS b, cur.n_tokens,
+       |  CAST((1000000 * cur.n_tokens) // ctot.n_all AS BIGINT) AS share_ppm,
+       |  CAST((1000000 * bt.ct) // tot.nt AS BIGINT) AS target_ppm,
+       |  CAST((1000000 * bt.cr) // tot.nr AS BIGINT) AS raw_ppm,
+       |  CAST(abs((1000000 * bt.ct) // tot.nt
+       |           - (1000000 * bt.cr) // tot.nr) AS BIGINT) AS skew_ppm
+       |FROM cur JOIN bt USING (b) CROSS JOIN tot CROSS JOIN ctot
+       |ORDER BY b""".stripMargin) { (s, d) =>
+    val bk = bucketTokens(Tables.documents(s, d))
+    val cur = bk.groupBy("b").agg(count(lit(1)).as("n_tokens"))
+    val bt = bucketModel(bk)
+    val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val ctot = cur.agg(sum("n_tokens").as("n_all"))
+    cur.join(bt, Seq("b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ctot))
+      .select(col("b"), col("n_tokens"),
+        expr("(1000000 * n_tokens) div n_all").as("share_ppm"),
+        expr("(1000000 * ct) div nt").as("target_ppm"),
+        expr("(1000000 * cr) div nr").as("raw_ppm"),
+        expr("abs((1000000 * ct) div nt - (1000000 * cr) div nr)")
+          .as("skew_ppm"))
+      .orderBy("b")
+  }
+
   val dsirSample = Q(
     "q_dsir_sample",
     s"""WITH $scoreCtes

@@ -392,6 +392,101 @@ object LangModelQueries {
       .limit(25)
   }
 
+  /** The KN drift gauge's measurement frame ([[KnLifecycle]], round-18
+    * verdict item 1): the corpus scored through the FROZEN-model
+    * scoring joins ([[kneserNeyHeldout]]'s left-join + coalesce
+    * backoff path — NOT the self-scored inner join, so the OOV
+    * accounting is structural) with per-source OOV shares and mean
+    * surprisal in exact ppm — the two observables
+    * [[KnLifecycle.driftCheck]] compares against its training
+    * baseline. Registered self-gauged (model and stream from the same
+    * corpus, the `q_binary_drift` discipline): OOV is zero by
+    * construction and the coalesce arms are provably inert, so the
+    * oracle pins that the backoff-shaped scorer reproduces the exact
+    * in-model prices.
+    *
+    * Scale: one bigram hash-agg + two marginal hash-aggs
+    * (vocabulary-sized), three equi-joins from the instance stream
+    * onto the model frames, one per-source hash-agg — the streaming
+    * twin's own plan with the aggregate grain coarsened to |sources|
+    * rows. */
+  val knDrift = Q(
+    "q_kn_drift",
+    s"""WITH tok AS (SELECT doc_id, source, $W AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    unnest([array_to_string(w[i:i+1], ' ')
+       |            for i in range(1, len(w))]) AS bg
+       |  FROM tok
+       |), ty AS (
+       |  SELECT bg, split_part(bg, ' ', 1) AS v, split_part(bg, ' ', 2) AS wd,
+       |    CAST(count(*) AS BIGINT) AS cvw
+       |  FROM b GROUP BY 1, 2, 3
+       |), ty2 AS (SELECT bg, cvw FROM ty),
+       |fw AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+       |         CAST(count(*) AS BIGINT) AS n1v FROM ty GROUP BY v),
+       |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS n1w FROM ty GROUP BY wd),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ty),
+       |ev AS (
+       |  SELECT source, bg, split_part(bg, ' ', 1) AS v,
+       |    split_part(bg, ' ', 2) AS wd
+       |  FROM b
+       |), sc AS (
+       |  SELECT e.source,
+       |    CASE WHEN y.cvw IS NULL THEN 1 ELSE 0 END AS oovb,
+       |    CASE WHEN f.cv IS NULL OR c.n1w IS NULL THEN 1 ELSE 0 END AS oovw,
+       |    length(bin(4 * coalesce(f.cv, 1) * tt.t))
+       |      - length(bin(greatest(4 * coalesce(y.cvw, 0) - 3, 0) * tt.t
+       |                   + 3 * coalesce(f.n1v, 1) * coalesce(c.n1w, 1)))
+       |      AS bits
+       |  FROM ev e
+       |  LEFT JOIN ty2 y USING (bg)
+       |  LEFT JOIN fw f USING (v)
+       |  LEFT JOIN cw c USING (wd)
+       |  CROSS JOIN tt
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(oovb) AS BIGINT) AS oov_bigrams,
+       |  CAST(sum(oovw) AS BIGINT) AS oov_words,
+       |  CAST((1000000 * sum(oovw)) // count(*) AS BIGINT) AS oov_ppm,
+       |  CAST(sum(bits) AS BIGINT) AS kn_bits,
+       |  CAST((CAST(sum(bits) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+       |    AS mean_ppm
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    val st = knTypeStats(inst)
+    val fw = st.select("v", "cv", "n1v").distinct()
+    val cw = st.select("wd", "n1w").distinct()
+    val tt = st.agg(count(lit(1)).as("t"))
+    inst
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("wd", substring_index(col("bg"), " ", -1))
+      .join(st.select("bg", "cvw"), Seq("bg"), "left")
+      .join(fw, Seq("v"), "left")
+      .join(cw, Seq("wd"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("source"),
+        when(col("cvw").isNull, 1L).otherwise(0L).as("oovb"),
+        when(col("cv").isNull || col("n1w").isNull, 1L).otherwise(0L).as("oovw"),
+        (length(bin(coalesce(col("cv"), lit(1L)) * 4 * col("t"))) -
+          length(bin(
+            greatest(coalesce(col("cvw"), lit(0L)) * 4 - 3, lit(0L)) * col("t")
+              + coalesce(col("n1v"), lit(1L)) * coalesce(col("n1w"), lit(1L)) * 3)))
+          .as("bits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("oovb").as("oov_bigrams"),
+        sum("oovw").as("oov_words"),
+        sum(col("bits").cast("long")).as("kn_bits"))
+      .withColumn("oov_ppm", expr("(1000000 * oov_words) div n_bigrams"))
+      .withColumn("mean_ppm", expr("(kn_bits * 1000000) div n_bigrams"))
+      .orderBy("source")
+      .select("source", "n_bigrams", "oov_bigrams", "oov_words",
+        "oov_ppm", "kn_bits", "mean_ppm")
+  }
+
   /** The banded curation policy composed end-to-end — what a corpus
     * build actually DOES with [[qualityTertiles]]'s bands (CCNet §4.3's
     * "keep head, sample middle, drop tail"): head documents keep,
