@@ -125,6 +125,18 @@ object BinaryLifecycle {
     GenerationedTable.latest(s, thresholdsDir(store)).getOrElse(
       throw new IllegalStateException(s"$store has no trained generation"))
 
+  /** The store's id-bearing generationed relations, for the
+    * right-to-be-forgotten audit ([[graft.sources.DeleteAudit
+    * .survivorsFromGenerations]]): every retained codes generation
+    * carries `vec_id` rows, so a deleted vector survives in history
+    * until [[graft.sources.DeleteAudit.purgeGenerations]] rewrites the
+    * offending snapshots. Thresholds and stats generations are per-dim
+    * AGGREGATES — no ids to melt (trained FROM deleted data but
+    * referencing none, the model-vs-record distinction the audit
+    * draws everywhere). */
+  def auditRelations(store: String): Seq[(String, String, Seq[String])] =
+    Seq(("binary_codes", codesDir(store), Seq("vec_id")))
+
   /** The drift gauge's verdict, with the measured per-dim extremes
     * exposed so an operator (or a test) can see WHY. */
   final case class CodeDriftDecision(retrain: Boolean, reasons: Seq[String],

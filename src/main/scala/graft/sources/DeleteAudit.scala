@@ -144,4 +144,80 @@ object DeleteAudit {
       "no artifact declared id columns — an empty audit certifies nothing")
     survivors(deleted, fromCatalog ++ extra)
   }
+
+  /** [[survivors]] over EVERY RETAINED GENERATION of generationed
+    * stores (round-18 verdict item 2: [[survivorsFromCatalog]] melts
+    * only catalog-declared relations, but a deleted `vec_id` also
+    * survives in every retained [[graft.operators.BinaryLifecycle]]
+    * codes generation and every [[LogTable]] delta — snapshot
+    * isolation, the feature, is a compliance hole under
+    * right-to-be-forgotten). Each generation melts as its own
+    * certificate row (`name#gen=k`), so the report shows exactly WHICH
+    * retained snapshot still references a deleted key.
+    *
+    * @param stores (name, generationed-table dir, id columns) per
+    *               id-bearing store — [[graft.operators.BinaryLifecycle
+    *               .auditRelations]] / [[LogTable.auditRelation]]
+    *               produce these
+    */
+  def survivorsFromGenerations(
+      s: org.apache.spark.sql.SparkSession, deleted: DataFrame,
+      stores: Seq[(String, String, Seq[String])]): DataFrame = {
+    val melted = stores.flatMap { case (name, dir, idCols) =>
+      GenerationedTable.generations(s, dir).map { g =>
+        (s"$name#gen=$g", GenerationedTable.read(s, dir, Some(g)), idCols)
+      }
+    }
+    require(melted.nonEmpty,
+      "no retained generations — an empty audit certifies nothing")
+    survivors(deleted, melted)
+  }
+
+  /** The purge path for [[survivorsFromGenerations]]' findings: rewrite
+    * every retained generation of `dir` WITHOUT rows referencing a
+    * deleted id (string-rendered match on any of `idCols` — the same
+    * total-and-exact keying as [[survivors]]). The `_LATEST` pointer is
+    * untouched: generation numbers, count, and reader semantics are
+    * exactly as before, minus the offended rows — time travel keeps
+    * working, it just can no longer resurrect the deleted key.
+    *
+    * Untouched generations are left byte-identical (rewriting only
+    * offending snapshots keeps the pass |hits|-shaped, not
+    * history-shaped). The rewrite lands fully in a sibling temp dir
+    * (named so [[GenerationedTable.generations]] never lists it), then
+    * swaps via delete + rename — the `_LATEST` near-atomic discipline;
+    * a crash between the two leaves the temp dir as the recovery copy.
+    * Single-writer by contract, like every generation write. A purged
+    * snapshot that loses ALL rows is written through one task so the
+    * parquet schema survives (an empty dir would be unreadable).
+    *
+    * @return (generation, rows removed) for each rewritten generation
+    */
+  def purgeGenerations(
+      s: org.apache.spark.sql.SparkSession, deleted: DataFrame,
+      dir: String, idCols: Seq[String]): Seq[(Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val del = broadcast(deleted.select(
+      col(deleted.columns.head).cast("string").as("_del_id")))
+    val fs = new Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    GenerationedTable.generations(s, dir).flatMap { g =>
+      val snap = GenerationedTable.read(s, dir, Some(g))
+      val purged = idCols.foldLeft(snap)((df, c) =>
+        df.join(del, col(c).cast("string") === col("_del_id"), "left_anti"))
+      val total = snap.count()
+      val kept = purged.count()
+      if (kept == total) None
+      else {
+        val tmp = new Path(dir, s"_purge_tmp_g$g")
+        fs.delete(tmp, true)
+        val w = if (kept == 0) purged.repartition(1) else purged
+        w.write.mode("overwrite").parquet(tmp.toString)
+        val orig = new Path(dir, s"gen=$g")
+        fs.delete(orig, true)
+        require(fs.rename(tmp, orig), s"cannot swap purged $dir/gen=$g")
+        Some(g -> (total - kept))
+      }
+    }
+  }
 }

@@ -41,6 +41,16 @@ final case class LogTable(dir: String, keyCols: Seq[String], versionCol: String)
   def append(batch: DataFrame): Int =
     GenerationedTable.write(batch, dir)
 
+  /** This table's id-bearing generation store, for the
+    * right-to-be-forgotten audit ([[DeleteAudit
+    * .survivorsFromGenerations]]): every retained delta carries keyed
+    * rows — including the TOMBSTONE that marked a key deleted — so the
+    * key survives in history until [[DeleteAudit.purgeGenerations]]
+    * rewrites the offending deltas (after which no retained generation,
+    * and therefore no [[read]] at any `upTo`, can resurrect it). */
+  def auditRelation: (String, String, Seq[String]) =
+    (s"log:$dir", dir, keyCols)
+
   /** Keep-latest view across generations ≤ `upTo` (default: pointer). */
   def read(s: SparkSession, upTo: Option[Int] = None): DataFrame = {
     val g = upTo.orElse(GenerationedTable.latest(s, dir)).getOrElse(

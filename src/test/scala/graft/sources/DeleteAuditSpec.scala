@@ -326,4 +326,67 @@ class DeleteAuditSpec extends SparkSpec {
       IndexCatalog.resetProcessMemo()
     }
   }
+
+  test("generationed lifecycle stores: a deleted vec_id planted across " +
+       "two generations of two stores is reported per-generation and " +
+       "purged, pointers and siblings untouched") {
+    cleanup()
+    import graft.operators.BinaryLifecycle
+    val gbase = s"$base/genstores"
+    val bstore = s"$gbase/binary"
+    val logDir = s"$gbase/veclog"
+    // two binary generations, both packing every vector (incl. vec 7)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    assert(BinaryLifecycle.retrain(vecs, bstore) == 1)
+    assert(BinaryLifecycle.retrain(
+      vecs.select(col("vec_id"), transform(col("e"), x => -x).as("e")),
+      bstore) == 2)
+    // a keyed log with vec 7 in both deltas (delta 2 holds ONLY vec 7 —
+    // its purge exercises the all-rows-removed empty-snapshot path)
+    val log = LogTable(logDir, Seq("vec_id"), "version")
+    log.append(Seq((7L, 1L, "a"), (8L, 1L, "b"))
+      .toDF("vec_id", "version", "payload"))
+    log.append(Seq((7L, 2L, "a2")).toDF("vec_id", "version", "payload"))
+    val deleted = Seq(7L).toDF("vec_id")
+    val stores = BinaryLifecycle.auditRelations(bstore) :+ log.auditRelation
+
+    // pre-purge: the audit names every offending retained snapshot
+    val pre = DeleteAudit.survivorsFromGenerations(spark, deleted, stores)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(pre("binary_codes#gen=1") == 1 && pre("binary_codes#gen=2") == 1,
+      s"codes history not melted: $pre")
+    assert(pre(s"log:$logDir#gen=1") == 1 && pre(s"log:$logDir#gen=2") == 1,
+      s"log history not melted: $pre")
+
+    // purge both stores' histories
+    assert(DeleteAudit.purgeGenerations(spark, deleted,
+      BinaryLifecycle.codesDir(bstore), Seq("vec_id")).toMap ==
+      Map(1 -> 1L, 2 -> 1L))
+    assert(DeleteAudit.purgeGenerations(spark, deleted,
+      logDir, Seq("vec_id")).toMap == Map(1 -> 1L, 2 -> 1L))
+
+    // post-purge: explicit zero for every (snapshot, id col) — the
+    // zero-survivors certificate across ALL retained history
+    val post = DeleteAudit.survivorsFromGenerations(spark, deleted, stores)
+    assert(post.count() == 4 &&
+      post.agg(sum("n_rows")).head().getLong(0) == 0,
+      "history purge left survivors")
+    // a second purge is a no-op (idempotent; nothing left to rewrite)
+    assert(DeleteAudit.purgeGenerations(spark, deleted,
+      logDir, Seq("vec_id")).isEmpty)
+
+    // pointers, sibling rows, and reader semantics are untouched:
+    // time travel works at every generation, it just cannot resurrect
+    // the deleted key — and the all-rows-purged delta still reads
+    assert(BinaryLifecycle.committedGeneration(spark, bstore) == 2)
+    assert(BinaryLifecycle.codes(spark, bstore, Some(1))
+      .filter(col("vec_id") === 7L).isEmpty)
+    assert(BinaryLifecycle.codes(spark, bstore).count() ==
+      vecs.count() - 1)
+    assert(log.read(spark).filter(col("vec_id") === 7L).isEmpty)
+    assert(log.read(spark, Some(1)).filter(col("vec_id") === 7L).isEmpty)
+    assert(log.read(spark).filter(col("vec_id") === 8L).count() == 1)
+    cleanup()
+  }
 }
