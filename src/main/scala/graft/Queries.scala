@@ -13,13 +13,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    materializeCtes: Boolean = true)
 
 object Q {
   def apply(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(sql))
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** [[apply]], but the oracle OPTS OUT of the blanket
+    * [[OracleSql.materializeCtes]] rewrite (round-18 verdict item 5).
+    * The blanket hint exists to kill exponential CTE re-evaluation in
+    * the iterative oracle chains; for a bounded-fan-out CTE DAG it can
+    * instead COST time by blocking DuckDB's projection/filter pushdown
+    * into an expensive shared CTE (measured on the blob family: ~3.0 s
+    * inlined vs ~4.5 s materialized each at sf0.001 — the hint was a
+    * 1.5 s/query regression there, r18 accepted it against the 400 s
+    * the iterative families saved). Opt-out is a per-query MEASURED
+    * decision: only for oracles with no iterative/recursive CTE chain,
+    * with the measurement cited at the call site; `OracleSqlSpec` pins
+    * the opted-out set. */
+  def inlineOracle(name: String, sql: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(sql), materializeCtes = false)
 }
 
 /** Oracle-SQL post-processing applied once at [[SparkEntry.oracleSql]]

@@ -120,8 +120,15 @@ object BlobQueries {
     * chunks, extremes, and the mean chunk length in milli-bytes
     * (expected ≈ Divisor·1000) — the dial a storage tier watches when
     * tuning the divisor. Conservation (Σ len = n_bytes) is part of the
-    * oracle hash. */
-  val blobChunks = Q(
+    * oracle hash.
+    *
+    * This family's oracles opt OUT of the blanket CTE materialization
+    * ([[graft.Q.inlineOracle]]): the shared `$chunkCtes` chain is a
+    * bounded DAG (max fan-out 6, nothing iterative), and the hint was
+    * measured to COST ~1.5 s/oracle here by blocking pushdown into the
+    * rolling-hash CTEs (4.7/4.4/4.3 s materialized vs 2.7/3.1/3.4 s
+    * inlined at sf0.001 for chunks/dedup/storage; values identical). */
+  val blobChunks = Q.inlineOracle(
     "q_blob_chunks",
     s"""WITH $chunkCtes
        |SELECT doc_id,
@@ -149,7 +156,7 @@ object BlobQueries {
     * [[DedupQueries.substringShare]]: a chunk is DUP when its hash
     * occurs ≥ 2 times corpus-wide (another blob, or again in this one).
     * One corpus hash-agg on h, re-joined onto the chunk stream. */
-  val blobDedup = Q(
+  val blobDedup = Q.inlineOracle(
     "q_blob_dedup",
     s"""WITH $chunkCtes,
        |cnt AS (SELECT h, count(*) AS cn FROM ch GROUP BY h),
@@ -237,7 +244,7 @@ object BlobQueries {
     * content-addressed chunk store realizes on this corpus. Unique
     * bytes = Σ len over DISTINCT chunk hashes (md5-equal chunks are
     * byte-equal, so each hash has one length). */
-  val blobStorage = Q(
+  val blobStorage = Q.inlineOracle(
     "q_blob_storage",
     s"""WITH $chunkCtes,
        |u AS (SELECT h, min(len) AS len FROM ch GROUP BY h)

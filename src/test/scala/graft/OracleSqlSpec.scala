@@ -17,12 +17,56 @@ class OracleSqlSpec extends AnyFunSuite {
   private val plainDecl = """(?<!WINDOW )\b\w+ AS \(""".r
   private val recDecl = """\w+\([\w, ]*\) AS \(""".r
 
-  test("every plain CTE declaration in the dumped registry is materialized") {
+  private val optedOut: Set[String] =
+    SparkEntry.all.filter(q => !q.materializeCtes && q.oracle.isDefined)
+      .map(_.name).toSet
+
+  test("every plain CTE declaration in the dumped registry is " +
+       "materialized, except the measured opt-outs") {
     val bad = SparkEntry.oracleSql.collect {
-      case (name, sql) if plainDecl.findFirstIn(sql).isDefined => name
+      case (name, sql) if !optedOut(name) &&
+        plainDecl.findFirstIn(sql).isDefined => name
     }
     assert(bad.isEmpty,
       s"un-materialized CTE declarations survive the rewrite in: $bad")
+  }
+
+  test("the opt-out set is exactly the measured blob family, dumped " +
+       "verbatim and free of iterative chains") {
+    // Q.inlineOracle is a per-query MEASURED decision (the hint blocks
+    // pushdown into the blob family's bounded CTE DAG, +1.5 s/oracle);
+    // growing this set requires a new measurement at the call site —
+    // this pin makes an unmeasured opt-out a test failure, not a drift
+    assert(optedOut ==
+      Set("q_blob_chunks", "q_blob_dedup", "q_blob_storage"),
+      s"opt-out set changed without re-pinning: $optedOut")
+    optedOut.foreach { name =>
+      val sql = SparkEntry.oracleSql(name)
+      assert(!sql.contains("MATERIALIZED"), s"$name: opt-out not honored")
+      assert(SparkEntry.all.find(_.name == name).get.oracle.contains(sql),
+        s"$name: opted-out oracle not dumped verbatim")
+      // the exponential-re-evaluation risk the blanket hint exists for
+      // lives in iterative/recursive chains — an opt-out must have none
+      assert(!sql.contains("RECURSIVE"), s"$name: recursive opt-out")
+    }
+  }
+
+  test("no oracle carries a multi-window clause the rewrite guard " +
+       "cannot protect") {
+    // the (?<!WINDOW ) lookbehind protects only the FIRST named window:
+    // 'WINDOW w AS (...), w2 AS (...)' would rewrite w2 to MATERIALIZED,
+    // which DuckDB rejects. No current oracle declares two named
+    // windows — pin that, so a future multi-window oracle fails HERE
+    // with a pointer instead of failing opaquely in the driver's gate
+    // (round-18 advice). Checked on the REWRITTEN dump, where every
+    // legitimate CTE continuation reads 'AS MATERIALIZED (' and can no
+    // longer collide with the bare continuation pattern.
+    val contAfterWindow = """WINDOW [^\n]*\)\s*,\s*\w+ AS \(""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(contAfterWindow.findFirstIn(sql).isEmpty,
+        s"$name: multi-window clause — extend OracleSql.materializeCtes " +
+          "to strip/restore the whole WINDOW clause before registering it")
+    }
   }
 
   test("named-window clauses keep their bare form") {

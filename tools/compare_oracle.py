@@ -104,12 +104,37 @@ def write_diff(out_dir, name, cols, want, got, limit=20):
     print(f"     row-diff written: {path}")
 
 
+def load_profile(sf_dir):
+    """Committed per-oracle cost baseline (ORACLE_PROFILE.json at the
+    repo root, written by tools/profile_oracle.py --write). Applies only
+    when this run's SF matches the profile's — a 0.001-SF compare must
+    not be judged against 0.01-SF costs."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "ORACLE_PROFILE.json")
+    if not os.path.exists(path):
+        return {}
+    prof = json.load(open(path))
+    if prof.get("sf") != os.path.basename(os.path.normpath(sf_dir)):
+        return {}
+    return prof.get("oracles", {})
+
+
+# an oracle >= RATIO x its committed cost (and above FLOOR seconds, so a
+# 10 ms oracle jittering to 30 ms stays quiet) is flagged; an oracle with
+# NO committed baseline is flagged above NEW_FLOOR seconds — the exact
+# r17 failure mode (a new looped oracle landing expensive, unnoticed
+# until the driver's whole compare blew its wall-clock budget)
+FLAG_RATIO, FLAG_FLOOR, NEW_FLOOR = 2.0, 0.5, 2.0
+
+
 def main(sf_dir, out_dir):
     import time
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    baseline = load_profile(sf_dir)
+    time_flags = []
     n_pass = n_fail = 0
     t_start = time.monotonic()
     for name in sorted(oracle):
@@ -124,6 +149,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         t_oracle = time.monotonic() - t0
+        base_t = baseline.get(name)
+        if base_t is not None:
+            if t_oracle >= FLAG_FLOOR and t_oracle >= FLAG_RATIO * base_t:
+                time_flags.append(
+                    f"{name}: {t_oracle:.2f}s vs committed {base_t:.2f}s "
+                    f"({t_oracle / max(base_t, 1e-3):.1f}x)")
+        elif baseline and t_oracle >= NEW_FLOOR:
+            time_flags.append(
+                f"{name}: {t_oracle:.2f}s with NO committed baseline "
+                f"(new oracle — profile it before it creeps)")
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -164,8 +199,16 @@ def main(sf_dir, out_dir):
             # the cost distribution — keep it visible
             print(f"PASS {name} ({len(a)} rows, oracle {t_oracle:.2f}s)")
             n_pass += 1
+    if time_flags:
+        print(f"== ORACLE-TIME FLAGS ({len(time_flags)}) — compare-cost "
+              "creep, the r17 empty-artifact precursor:")
+        for fl in time_flags:
+            print(f"   FLAG {fl}")
+        print("   (re-baseline deliberate cost with "
+              "tools/profile_oracle.py --write ORACLE_PROFILE.json)")
     print(f"== {n_pass} pass, {n_fail} fail "
-          f"({time.monotonic() - t_start:.1f}s total)")
+          f"({time.monotonic() - t_start:.1f}s total)"
+          + (f", {len(time_flags)} time-flagged" if time_flags else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
