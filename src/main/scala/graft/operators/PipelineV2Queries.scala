@@ -624,7 +624,13 @@ object V2ManifestIndex {
     val sv = PipelineV2Queries.survivorFrame(s, d, pareto)
     sv.write.mode("overwrite").parquet(s"$dir/lvl")
     writeDdl(s, dir, "lvl_schema.ddl", sv.schema.toDDL)
-    val m = graft.pipeline.CorpusPipeline.manifestV2From(sv)
+    // build the manifest from the lvl BYTES just landed, not the lazy
+    // survivor plan: feeding `sv` again would execute the whole funnel
+    // join tree a second time (round-18 advice — the build paid double
+    // and lvl/manifest consistency rested on plan determinism rather
+    // than derivation)
+    val m = graft.pipeline.CorpusPipeline.manifestV2From(
+      readWithDdl(s, dir, "lvl", "lvl_schema.ddl"))
     m.write.mode("overwrite").partitionBy("split")
       .parquet(s"$dir/manifest")
     writeDdl(s, dir, "manifest_schema.ddl", m.schema.toDDL)

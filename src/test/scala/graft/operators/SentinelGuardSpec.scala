@@ -187,6 +187,66 @@ class SentinelGuardSpec extends AnyFunSuite {
     assert(deadCovered.isEmpty, s"sentinel checks with no ensure site: $deadCovered")
   }
 
+  /** Generationed LIFECYCLE stores (round-18 verdict item 7): the
+    * drift→retrain lifecycles persist trained state through
+    * [[graft.sources.GenerationedTable]], NOT `IndexCatalog.ensure`, so
+    * the ensure-site sweep above never sees them. They are exempt from
+    * byte sentinels as a CLASS, with the consumer-shaped justification
+    * the taxonomy requires: a lifecycle store lives at a caller-chosen
+    * path, is adopted by no catalog manifest, and is read by NO
+    * registered gate query — every registered drift gauge
+    * (`q_binary_drift`, `q_ivf_drift`, `q_dsir_drift`, `q_kn_drift`)
+    * computes LIVE against the corpus, so a stale store cannot poison
+    * a gate row. Staleness of the store itself is not a silent failure
+    * mode but the very observable each lifecycle's `driftCheck`
+    * measures, and each store's commit-order/single-pointer read
+    * discipline is pinned by its lifecycle spec (BinaryLifecycleSpec,
+    * IvfLifecycleSpec, TextLifecyclesSpec). This test makes the class
+    * decision STRUCTURAL: it enumerates every `<x>Dir(store)` sub-table
+    * declaration in src/main and fails when a new lifecycle store
+    * appears that is not explicitly decided below — the author must
+    * either extend the decided list (same justification holding: no
+    * gate query reads it) or add a real sentinel. */
+  private val decidedLifecycleDirs: Set[String] = Set(
+    "BinaryLifecycle.scala/thresholds",
+    "BinaryLifecycle.scala/stats",
+    "BinaryLifecycle.scala/codes",
+    "IvfLifecycle.scala/centroids",
+    "IvfLifecycle.scala/stats",
+    "TextLifecycles.scala/totals",   // DsirLifecycle authority
+    "TextLifecycles.scala/buckets",
+    "TextLifecycles.scala/stats",    // Dsir + Kn baselines (same rule)
+    "TextLifecycles.scala/total",    // KnLifecycle authority
+    "TextLifecycles.scala/bigrams",
+    "TextLifecycles.scala/firsts",
+    "TextLifecycles.scala/conts",
+    "TextLifecycles.scala/cuts")
+
+  test("every generationed lifecycle store sub-table is an explicitly " +
+    "decided exemption (no gate query reads one) or needs a sentinel") {
+    val dirDecl = """def \w+Dir\(store: String\): String = s"\$store/(\w+)"""".r
+    val found = Set.newBuilder[String]
+    for (p <- sourceFiles) {
+      val text = readAll(p)
+      dirDecl.findAllMatchIn(text).foreach { m =>
+        found += s"${p.getFileName}/${m.group(1)}"
+      }
+    }
+    val live = found.result()
+    // not vacuous: 13 store sub-tables today; a parse regression must
+    // fail loudly rather than go blind
+    assert(live.size >= 13, s"only ${live.size} lifecycle store dirs " +
+      "parsed — the <x>Dir(store) declaration pattern changed")
+    val undecided = live -- decidedLifecycleDirs
+    assert(undecided.isEmpty,
+      s"lifecycle stores with NO decision: $undecided — extend " +
+        "decidedLifecycleDirs (if still no gate query reads them) or " +
+        "add a SentinelChecks entry")
+    val dead = decidedLifecycleDirs -- live
+    assert(dead.isEmpty, s"decided lifecycle dirs with no live " +
+      s"declaration: $dead — stale rows in a trust list")
+  }
+
   test("planted probe: a new full-aggregate consumer's artifact without a " +
     "sentinel entry is flagged") {
     val probe =
