@@ -82,7 +82,9 @@ object ScaleSmoke {
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_smoke/sf1"
     val replicas = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS", "10").toInt
     val replicas30 = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS30", "30").toInt
+    val replicas100 = sys.env.getOrElse("GRAFT_SMOKE_REPLICAS100", "100").toInt
     val out30 = s"${out}_r$replicas30"
+    val out100 = s"${out}_r$replicas100"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -227,7 +229,13 @@ object ScaleSmoke {
       // corpus while sizes scale with replicas — output-quadratic pair
       // growth with zero cap exclusions)
       "q_corpus_schedule_pareto_served", "q_binary_drift",
-      "q_winnow_buckets")
+      "q_winnow_buckets",
+      // round-19: the text-tier drift gauges (r18 verdict item 1) — both
+      // live corpus-linear measurement passes like q_binary_drift: the
+      // DSIR gauge is one token explode into three 256-row hash-aggs,
+      // the KN gauge is the frozen-model scoring joins aggregated to
+      // |sources| rows
+      "q_dsir_drift", "q_kn_drift")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
@@ -288,14 +296,28 @@ object ScaleSmoke {
     // (q_line_excise_live alone was 41.9 s of the r17 30× pass — r17
     // verdict item 7). Cap them to the first two tiers: the served
     // twins carry the 30× line for the same family.
-    val liveCapped30 = Set("q_line_excise_live")
+    val liveCapped10 = Set("q_line_excise_live")
+    // The 100× tier (round-18 verdict item 6): one more decade — 500k
+    // docs / 200k vectors — for the families whose 10×/30× exponents
+    // claim flat-or-sublinear SERVING, so a bend co-tenant noise could
+    // hide at 30× becomes measurable. Served twins only (the r17
+    // lesson): every name here reads persisted artifacts; the cold run
+    // absorbs the 100× artifact build, the min is the serve claim.
+    val tier100 = Set("q_ann_binary_rerank", "q_corpus_draws_served",
+      "q_winnow_matches_topk", "q_zorder_prune", "q_curve_compare")
+    def maxVol(name: String): Int =
+      if (liveCapped10.contains(name)) replicas
+      else if (tier100.contains(name)) replicas100
+      else replicas30
+    if (growthNames.exists(n => maxVol(n) >= replicas100))
+      deriveCorpus(spark, src, out100, replicas100)
     val growthTiers = Seq(("1x", src, 1), ("10x", out, replicas),
-      (s"${replicas30}x", out30, replicas30))
+      (s"${replicas30}x", out30, replicas30),
+      (s"${replicas100}x", out100, replicas100))
     val growth = growthNames.flatMap { name =>
       Seq(SparkEntry.queries(name)).flatMap { fn =>
-        growthTiers.filterNot { case (tag, _, _) =>
-          tag.endsWith("x") && tag != "1x" && tag != "10x" &&
-            liveCapped30.contains(name)
+        growthTiers.filter { case (_, _, vol) =>
+          vol <= maxVol(name)
         }.map { case (tag, dd, vol) =>
           def once(): Option[Double] =
             try {
