@@ -78,6 +78,14 @@ class PlanHygieneSpec extends SparkSpec {
     // (q_mixture_weights pattern); the _live twin keeps the
     // construction plan registered after r12 artifact-serving
     "q_dsir_weights", "q_dsir_sample", "q_dsir_weights_live",
+    // the DSIR drift gauge: TWO one-row totals frames (model totals +
+    // current-stream total) crossed onto the 256-row bucket join —
+    // 256 × 1 × 1 by construction (q_dsir_weights_live pattern)
+    "q_dsir_drift",
+    // the KN drift gauge: the q_lm_kn_heldout scoring joins (ONE-row
+    // bigram-type-total frame crossed onto the instance stream) with
+    // OOV flags kept — same bounded shape, |sources|-row output
+    "q_kn_drift",
     // TWO one-row aggregates crossed (totals × unique-chunk store) —
     // 1 × 1 by construction; the corpus-sized work is one hash-agg on
     // the chunk md5 upstream of both
