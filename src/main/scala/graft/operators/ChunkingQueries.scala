@@ -153,7 +153,18 @@ object ChunkingQueries {
         inputs = Seq(d),
         owners = Seq(ChunkingQueries.getClass, Tables.getClass,
           graft.functions.TextFunctions.getClass)) { dir =>
-      var vocab = Tables.documents(s, d)
+      bpeTrainInto(s, Tables.documents(s, d), dir)
+    }
+  }
+
+  /** The full training loop over any (…, text) document frame, landing
+    * `vocab` + `merges` (plus per-step states) under `dir` — shared by
+    * the catalog artifact builder above and the generationed
+    * [[BpeLifecycle]] retrain (round-19: the tokenizer joined the
+    * drift→retrain tier). */
+  private[graft] def bpeTrainInto(s: SparkSession, docs: DataFrame,
+                                  dir: String): Unit = {
+      var vocab = docs
         .select(explode(tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("wn"))
@@ -196,7 +207,6 @@ object ChunkingQueries {
         .select(col("step"), col("pa").as("pair_a"), col("pb").as("pair_b"),
                 concat(col("pa"), col("pb")).as("merged"), col("n"))
         .write.mode("overwrite").parquet(s"$dir/merges")
-    }
   }
 
   /** The trained merge table, served from the artifact. */
@@ -294,6 +304,66 @@ object ChunkingQueries {
            sum(col("n_tokens")).as("n_bpe_tokens"),
            expr("(1000 * sum(n_tokens)) div count(1)").as("tokens_per_kword"))
       .orderBy("source")
+  }
+
+  /** The tokenizer drift gauge's measurement frame ([[BpeLifecycle]],
+    * round-19): the corpus pushed through the FROZEN vocabulary via a
+    * LEFT join (not [[bpeTokenize]]'s inner join, so OOV accounting is
+    * structural), per source: OOV-word share and IN-VOCAB compression
+    * in exact integer ppm — the two observables
+    * [[BpeLifecycle.driftCheck]] compares against its training
+    * baseline. Registered self-gauged (vocabulary and stream from the
+    * same corpus, the `q_binary_drift` discipline): OOV is zero by
+    * construction, so the oracle pins that the left-join scorer
+    * reproduces the exact in-vocab segmentation prices. OOV words are
+    * excluded from the compression sum BY DESIGN (their merge-chain
+    * price belongs to the share observable — [[BpeLifecycle]]
+    * scaladoc).
+    *
+    * Plan: the bpeTokenize plan with the join flipped to left — one
+    * token explode, one vocabulary-sized join, a |sources|-row agg. */
+  val tokDrift = Q(
+    "q_tok_drift",
+    s"""WITH $bpeCtes,
+       |tk AS (
+       |  SELECT w, CAST(len(string_split(trim(syms, chr(31)),
+       |    chr(31) || chr(31))) AS BIGINT) AS n_tok
+       |  FROM v$BpeMerges
+       |), dw AS (
+       |  SELECT source, unnest($W) AS w FROM documents
+       |), sc AS (
+       |  SELECT d.source,
+       |    CASE WHEN t.n_tok IS NULL THEN 1 ELSE 0 END AS oov,
+       |    CASE WHEN t.n_tok IS NULL THEN 0 ELSE t.n_tok END AS n_tok
+       |  FROM (SELECT source, w FROM dw WHERE w <> '') d
+       |  LEFT JOIN tk t USING (w)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(oov) AS BIGINT) AS oov_words,
+       |  CAST((1000000 * sum(oov)) // count(*) AS BIGINT) AS oov_ppm,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  CAST((1000000 * sum(n_tok))
+       |       // greatest(count(*) - sum(oov), 1) AS BIGINT)
+       |    AS tok_per_mword
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val vocab = bpeVocab(s, d).select(col("w"), col("n_tokens").as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(vocab, Seq("w"), "left")
+      .select(col("source"),
+        when(col("n_tok").isNull, 1L).otherwise(0L).as("oov"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("oov").as("oov_words"),
+        sum("n_tok").as("n_bpe_tokens"))
+      .withColumn("oov_ppm", expr("(1000000 * oov_words) div n_words"))
+      .withColumn("tok_per_mword",
+        expr("(1000000 * n_bpe_tokens) div greatest(n_words - oov_words, 1)"))
+      .orderBy("source")
+      .select("source", "n_words", "oov_words", "oov_ppm",
+        "n_bpe_tokens", "tok_per_mword")
   }
 
   /** The corpus-wide ENCODE pass (round-9 verdict item 4): every

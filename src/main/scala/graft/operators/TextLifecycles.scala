@@ -380,3 +380,159 @@ object KnLifecycle {
     else (d, None)
   }
 }
+
+/** BPE tokenizer drift → retrain lifecycle (round-19, closing the last
+  * frozen text-tier model without a detector: [[graft.streaming
+  * .TokenizeStreams]] encodes arrivals under a vocabulary closed at
+  * training time — an OOV word runs the frozen merge chain and
+  * degrades toward character pieces, deterministic and silent, and a
+  * rising OOV share is exactly the staleness signal the frozen-vocab
+  * contract names).
+  *
+  * Trained state: the merge sequence + the per-word segmentation
+  * table. Health observables (the registered `q_tok_drift` gauge
+  * measures both, exact integer ppm):
+  *  - OOV-WORD share of the arriving token stream (words the trainer
+  *    never saw — the char-piece degradation price);
+  *  - IN-VOCAB compression shift — tokens per million in-vocab words
+  *    under the frozen segmentation vs the training-time baseline
+  *    (the word mix sliding toward longer-pieced words re-prices
+  *    every token budget downstream even with zero OOV). OOV words
+  *    are deliberately excluded from this observable: their price is
+  *    merge-chain-dependent, and the share observable already carries
+  *    their whole signal — keeping the two orthogonal and both exact.
+  *
+  * Store layout ([[GenerationedTable]]s under ONE generation):
+  * `<store>/merges` is the AUTHORITY (written last; the
+  * [[BinaryLifecycle.codes]] single-commit-point rule), with
+  * `<store>/stats` (1-row training baseline) and `<store>/vocab`
+  * committed first. Training runs [[ChunkingQueries.bpeTrainInto]]
+  * (the catalog artifact's own loop) into a per-generation scratch
+  * dir, then lands the tables; the scratch is removed after commit.
+  *
+  * Scale shape: the gauge is one token explode + a vocabulary-sized
+  * left join aggregated to one row; retraining is the artifact
+  * builder's own cost, paid exactly when the gauge fires. */
+object BpeLifecycle {
+
+  def mergesDir(store: String): String = s"$store/merges"
+  def vocabDir(store: String): String = s"$store/vocab"
+  def statsDir(store: String): String = s"$store/stats"
+
+  /** Train the next generation from the current corpus. Returns its
+    * number. `docs` is any (…, text) document frame. */
+  def retrain(docs: DataFrame, store: String): Int = {
+    val s = docs.sparkSession
+    val next = GenerationedTable.generations(s, mergesDir(store))
+      .lastOption.getOrElse(0) + 1
+    val scratch = s"$store/_train_g$next"
+    ChunkingQueries.bpeTrainInto(s, docs, scratch)
+    val vocab = s.read.parquet(s"$scratch/vocab")
+    GenerationedTable.writeAs(
+      vocab.agg(sum(col("wn")).as("n_words"),
+          sum(col("wn") * col("n_tokens")).as("n_bpe_tokens"))
+        .select(col("n_words"), col("n_bpe_tokens"),
+          expr("(1000000 * n_bpe_tokens) div n_words").as("tok_per_mword")),
+      statsDir(store), next)
+    GenerationedTable.writeAs(vocab, vocabDir(store), next)
+    GenerationedTable.writeAs(
+      s.read.parquet(s"$scratch/merges"), mergesDir(store), next)
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    next
+  }
+
+  /** The store's committed generation = the merges pointer, the ONLY
+    * pointer unpinned readers may resolve (it swings last). */
+  def committedGeneration(s: SparkSession, store: String): Int =
+    GenerationedTable.latest(s, mergesDir(store)).getOrElse(
+      throw new IllegalStateException(s"$store has no trained generation"))
+
+  /** The pointed (or pinned) generation's (w, wn, pieces, n_tokens)
+    * segmentation table — what [[graft.streaming.TokenizeStreams
+    * .encodeBatch]] takes as its frozen `vocab`. */
+  def vocab(s: SparkSession, store: String,
+            gen: Option[Int] = None): DataFrame =
+    GenerationedTable.read(s, vocabDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The training-time baseline — single-commit-point rule. */
+  def stats(s: SparkSession, store: String,
+            gen: Option[Int] = None): DataFrame =
+    GenerationedTable.read(s, statsDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The pointed (or pinned) generation's merge sequence in step
+    * order — the driver-side tokenizer state [[graft.streaming
+    * .TokenizeStreams.encodeBatch]] applies to OOV words (10 rows,
+    * the trainedMerges shape). */
+  def merges(s: SparkSession, store: String,
+             gen: Option[Int] = None): Seq[(String, String)] =
+    GenerationedTable.read(s, mergesDir(store),
+        Some(gen.getOrElse(committedGeneration(s, store))))
+      .orderBy("step").select("pair_a", "pair_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The drift gauge's verdict, with the measured observables exposed
+    * so an operator (or a test) can see WHY. */
+  final case class TokDriftDecision(retrain: Boolean, reasons: Seq[String],
+                                    generation: Int, oovPpm: Long,
+                                    shiftPpm: Long, nWords: Long)
+
+  /** Measure the CURRENT corpus against the pointed generation's
+    * FROZEN vocabulary (never re-segmented — re-training inline is
+    * exactly what the frozen-vocab contract forbids). Default
+    * triggers: retrain when ≥ `oovPpm` of arriving words are OOV, or
+    * when in-vocab compression moved ≥ `shiftPpm` tokens-per-million-
+    * words from the training baseline. */
+  def driftCheck(docs: DataFrame, store: String,
+                 oovPpm: Long = 50000L,
+                 shiftPpm: Long = 100000L): TokDriftDecision = {
+    val s = docs.sparkSession
+    val gen = committedGeneration(s, store)
+    val v = vocab(s, store, Some(gen)).select(col("w"), col("n_tokens"))
+    // one token explode + vocabulary-sized broadcast left join → 1 row
+    val r = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(v), Seq("w"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("oov"),
+        sum(when(col("n_tokens").isNotNull, col("n_tokens"))
+          .otherwise(0L)).as("iv_tokens"))
+      .collect().head
+    require(!r.isNullAt(0) && r.getLong(0) > 0,
+      s"driftCheck over an empty corpus against $store gen $gen — " +
+        "drift against nothing is undefined, refusing to gauge")
+    val n = r.getLong(0)
+    val oov = 1000000L * r.getLong(1) / n
+    val inVocab = n - r.getLong(1)
+    val baseC = stats(s, store, Some(gen)).head().getAs[Long]("tok_per_mword")
+    // an all-OOV stream carries no in-vocab compression sample; the
+    // OOV trigger owns that case entirely
+    val shift =
+      if (inVocab == 0) 0L
+      else math.abs(1000000L * r.getLong(2) / inVocab - baseC)
+    val reasons = Seq.newBuilder[String]
+    if (oov >= oovPpm)
+      reasons += s"$oov ppm of arriving words are outside the gen-$gen " +
+        s"vocabulary — they degrade toward char pieces (threshold $oovPpm)"
+    if (shift >= shiftPpm)
+      reasons += s"in-vocab compression moved $shift tokens/Mword from " +
+        s"the gen-$gen training baseline (threshold $shiftPpm)"
+    val rs = reasons.result()
+    TokDriftDecision(rs.nonEmpty, rs, gen, oov, shift, n)
+  }
+
+  /** Nightly maintenance entry: retrain the next generation iff the
+    * drift gauge says so. Returns the decision and the new generation
+    * (None when the current one still serves). */
+  def maybeRetrain(docs: DataFrame, store: String,
+                   oovPpm: Long = 50000L,
+                   shiftPpm: Long = 100000L): (TokDriftDecision, Option[Int]) = {
+    val d = driftCheck(docs, store, oovPpm, shiftPpm)
+    if (d.retrain) (d, Some(retrain(docs, store)))
+    else (d, None)
+  }
+}

@@ -220,7 +220,9 @@ class SentinelGuardSpec extends AnyFunSuite {
     "TextLifecycles.scala/bigrams",
     "TextLifecycles.scala/firsts",
     "TextLifecycles.scala/conts",
-    "TextLifecycles.scala/cuts")
+    "TextLifecycles.scala/cuts",
+    "TextLifecycles.scala/merges",   // BpeLifecycle authority
+    "TextLifecycles.scala/vocab")    // (its stats row is shared above)
 
   test("every generationed lifecycle store sub-table is an explicitly " +
     "decided exemption (no gate query reads one) or needs a sentinel") {
@@ -233,9 +235,9 @@ class SentinelGuardSpec extends AnyFunSuite {
       }
     }
     val live = found.result()
-    // not vacuous: 13 store sub-tables today; a parse regression must
+    // not vacuous: 15 store sub-tables today; a parse regression must
     // fail loudly rather than go blind
-    assert(live.size >= 13, s"only ${live.size} lifecycle store dirs " +
+    assert(live.size >= 15, s"only ${live.size} lifecycle store dirs " +
       "parsed — the <x>Dir(store) declaration pattern changed")
     val undecided = live -- decidedLifecycleDirs
     assert(undecided.isEmpty,

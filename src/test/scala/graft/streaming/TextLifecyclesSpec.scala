@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{SparkSpec, Tables}
-import graft.operators.{DsirLifecycle, KnLifecycle}
+import graft.operators.{BpeLifecycle, DsirLifecycle, KnLifecycle}
 import graft.sources.GenerationedTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -222,5 +222,113 @@ class TextLifecyclesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty corpus"))
     cleanup(kstore)
+  }
+
+  // -------------------------------------------------------------- BPE
+
+  private val tstore = "/tmp/graft_bpe_retrain_store"
+
+  test("bpe: retrain equals the artifact trainer on the same corpus; " +
+       "pinned generations undisturbed; encodeBatch parity through the " +
+       "generation bridge") {
+    cleanup(tstore)
+    val g1 = BpeLifecycle.retrain(docs, tstore)
+    assert(g1 == 1)
+    // same training loop as the catalog artifact: vocab + merges equal
+    val key = (df: DataFrame) => df.select("w", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(key(BpeLifecycle.vocab(spark, tstore)) ==
+      key(graft.operators.ChunkingQueries.bpeVocab(spark, sf0001)
+        .select(col("w"), col("n_tokens"))),
+      "lifecycle gen-1 vocab != bpe artifact vocab")
+    assert(BpeLifecycle.merges(spark, tstore) ==
+      TokenizeStreams.trainedMerges(spark, sf0001),
+      "lifecycle gen-1 merges != artifact merge sequence")
+    // the streaming encoder under the bridged generation model equals
+    // the artifact-model encode on the same arrivals
+    val arrivals = docs.limit(50).select("doc_id", "text")
+    val d1 = s"$tstore/_enc_gen"
+    val d2 = s"$tstore/_enc_art"
+    TokenizeStreams.encodeBatch(arrivals, 0L,
+      BpeLifecycle.vocab(spark, tstore),
+      BpeLifecycle.merges(spark, tstore), d1)
+    TokenizeStreams.encodeBatch(arrivals, 0L,
+      graft.operators.ChunkingQueries.bpeVocab(spark, sf0001),
+      TokenizeStreams.trainedMerges(spark, sf0001), d2)
+    val enc = (dd: String) => TokenizeStreams.encoded(spark, dd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(enc(d1) == enc(d2), "generation-bridged encode diverges")
+    // a retrain on a drifted corpus leaves gen 1 byte-identical
+    val v1 = key(BpeLifecycle.vocab(spark, tstore, Some(1)))
+    assert(BpeLifecycle.retrain(mangled, tstore) == 2)
+    assert(key(BpeLifecycle.vocab(spark, tstore, Some(1))) == v1)
+    assert(BpeLifecycle.committedGeneration(spark, tstore) == 2)
+    cleanup(tstore)
+  }
+
+  test("bpe gauge: training corpus serves; vocabulary drift trips the " +
+       "OOV trigger; an in-vocab mix shift trips ONLY the compression " +
+       "trigger; retrain quiets the gauge at the tripping thresholds") {
+    cleanup(tstore)
+    BpeLifecycle.retrain(docs, tstore)
+    val (quiet, none) = BpeLifecycle.maybeRetrain(docs, tstore)
+    assert(!quiet.retrain && none.isEmpty && quiet.reasons.isEmpty,
+      s"training corpus flagged as drifted: $quiet")
+    assert(quiet.oovPpm == 0 && quiet.shiftPpm == 0)
+    // mangled vocabulary: every word unseen → OOV trigger at 10⁶ ppm
+    val oov = BpeLifecycle.driftCheck(mangled, tstore)
+    assert(oov.retrain && oov.oovPpm == 1000000L &&
+      oov.reasons.exists(_.contains("outside the gen-1 vocabulary")),
+      s"$oov")
+    // in-vocab mix shift: each doc reduced to its FIRST word only —
+    // zero OOV, but the word mix (and so the frozen segmentation's
+    // tokens-per-word) moves; isolate with an explicit threshold (the
+    // measurement is exact-integer deterministic)
+    val firstWord = docs.withColumn("text",
+      regexp_extract(trim(col("text")), "^(\\S+)", 1))
+    val mix = BpeLifecycle.driftCheck(firstWord, tstore, shiftPpm = 1000L)
+    assert(mix.oovPpm == 0, s"first-word slice invented OOV words: $mix")
+    assert(mix.shiftPpm > 0, s"first-word mix priced identically: $mix")
+    assert(mix.retrain && mix.reasons.exists(_.contains("compression")),
+      s"compression drift not caught: $mix")
+    // retrain on the drifted corpus quiets the gauge AT THE SAME
+    // thresholds that tripped it
+    val (dec, newGen) =
+      BpeLifecycle.maybeRetrain(firstWord, tstore, shiftPpm = 1000L)
+    assert(dec.retrain && newGen.contains(2))
+    val (after, none2) =
+      BpeLifecycle.maybeRetrain(firstWord, tstore, shiftPpm = 1000L)
+    assert(!after.retrain && none2.isEmpty, s"$after")
+    cleanup(tstore)
+  }
+
+  test("bpe: a crash before the merges write keeps unpinned reads on " +
+       "the committed generation; empty corpus refused; all-OOV stream " +
+       "gauges by share alone") {
+    cleanup(tstore)
+    BpeLifecycle.retrain(docs, tstore)
+    GenerationedTable.writeAs(
+      BpeLifecycle.vocab(spark, tstore, Some(1)).limit(1),
+      BpeLifecycle.vocabDir(tstore), 2)
+    assert(GenerationedTable.latest(
+      spark, BpeLifecycle.vocabDir(tstore)).contains(2))
+    assert(BpeLifecycle.committedGeneration(spark, tstore) == 1)
+    assert(BpeLifecycle.vocab(spark, tstore).count() ==
+      BpeLifecycle.vocab(spark, tstore, Some(1)).count(),
+      "unpinned vocab() read the orphan generation")
+    // next retrain overwrites the orphan — no wedge
+    assert(BpeLifecycle.retrain(mangled, tstore) == 2)
+    assert(BpeLifecycle.vocab(spark, tstore).count() > 1)
+    // an all-OOV stream (gauged against gen 2 = mangled vocab, fed the
+    // ORIGINAL corpus) has no in-vocab compression sample: the share
+    // trigger owns the verdict, shift reads 0 instead of dividing by 0
+    val allOov = BpeLifecycle.driftCheck(docs, tstore)
+    assert(allOov.oovPpm == 1000000L && allOov.shiftPpm == 0 &&
+      allOov.retrain, s"$allOov")
+    val e = intercept[IllegalArgumentException] {
+      BpeLifecycle.driftCheck(docs.filter(col("doc_id") < 0), tstore)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    cleanup(tstore)
   }
 }
