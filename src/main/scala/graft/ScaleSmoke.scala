@@ -230,12 +230,13 @@ object ScaleSmoke {
       // growth with zero cap exclusions)
       "q_corpus_schedule_pareto_served", "q_binary_drift",
       "q_winnow_buckets",
-      // round-19: the text-tier drift gauges (r18 verdict item 1) — both
+      // round-19: the text-tier drift gauges (r18 verdict item 1) — all
       // live corpus-linear measurement passes like q_binary_drift: the
       // DSIR gauge is one token explode into three 256-row hash-aggs,
       // the KN gauge is the frozen-model scoring joins aggregated to
-      // |sources| rows
-      "q_dsir_drift", "q_kn_drift")
+      // |sources| rows, the tokenizer gauge one vocabulary-sized left
+      // join (the artifact's bpeTokenize plan)
+      "q_dsir_drift", "q_kn_drift", "q_tok_drift")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)
