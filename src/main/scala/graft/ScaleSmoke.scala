@@ -236,7 +236,9 @@ object ScaleSmoke {
       // the KN gauge is the frozen-model scoring joins aggregated to
       // |sources| rows, the tokenizer gauge one vocabulary-sized left
       // join (the artifact's bpeTokenize plan)
-      "q_dsir_drift", "q_kn_drift", "q_tok_drift")
+      // (q_bp_drift completes the text gauges: one segment hash-agg —
+      // the list trainer's own shape — plus a list-sized left join)
+      "q_dsir_drift", "q_kn_drift", "q_tok_drift", "q_bp_drift")
     // a misspelled/renamed name must FAIL the smoke, not silently vanish
     // from SCALE_SMOKE.json (r11 advice)
     val unknown = serveNames.filterNot(SparkEntry.queries.contains)

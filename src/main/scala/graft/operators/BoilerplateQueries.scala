@@ -209,4 +209,54 @@ object BoilerplateQueries {
     val seg = segments(s, d)
     exciseFrom(seg, boilerplateOf(seg)).orderBy("doc_id")
   }
+
+  /** The boilerplate drift gauge's measurement frame
+    * ([[BoilerplateLifecycle]], round-19): the corpus's segment
+    * instances joined against the list (LEFT, so the accounting is
+    * structural), aggregated to one row — total instances, instances
+    * the list excises (hit rate in exact ppm), and instances of
+    * NOVEL-DUP segments (≥ MinDocs distinct docs in the current corpus
+    * but missing from the list — the frozen-list caveat quantified).
+    * Registered self-gauged (list and stream from the same corpus, the
+    * `q_binary_drift` discipline): novel is zero by construction and
+    * the hit rate equals the training excision rate, so the oracle
+    * pins the measurement plumbing end to end.
+    *
+    * Plan: one segment explode + one segment-keyed hash-agg (the list
+    * trainer's own shape) + a list-sized left join → 1 row. */
+  val bpDrift = Q(
+    "q_bp_drift",
+    s"""WITH $segCte,
+       |cs AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       |         count(DISTINCT doc_id) AS nd
+       |       FROM seg GROUP BY seg),
+       |bp AS (SELECT seg FROM cs WHERE nd >= $MinDocs),
+       |j AS (SELECT cs.n, cs.nd, (b.seg IS NOT NULL) AS hit
+       |      FROM cs LEFT JOIN bp b USING (seg))
+       |SELECT CAST(sum(n) AS BIGINT) AS n_segments,
+       |  CAST(sum(CASE WHEN hit THEN n ELSE 0 END) AS BIGINT)
+       |    AS hit_segments,
+       |  CAST((1000000 * sum(CASE WHEN hit THEN n ELSE 0 END)) // sum(n)
+       |       AS BIGINT) AS hit_ppm,
+       |  CAST(sum(CASE WHEN nd >= $MinDocs AND NOT hit THEN n ELSE 0 END)
+       |       AS BIGINT) AS novel_dup_segments,
+       |  CAST((1000000 *
+       |        sum(CASE WHEN nd >= $MinDocs AND NOT hit THEN n ELSE 0 END))
+       |       // sum(n) AS BIGINT) AS novel_ppm
+       |FROM j""".stripMargin) { (s, d) =>
+    val cs = segments(s, d).groupBy("seg")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+    val bp = cs.filter(col("nd") >= MinDocs)
+      .select(col("seg"), lit(true).as("hit"))
+    cs.join(bp, Seq("seg"), "left")
+      .na.fill(false, Seq("hit"))
+      .agg(sum("n").as("n_segments"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("hit_segments"),
+        sum(when(col("nd") >= MinDocs && !col("hit"), col("n"))
+          .otherwise(0L)).as("novel_dup_segments"))
+      .select(col("n_segments"), col("hit_segments"),
+        expr("(1000000 * hit_segments) div n_segments").as("hit_ppm"),
+        col("novel_dup_segments"),
+        expr("(1000000 * novel_dup_segments) div n_segments").as("novel_ppm"))
+  }
 }

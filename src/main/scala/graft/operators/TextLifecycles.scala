@@ -536,3 +536,147 @@ object BpeLifecycle {
     else (d, None)
   }
 }
+
+/** Boilerplate-list drift → retrain lifecycle (round-19, completing
+  * the frozen text-tier audit list: [[graft.streaming.CurationStreams]]
+  * excises arrivals against a list trained ONCE, and its documented
+  * caveat — "a segment that only BECOMES boilerplate through new
+  * arrivals is not excised until the next retrain" — names the exact
+  * staleness this gauge measures).
+  *
+  * Trained state: the one-column boilerplate segment list. Health
+  * observables (the registered `q_bp_drift` gauge measures both, exact
+  * integer ppm over segment INSTANCES):
+  *  - NOVEL-DUP share — instances of segments carried by ≥ MinDocs
+  *    distinct arriving documents that are NOT in the frozen list
+  *    (boilerplate the frozen list cannot excise — the caveat,
+  *    quantified);
+  *  - HIT-RATE shift — the share of arriving instances the frozen
+  *    list excises, vs the training-time baseline (a falling rate is
+  *    the same staleness from the other side; a rising one means the
+  *    arriving mix is boilerplate-heavier than the list's corpus).
+  *
+  * Store layout ([[GenerationedTable]]s under ONE generation):
+  * `<store>/bplist` is the AUTHORITY (written last — the
+  * [[BinaryLifecycle.codes]] single-commit-point rule);
+  * `<store>/stats` (1-row training baseline) commits first.
+  *
+  * Scale shape: the gauge is the list-training pass itself (one
+  * segment explode + one segment-keyed hash-agg) plus a list-sized
+  * left join, aggregated to one row. */
+object BoilerplateLifecycle {
+
+  def listDir(store: String): String = s"$store/bplist"
+  def statsDir(store: String): String = s"$store/stats"
+
+  /** (seg, n, nd): instance count + distinct-doc count per distinct
+    * segment of a (doc_id, …, text) frame — the gauge's (and the
+    * trainer's) shared hash-agg. */
+  private def segStats(docs: DataFrame): DataFrame =
+    BoilerplateQueries.segmentsOf(docs)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+
+  /** Gauge a segment-stats frame against a boilerplate list: 1 row of
+    * (n_segments, hit_segments, hit_ppm, novel_dup_segments,
+    * novel_ppm) — the `q_bp_drift` output shape. */
+  private def gaugeOf(cs: DataFrame, bp: DataFrame): DataFrame =
+    cs.join(bp.select(col("bseg").as("seg"), lit(true).as("hit")),
+        Seq("seg"), "left")
+      .na.fill(false, Seq("hit"))
+      .agg(sum("n").as("n_segments"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("hit_segments"),
+        sum(when(col("nd") >= BoilerplateQueries.MinDocs && !col("hit"),
+          col("n")).otherwise(0L)).as("novel_dup_segments"))
+      .select(col("n_segments"), col("hit_segments"),
+        expr("(1000000 * hit_segments) div n_segments").as("hit_ppm"),
+        col("novel_dup_segments"),
+        expr("(1000000 * novel_dup_segments) div n_segments").as("novel_ppm"))
+
+  /** Train the next generation from the current corpus. Returns its
+    * number. */
+  def retrain(docs: DataFrame, store: String): Int = {
+    val s = docs.sparkSession
+    val next = GenerationedTable.generations(s, listDir(store))
+      .lastOption.getOrElse(0) + 1
+    val cs = segStats(docs).cache()
+    try {
+      val bp = cs.filter(col("nd") >= BoilerplateQueries.MinDocs)
+        .select(col("seg").as("bseg"))
+      GenerationedTable.writeAs(gaugeOf(cs, bp), statsDir(store), next)
+      GenerationedTable.writeAs(bp, listDir(store), next)
+    } finally cs.unpersist()
+    next
+  }
+
+  /** The store's committed generation = the list pointer (the only
+    * pointer; stats reads resolve it for symmetry with the other
+    * lifecycles' single-commit-point rule). */
+  def committedGeneration(s: SparkSession, store: String): Int =
+    GenerationedTable.latest(s, listDir(store)).getOrElse(
+      throw new IllegalStateException(s"$store has no trained generation"))
+
+  /** The pointed (or pinned) generation's one-column (`bseg`) list —
+    * what [[graft.streaming.CurationStreams.bpExciseBatch]] takes as
+    * its frozen list. */
+  def list(s: SparkSession, store: String,
+           gen: Option[Int] = None): DataFrame =
+    GenerationedTable.read(s, listDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The training-time baseline — single-commit-point rule. */
+  def stats(s: SparkSession, store: String,
+            gen: Option[Int] = None): DataFrame =
+    GenerationedTable.read(s, statsDir(store),
+      Some(gen.getOrElse(committedGeneration(s, store))))
+
+  /** The drift gauge's verdict, with the measured observables exposed
+    * so an operator (or a test) can see WHY. */
+  final case class BpDriftDecision(retrain: Boolean, reasons: Seq[String],
+                                   generation: Int, novelPpm: Long,
+                                   hitShiftPpm: Long, nSegments: Long)
+
+  /** Measure the CURRENT corpus against the pointed generation's
+    * FROZEN list (never re-derived inline — exactly the order-
+    * dependence the frozen-list contract exists to prevent). Default
+    * triggers: retrain when ≥ `novelPpm` of arriving segment
+    * instances belong to segments that became boilerplate WITHIN the
+    * arrivals but are missing from the frozen list, or when the
+    * frozen list's hit rate moved ≥ `shiftPpm` from training. */
+  def driftCheck(docs: DataFrame, store: String,
+                 novelPpm: Long = 10000L,
+                 shiftPpm: Long = 100000L): BpDriftDecision = {
+    val s = docs.sparkSession
+    val gen = committedGeneration(s, store)
+    val r = gaugeOf(segStats(docs), list(s, store, Some(gen)))
+      .collect().head
+    require(!r.isNullAt(0) && r.getLong(0) > 0,
+      s"driftCheck over an empty corpus against $store gen $gen — " +
+        "drift against nothing is undefined, refusing to gauge")
+    val base = stats(s, store, Some(gen)).head().getAs[Long]("hit_ppm")
+    val novel = r.getAs[Long]("novel_ppm")
+    val shift = math.abs(r.getAs[Long]("hit_ppm") - base)
+    val reasons = Seq.newBuilder[String]
+    if (novel >= novelPpm)
+      reasons += s"$novel ppm of arriving segment instances are " +
+        s"boilerplate WITHIN the arrivals but missing from the gen-$gen " +
+        s"list — they cannot be excised until a retrain (threshold $novelPpm)"
+    if (shift >= shiftPpm)
+      reasons += s"the frozen list's hit rate moved $shift ppm from the " +
+        s"gen-$gen training baseline (threshold $shiftPpm)"
+    val rs = reasons.result()
+    BpDriftDecision(rs.nonEmpty, rs, gen, novel, shift,
+      r.getAs[Long]("n_segments"))
+  }
+
+  /** Nightly maintenance entry: retrain the next generation iff the
+    * drift gauge says so. Returns the decision and the new generation
+    * (None when the current one still serves). */
+  def maybeRetrain(docs: DataFrame, store: String,
+                   novelPpm: Long = 10000L,
+                   shiftPpm: Long = 100000L): (BpDriftDecision, Option[Int]) = {
+    val d = driftCheck(docs, store, novelPpm, shiftPpm)
+    if (d.retrain) (d, Some(retrain(docs, store)))
+    else (d, None)
+  }
+}

@@ -222,7 +222,8 @@ class SentinelGuardSpec extends AnyFunSuite {
     "TextLifecycles.scala/conts",
     "TextLifecycles.scala/cuts",
     "TextLifecycles.scala/merges",   // BpeLifecycle authority
-    "TextLifecycles.scala/vocab")    // (its stats row is shared above)
+    "TextLifecycles.scala/vocab",    // (its stats row is shared above)
+    "TextLifecycles.scala/bplist")   // BoilerplateLifecycle authority
 
   test("every generationed lifecycle store sub-table is an explicitly " +
     "decided exemption (no gate query reads one) or needs a sentinel") {
@@ -235,9 +236,9 @@ class SentinelGuardSpec extends AnyFunSuite {
       }
     }
     val live = found.result()
-    // not vacuous: 15 store sub-tables today; a parse regression must
+    // not vacuous: 16 store sub-tables today; a parse regression must
     // fail loudly rather than go blind
-    assert(live.size >= 15, s"only ${live.size} lifecycle store dirs " +
+    assert(live.size >= 16, s"only ${live.size} lifecycle store dirs " +
       "parsed — the <x>Dir(store) declaration pattern changed")
     val undecided = live -- decidedLifecycleDirs
     assert(undecided.isEmpty,

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{SparkSpec, Tables}
-import graft.operators.{BpeLifecycle, DsirLifecycle, KnLifecycle}
+import graft.operators.{BoilerplateLifecycle, BoilerplateQueries, BpeLifecycle, DsirLifecycle, KnLifecycle}
 import graft.sources.GenerationedTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -330,5 +330,90 @@ class TextLifecyclesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty corpus"))
     cleanup(tstore)
+  }
+
+  // ------------------------------------------------------ boilerplate
+
+  private val bstore = "/tmp/graft_bp_retrain_store"
+
+  test("boilerplate: retrain equals the streaming twin's trainer; " +
+       "pinned generations undisturbed; excision parity through the " +
+       "generation bridge") {
+    cleanup(bstore)
+    assert(BoilerplateLifecycle.retrain(docs, bstore) == 1)
+    val twin = CurationStreams.trainBoilerplate(
+      spark, sf0001, s"$bstore/_twin_model")
+    val key = (df: DataFrame) =>
+      df.select("bseg").collect().map(_.getString(0)).toSet
+    assert(key(BoilerplateLifecycle.list(spark, bstore)) == key(twin),
+      "lifecycle gen-1 list != streaming twin's trained list")
+    // excision under the bridged list equals excision under the twin's
+    val seg = BoilerplateQueries.segmentsOf(docs.limit(50))
+    val exKey = (bp: DataFrame) =>
+      BoilerplateQueries.exciseFrom(seg, bp)
+        .select("doc_id", "segs_removed", "words_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exKey(BoilerplateLifecycle.list(spark, bstore)) == exKey(twin))
+    // a retrain on drifted arrivals leaves gen 1 byte-identical
+    val l1 = key(BoilerplateLifecycle.list(spark, bstore, Some(1)))
+    assert(BoilerplateLifecycle.retrain(mangled, bstore) == 2)
+    assert(key(BoilerplateLifecycle.list(spark, bstore, Some(1))) == l1)
+    assert(BoilerplateLifecycle.committedGeneration(spark, bstore) == 2)
+    cleanup(bstore)
+  }
+
+  test("boilerplate gauge: training corpus serves; an 8-word header " +
+       "flood trips the novel-dup trigger; a vocabulary swap trips the " +
+       "hit-rate trigger; retrain quiets at the tripping thresholds") {
+    cleanup(bstore)
+    BoilerplateLifecycle.retrain(docs, bstore)
+    val (quiet, none) = BoilerplateLifecycle.maybeRetrain(docs, bstore)
+    assert(!quiet.retrain && none.isEmpty && quiet.reasons.isEmpty,
+      s"training corpus flagged as drifted: $quiet")
+    assert(quiet.novelPpm == 0 && quiet.hitShiftPpm == 0)
+    // a new 8-word header on EVERY doc: boilerplate within the
+    // arrivals, missing from the frozen list; exactly 8 words keeps
+    // every later segment boundary aligned, isolating the novel signal
+    val flooded = docs.withColumn("text",
+      concat(lit("aq bq cq dq eq fq gq hq "), col("text")))
+    val nv = BoilerplateLifecycle.driftCheck(flooded, bstore,
+      shiftPpm = Long.MaxValue)
+    assert(nv.retrain && nv.novelPpm > 0 &&
+      nv.reasons.exists(_.contains("missing from the gen-1")), s"$nv")
+    // mangled vocabulary: the frozen list matches nothing — the hit
+    // rate collapses to 0, shift = the whole training baseline
+    val sh = BoilerplateLifecycle.driftCheck(mangled, bstore,
+      novelPpm = Long.MaxValue, shiftPpm = 1000L)
+    assert(sh.retrain && sh.reasons.exists(_.contains("hit rate moved")),
+      s"$sh")
+    // retrain on the flooded corpus quiets the gauge at the same
+    // thresholds: the header is now IN the list
+    val (dec, newGen) = BoilerplateLifecycle.maybeRetrain(
+      flooded, bstore, shiftPpm = Long.MaxValue)
+    assert(dec.retrain && newGen.contains(2))
+    val (after, none2) = BoilerplateLifecycle.maybeRetrain(
+      flooded, bstore, shiftPpm = Long.MaxValue)
+    assert(!after.retrain && none2.isEmpty, s"$after")
+    cleanup(bstore)
+  }
+
+  test("boilerplate: a crash before the list write keeps unpinned " +
+       "reads on the committed generation; empty corpus refused") {
+    cleanup(bstore)
+    BoilerplateLifecycle.retrain(docs, bstore)
+    GenerationedTable.writeAs(
+      BoilerplateLifecycle.stats(spark, bstore, Some(1)),
+      BoilerplateLifecycle.statsDir(bstore), 2)
+    assert(GenerationedTable.latest(
+      spark, BoilerplateLifecycle.statsDir(bstore)).contains(2))
+    assert(BoilerplateLifecycle.committedGeneration(spark, bstore) == 1)
+    assert(BoilerplateLifecycle.driftCheck(docs, bstore).generation == 1)
+    assert(BoilerplateLifecycle.retrain(mangled, bstore) == 2)
+    assert(BoilerplateLifecycle.committedGeneration(spark, bstore) == 2)
+    val e = intercept[IllegalArgumentException] {
+      BoilerplateLifecycle.driftCheck(docs.filter(col("doc_id") < 0), bstore)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    cleanup(bstore)
   }
 }
