@@ -206,7 +206,12 @@ object BoilerplateQueries {
     * kept registered so the construction plan stays correctness-checked
     * and plan-swept — the kn_scores / q_lm_kn_heldout discipline. */
   val lineExciseLive = Q("q_line_excise_live", exciseSql) { (s, d) =>
-    val seg = segments(s, d)
+    // the segment frame is consumed twice (list agg + excision walk);
+    // the artifact builder caches it for exactly this reason — the live
+    // plan materializes it once per run too (eager localCheckpoint, the
+    // disk-backed equivalent of the builder's cache), so the corpus is
+    // tokenized+segmented once instead of twice
+    val seg = segments(s, d).localCheckpoint(true)
     exciseFrom(seg, boilerplateOf(seg)).orderBy("doc_id")
   }
 
@@ -244,8 +249,11 @@ object BoilerplateQueries {
        |        sum(CASE WHEN nd >= $MinDocs AND NOT hit THEN n ELSE 0 END))
        |       // sum(n) AS BIGINT) AS novel_ppm
        |FROM j""".stripMargin) { (s, d) =>
+    // cs is consumed twice (probe side + the derived list); checkpoint
+    // the |distinct segs|-row agg so the segment explode+agg runs once
     val cs = segments(s, d).groupBy("seg")
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      .localCheckpoint(true)
     val bp = cs.filter(col("nd") >= MinDocs)
       .select(col("seg"), lit(true).as("hit"))
     cs.join(bp, Seq("seg"), "left")

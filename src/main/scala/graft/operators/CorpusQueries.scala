@@ -931,8 +931,22 @@ object CorpusQueries {
 
   /** Spark twin of [[epochTailSql]] over a (doc_id, source, dtoks)
     * per-doc frame — the schedule kernel shared by the raw-corpus and
-    * curated-survivor compositions. */
-  private[graft] def epochScheduleFrame(pd: DataFrame): DataFrame = {
+    * curated-survivor compositions.
+    *
+    * The kernel consumes `pd` FIVE times (the targets frame evaluates
+    * its source agg twice and is itself consumed twice — broadcast into
+    * `rem` plus the final join — and the prefix cumsum reads it again),
+    * so the input plan is materialized ONCE here with an eager
+    * localCheckpoint (guide §3.3: truncate a plan consumed repeatedly)
+    * and every consumption reads the |docs|-row×3-col checkpoint
+    * instead of re-running the upstream plan. For the self-contained
+    * v2 composition that upstream plan is the whole funnel join tree —
+    * before this, q_corpus_schedule paid ~2 funnel passes per run
+    * (2.64 s canonical); the served forms save 4 re-reads of the
+    * manifest. Same rows, same oracle — only the evaluation count
+    * changes (r20 measurement: 2.64 s → see OPTIMIZATION_r20.md). */
+  private[graft] def epochScheduleFrame(pd0: DataFrame): DataFrame = {
+    val pd = pd0.localCheckpoint(true)
     val tgt = epochTargets(pd)
     val c = epochCum(pd)
     val rem = c.join(broadcast(tgt), Seq("source"))
@@ -972,8 +986,11 @@ object CorpusQueries {
        |WHERE g.target // g.toks > 0 OR c.cum <= g.target % g.toks
        |ORDER BY c.source, c.doc_id""".stripMargin
 
-  /** Spark twin of [[epochDrawsTailSql]]: the materialized drawn set. */
-  private[graft] def epochDrawsFrame(pd: DataFrame): DataFrame =
+  /** Spark twin of [[epochDrawsTailSql]]: the materialized drawn set.
+    * Same one-materialization discipline as [[epochScheduleFrame]]:
+    * the kernel reads `pd` three times (targets ×2 + cumsum). */
+  private[graft] def epochDrawsFrame(pd0: DataFrame): DataFrame = {
+    val pd = pd0.localCheckpoint(true)
     epochCum(pd).join(broadcast(epochTargets(pd)), Seq("source"))
       .withColumn("full_epochs", expr("target div toks"))
       .withColumn("in_partial", col("cum") <= col("target") % col("toks"))
@@ -983,6 +1000,7 @@ object CorpusQueries {
           when(col("in_partial"), 1L).otherwise(0L)).as("draws"),
         col("dtoks").cast("long").as("dtoks"))
       .orderBy("source", "doc_id")
+  }
 
   /** The epoch schedule MATERIALIZED doc-for-doc — what the loader
     * actually iterates: every drawn (source, doc) with its repeat

@@ -1557,8 +1557,14 @@ object DedupQueries {
     val ex = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(wordShingles(tokens(col("text")), SubstringK)).as("g"))
-    val cnt = ex.groupBy("g").agg(count(lit(1)).as("cn"))
-    val agg = ex.join(cnt, Seq("g"))
+    // occurrence counts via a window over the SAME g-shuffle the old
+    // count-agg + re-join paid twice (guide §2.4: two operations keyed
+    // the same way share one exchange): one tokenize+explode pass and
+    // one instance-grain exchange, instead of two explode passes plus
+    // both a count shuffle and (past the broadcast threshold) an
+    // instance shuffle for the join
+    val agg = ex
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("cn") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -1654,12 +1660,18 @@ object DedupQueries {
        |LEFT JOIN kept k USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
     val k = SubstringK
+    // docs is consumed by the gram chain AND the final rebuild join —
+    // materialize the tokenized frame once so the regex tokenize runs
+    // one time, not three (ex was additionally evaluated twice below)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
+      .localCheckpoint(true)
     val ex = docs.select(col("doc_id"),
       posexplode(wordShingles(col("w"), k)).as(Seq("pos", "g")))
-    val cnt = ex.groupBy("g").agg(count(lit(1)).as("cn"))
-    val dup = ex.join(cnt, Seq("g")).filter(col("cn") >= 2)
+    // same one-exchange window-count move as [[substringShare]]
+    val dup = ex
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("cn") >= 2)
       .select("doc_id", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup

@@ -86,12 +86,18 @@ object DsirQueries {
   private[graft] def isTarget = col("source").isin(TargetSrcs: _*)
 
   /** The 256-row bucket count table (b, ct, cr) of a bucketed token
-    * stream — the DSIR "model". */
-  private[graft] def bucketModel(bk: org.apache.spark.sql.DataFrame) = {
-    val tc = bk.filter(isTarget).groupBy("b").agg(count(lit(1)).as("ct"))
-    val rc = bk.filter(!isTarget).groupBy("b").agg(count(lit(1)).as("cr"))
-    tc.join(rc, Seq("b"), "full_outer").na.fill(0L, Seq("ct", "cr"))
-  }
+    * stream — the DSIR "model". ONE hash-agg with conditional sums:
+    * the previous two filtered aggs + full-outer merge evaluated the
+    * token stream twice and paid a 256-row join for rows one pass
+    * produces directly (guide §2.3 "aggregate before you shuffle" /
+    * §2.4 — every token is target or raw, so `ct + cr = count(*)` and
+    * the bucket sets of the two sides union to exactly the buckets
+    * present). Same rows, same types (conditional sums of 1L are the
+    * filtered counts). */
+  private[graft] def bucketModel(bk: org.apache.spark.sql.DataFrame) =
+    bk.groupBy("b").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(!isTarget, 1L).otherwise(0L)).as("cr"))
 
   /** Per-token quantized log-ratio, given ct/cr/nt/nr columns in scope —
     * the shared scoring expression (bit-length log2, add-one smoothed). */
@@ -104,7 +110,12 @@ object DsirQueries {
     * (also the artifact builder's body). */
   private[graft] def weightsFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
     val bk = bucketTokens(Tables.documents(s, d))
-    val bt = bucketModel(bk)
+    // materialize the 256-row model once: its plan is a full corpus
+    // tokenize+bucket pass, and it is consumed twice below (totals agg +
+    // the broadcast score join) — with the checkpoint the live
+    // train+score plan reads the corpus exactly twice (train agg +
+    // score probe), the algorithmic minimum for train-then-apply
+    val bt = bucketModel(bk).localCheckpoint(true)
     val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     bk.filter(!isTarget)
       .join(broadcast(bt.crossJoin(broadcast(tot))), Seq("b"))
@@ -188,11 +199,20 @@ object DsirQueries {
        |FROM cur JOIN bt USING (b) CROSS JOIN tot CROSS JOIN ctot
        |ORDER BY b""".stripMargin) { (s, d) =>
     val bk = bucketTokens(Tables.documents(s, d))
-    val cur = bk.groupBy("b").agg(count(lit(1)).as("n_tokens"))
-    val bt = bucketModel(bk)
-    val tot = bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-    val ctot = cur.agg(sum("n_tokens").as("n_all"))
-    cur.join(bt, Seq("b"))
+    // ONE corpus pass for all three 256-row frames: cur's count is
+    // ct + cr (every token is target or raw), and the previous
+    // cur-join-bt inner join on b is the identity on this fused agg
+    // (both sides held exactly the buckets present in bk). The
+    // checkpoint stops the two 1-row totals aggs below from re-running
+    // the corpus tokenize (the frame is consumed 3×).
+    val m = bk.groupBy("b").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(!isTarget, 1L).otherwise(0L)).as("cr"))
+      .withColumn("n_tokens", col("ct") + col("cr"))
+      .localCheckpoint(true)
+    val tot = m.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val ctot = m.agg(sum("n_tokens").as("n_all"))
+    m.select("b", "n_tokens", "ct", "cr")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(ctot))
       .select(col("b"), col("n_tokens"),
         expr("(1000000 * n_tokens) div n_all").as("share_ppm"),

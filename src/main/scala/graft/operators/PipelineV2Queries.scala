@@ -250,8 +250,14 @@ object PipelineV2Queries {
                                    pareto: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     val bpDir = BoilerplateQueries.boilerplateDir(s, d)
+    // words_total rides along: segments partition the word array, so the
+    // artifact's words_total IS size(tokens(text)) for every segmented
+    // doc (docs with zero words never segment and coalesce to 0 below) —
+    // reading it here drops a full corpus re-tokenize AND lets the spine
+    // scan prune `text` entirely (guide §2.3 / §6: the fat column never
+    // leaves the one pass that genuinely needs it)
     val kept = s.read.parquet(s"$bpDir/excised")
-      .select(col("doc_id"), col("words_kept"))
+      .select(col("doc_id"), col("words_kept"), col("words_total"))
     // Gopher stats over the CLEANED token stream: segments minus the
     // persisted boilerplate list, exploded to words. NO static broadcast
     // hint: the list grows with the corpus's *duplicated* content — AQE
@@ -284,15 +290,15 @@ object PipelineV2Queries {
       .union(pool)
       .select(col("doc_id"), lit(true).as("sel_ok"))
     docs
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("raw_toks"))
+      .select(col("doc_id"), col("source"))
       .join(kept, Seq("doc_id"), "left")
       .join(qa, Seq("doc_id"), "left")
       .join(lmk, Seq("doc_id"), "left")
       .join(sel, Seq("doc_id"), "left")
       .join(kl, Seq("doc_id"), "left")
       .join(cs, Seq("cluster"), "left")
-      .select(col("doc_id"), col("source"), col("raw_toks"),
+      .select(col("doc_id"), col("source"),
+        coalesce(col("words_total"), lit(0L)).as("raw_toks"),
         coalesce(col("words_kept"), lit(0L)).as("kept"),
         expr("1000000 div coalesce(csize, 1L)").as("w_ppm"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
