@@ -449,7 +449,13 @@ object DedupQueries {
        |SELECT doc_a, doc_b, nbands, jaccard FROM vpairs
        |WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    lshIncrementalFrom(lshShingles(s, d), col("doc_id") % 10 === 7,
+    // the shingle frame is consumed four times inside the incremental
+    // plan (banding twice: bucket guard + bounded join; both verify
+    // sides) — materialize it once HERE, at the registered call site,
+    // so the tokenize+shingle pass runs once; the helper itself stays
+    // lazy (PlanHygieneSpec and the unit suites construct it cold)
+    lshIncrementalFrom(lshShingles(s, d).localCheckpoint(true),
+        col("doc_id") % 10 === 7,
         lshGeometry(Tables.documents(s, d).count()))
       .orderBy("doc_a", "doc_b")
   }

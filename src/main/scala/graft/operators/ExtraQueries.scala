@@ -666,30 +666,31 @@ object ExtraQueries {
       round(col("l_discount") * 100, 0).cast("long").as("dsc"))
     val a = (col("p") / 10000).cast("long") // p ≥ 0: floor == truncate
     val bb = pmod(col("p"), lit(10000L))
-    val moments = base.groupBy("flag").agg(
-      count(lit(1)).as("n"),
-      sum(col("p")).as("sp"),
-      sum(a * a).as("saa"),
-      sum(a * bb).as("sab"),
-      sum(bb * bb).as("sbb"),
-      sum(col("q")).as("sq"),
-      sum(col("q") * col("q")).as("sq2"),
-      sum(col("q") * col("p")).as("sqp"),
-      sum(col("dsc")).as("sd1"),
-      sum(col("dsc") * col("dsc")).as("sd2"),
-      sum(col("dsc") * col("dsc") * col("dsc")).as("sd3"))
-    // exact order-statistic percentiles: rank ceil(q·n) under a
-    // value-ordered row_number — tie assignment is arbitrary but the
-    // value AT any rank inside a tie run is unique, so deterministic
+    // ONE pass: the rank windows and the moment sums are both keyed by
+    // flag, so they share a single exchange (guide §2.4 — a window
+    // followed by a groupBy on its own partition key needs no second
+    // shuffle); previously `base` was scanned and shuffled twice and
+    // the two halves re-joined. Exact order-statistic percentiles:
+    // rank ceil(q·n) under a value-ordered row_number — tie assignment
+    // is arbitrary but the value AT any rank inside a tie run is
+    // unique, so deterministic.
     val wRank = Window.partitionBy("flag").orderBy("p")
     val wAll = Window.partitionBy("flag")
-    val quants = base
+    val stats = base
       .withColumn("rn", row_number().over(wRank))
       .withColumn("ng", count(lit(1)).over(wAll))
-      .filter(col("rn") === ceil(col("ng") * 0.5) ||
-        col("rn") === ceil(col("ng") * 0.95))
-      .groupBy("flag")
-      .agg(
+      .groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum(col("p")).as("sp"),
+        sum(a * a).as("saa"),
+        sum(a * bb).as("sab"),
+        sum(bb * bb).as("sbb"),
+        sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sq2"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("dsc")).as("sd1"),
+        sum(col("dsc") * col("dsc")).as("sd2"),
+        sum(col("dsc") * col("dsc") * col("dsc")).as("sd3"),
         max(when(col("rn") === ceil(col("ng") * 0.5), col("p"))).as("p50_cents"),
         max(when(col("rn") === ceil(col("ng") * 0.95), col("p"))).as("p95_cents"))
     // deterministic double DAG over the exact sums — parenthesization
@@ -706,7 +707,7 @@ object ExtraQueries {
     val m2 = (D("sd2") / nD) - (muD * muD)
     val m3 = ((D("sd3") / nD) - ((lit(3.0) * muD) * (D("sd2") / nD))) +
       (((lit(2.0) * muD) * muD) * muD)
-    moments.join(quants, "flag")
+    stats
       .select(
         col("flag").as("l_returnflag"),
         col("n"),

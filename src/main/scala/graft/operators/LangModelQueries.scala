@@ -456,7 +456,11 @@ object LangModelQueries {
     val inst = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg"))
-    val st = knTypeStats(inst)
+    // the type-stats frame feeds FOUR consumers below (bigram arm,
+    // first-word marginal, continuation marginal, type total) — one
+    // materialization instead of four bigram-agg+window passes; the
+    // corpus is then read exactly twice (train + the scoring probe)
+    val st = knTypeStats(inst).localCheckpoint(true)
     val fw = st.select("v", "cv", "n1v").distinct()
     val cw = st.select("wd", "n1w").distinct()
     val tt = st.agg(count(lit(1)).as("t"))
@@ -593,10 +597,22 @@ object LangModelQueries {
       .withColumn("n1w", count(lit(1)).over(Window.partitionBy("wd")))
 
   /** KN scoring over any (doc_id, source, bg) bigram-instance frame
-    * (exposed for unit tests over hand-built corpora). */
+    * (exposed for unit tests over hand-built corpora). The type-stats
+    * frame is materialized once — it is consumed twice here (type
+    * total + price table), and its plan is the full bigram agg + three
+    * windows. */
   private[graft] def knScoresFrom(
-      inst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val st = knTypeStats(inst)
+      inst: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    knScoresFromStats(inst, knTypeStats(inst).localCheckpoint(true))
+
+  /** [[knScoresFrom]] over a PRECOMPUTED (cached/checkpointed)
+    * type-stats frame — callers that already hold one (e.g. a retrain
+    * that aggregates a stats baseline from the same frame) pass it here
+    * instead of paying the window-heavy type-stats plan twice (r19
+    * ADVICE). */
+  private[graft] def knScoresFromStats(
+      inst: org.apache.spark.sql.DataFrame,
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tt = st.agg(count(lit(1)).as("t"))
     val sc = st.crossJoin(broadcast(tt))
       .select(col("bg"),
@@ -614,10 +630,17 @@ object LangModelQueries {
   private[graft] def confusionFrom(
       tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tr = tok.filter(col("doc_id") % 5 < 4)
+    // ONE training pass: the (lang, w) count table carries everything
+    // the other training frames need — per-lang totals are its row sums,
+    // the vocabulary is its distinct w set — so tot/voc/grid derive from
+    // the checkpointed vocabulary-sized frame instead of each re-running
+    // the corpus tokenize+explode (tok was evaluated 5x: 4 training
+    // frames + the held-out probe; now exactly 2 — train and apply)
     val cnt = tr.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-    val tot = tr.groupBy("lang").agg(count(lit(1)).as("t"))
-    val voc = tr.agg(countDistinct(col("w")).as("v"))
-    val grid = tr.select("w").distinct()
+      .localCheckpoint(true)
+    val tot = cnt.groupBy("lang").agg(sum(col("c")).as("t"))
+    val voc = cnt.agg(countDistinct(col("w")).as("v"))
+    val grid = cnt.select("w").distinct()
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(voc))
     val wt = grid.join(cnt, Seq("lang", "w"), "left")

@@ -41,23 +41,31 @@ object MmContaminationQueries {
     * first_eval). */
   private[graft] def contaminationFrom(sigs: DataFrame): DataFrame = {
     val valid = sigs.filter(col("phash") =!= "")
-    def bandsOf(f: DataFrame) = f.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(b =>
-        substring(col("phash"), b * 16 + 1, 16)): _*)).as(Seq("b", "bits")))
+    // decode the 64-char '0'/'1' signature into two 32-bit halves ONCE
+    // per signature row, before banding multiplies it 4x: the candidate
+    // shuffle/distinct then carries 4 longs instead of two 64-char
+    // strings (guide §2.3 narrower shuffles), and Hamming is two
+    // codegen bit_count(xor) terms instead of 64 substring comparisons
+    // (the decode is injective on the fixed-width string, so the
+    // distinct groups and every distance are unchanged)
+    def bandsOf(f: DataFrame) = f
+      .withColumn("h1", conv(substring(col("phash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("phash"), 33, 32), 2, 10).cast("long"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("phash"), b * 16 + 1, 16)): _*)).as(Seq("b", "bits")))
     val ev = bandsOf(valid.filter(col("doc_id") % EvalMod === 0))
-      .select(col("doc_id").as("eval_doc"), col("phash").as("hb"),
-        col("b"), col("bits"))
+      .select(col("doc_id").as("eval_doc"), col("h1").as("e1"),
+        col("h2").as("e2"), col("b"), col("bits"))
     val tr = bandsOf(valid.filter(col("doc_id") % EvalMod =!= 0))
-      .select(col("doc_id").as("train_doc"), col("phash").as("ha"),
-        col("b"), col("bits"))
+      .select(col("doc_id").as("train_doc"), col("h1").as("a1"),
+        col("h2").as("a2"), col("b"), col("bits"))
     val cand = tr.join(ev, Seq("b", "bits"))
-      .select("train_doc", "ha", "eval_doc", "hb")
+      .select("train_doc", "a1", "a2", "eval_doc", "e1", "e2")
       .distinct()
-    val hamming = (1 to 64).map(j =>
-      when(substring(col("ha"), j, 1) =!= substring(col("hb"), j, 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
     cand
-      .withColumn("hamming", hamming)
+      .withColumn("hamming",
+        (expr("bit_count(a1 ^ e1)") + expr("bit_count(a2 ^ e2)")).cast("long"))
       .filter(col("hamming") <= 3L)
       // a (train, eval) doc pair may collide through several signature
       // pairs (frames) — its distance is the closest one

@@ -56,8 +56,11 @@ object DsirLifecycle {
     * ppm: (b, n_tokens, share_ppm) — the gauge's measurement frame and
     * the `q_dsir_drift` output shape. */
   private[operators] def bucketShares(docs: DataFrame): DataFrame = {
+    // the 256-row agg is consumed twice (rows + its own total) —
+    // materialize it once so the corpus tokenize runs a single pass
     val cur = DsirQueries.bucketTokens(docs)
       .groupBy("b").agg(count(lit(1)).as("n_tokens"))
+      .localCheckpoint(true)
     cur.crossJoin(broadcast(cur.agg(sum("n_tokens").as("n_all"))))
       .select(col("b"), col("n_tokens"),
         expr("1000000 * n_tokens div n_all").as("share_ppm"))
@@ -76,15 +79,26 @@ object DsirLifecycle {
     try {
       val next = GenerationedTable.generations(s, totalsDir(store))
         .lastOption.getOrElse(0) + 1
-      GenerationedTable.writeAs(bucketShares(docs), statsDir(store), next)
+      // the training-time share baseline derives from the cached model
+      // (every token is target or raw, so n_tokens = ct + cr and
+      // n_all = nt + nr) — identical rows to bucketShares(docs) without
+      // re-tokenizing the corpus a second and third time
+      GenerationedTable.writeAs(
+        bt.crossJoin(broadcast(
+            bt.agg(sum(col("ct") + col("cr")).as("n_all"))))
+          .select(col("b"), (col("ct") + col("cr")).as("n_tokens"),
+            expr("1000000 * (ct + cr) div n_all").as("share_ppm")),
+        statsDir(store), next)
       GenerationedTable.writeAs(bt, bucketsDir(store), next)
       val Row(nt: Long, nr: Long) =
         bt.agg(sum("ct").as("nt"), sum("cr").as("nr")).head()
       // the frozen selection boundary: the training pool's 30th-highest
-      // doc weight (the q_dsir_sample admission line)
+      // doc weight (the q_dsir_sample admission line); nt/nr are already
+      // on the driver — attach them as literals instead of re-running
+      // the totals agg inside the score join
       val cut = bk.filter(!DsirQueries.isTarget)
-        .join(broadcast(bt.crossJoin(broadcast(
-          bt.agg(sum("ct").as("nt"), sum("cr").as("nr"))))), Seq("b"))
+        .join(broadcast(bt), Seq("b"))
+        .withColumn("nt", lit(nt)).withColumn("nr", lit(nr))
         .withColumn("s", DsirQueries.scoreCol)
         .groupBy("doc_id")
         .agg(sum(col("s").cast("long")).as("weight_bits"))
@@ -257,7 +271,12 @@ object KnLifecycle {
     try {
       val next = GenerationedTable.generations(s, totalDir(store))
         .lastOption.getOrElse(0) + 1
-      val scores = LangModelQueries.knScoresFrom(inst)
+      // score through the CACHED type-stats frame (r19 ADVICE: the old
+      // knScoresFrom(inst) rebuilt knTypeStats from scratch internally),
+      // and materialize the doc-grain scores once — they are consumed
+      // twice below (stats baseline agg + band cutpoints)
+      val scores = LangModelQueries.knScoresFromStats(inst, st)
+        .localCheckpoint(true)
       GenerationedTable.writeAs(
         scores.agg(sum("n_bigrams").as("n_bigrams"),
             sum("kn_bits").as("kn_bits"))
