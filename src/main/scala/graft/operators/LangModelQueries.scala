@@ -368,7 +368,10 @@ object LangModelQueries {
     val inst = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+    // same four-consumer materialization as q_kn_drift: the type-stats
+    // frame feeds the bigram arm + both marginals + the type total
     val st = knTypeStats(inst.filter(col("doc_id") % 5 < 4))
+      .localCheckpoint(true)
     val fw = st.select("v", "cv", "n1v").distinct()
     val cw = st.select("wd", "n1w").distinct()
     val tt = st.agg(count(lit(1)).as("t"))
