@@ -182,41 +182,82 @@ object DeleteAudit {
     * working, it just can no longer resurrect the deleted key.
     *
     * Untouched generations are left byte-identical (rewriting only
-    * offending snapshots keeps the pass |hits|-shaped, not
-    * history-shaped). The rewrite lands fully in a sibling temp dir
-    * (named so [[GenerationedTable.generations]] never lists it), then
-    * swaps via delete + rename — the `_LATEST` near-atomic discipline;
-    * a crash between the two leaves the temp dir as the recovery copy.
-    * Single-writer by contract, like every generation write. A purged
-    * snapshot that loses ALL rows is written through one task so the
-    * parquet schema survives (an empty dir would be unreadable).
+    * offending snapshots keeps the REWRITE |hits|-shaped, not
+    * history-shaped), and detection is one marked-join aggregate per
+    * generation — total and offending counted in a single scan, never
+    * the two full `count()`s per snapshot the r19 verdict flagged.
+    * Callers that already hold a [[survivorsFromGenerations]] report
+    * pass the offending generations via `onlyGenerations`: every other
+    * generation is then NEVER READ AT ALL (DeleteAuditSpec pins this
+    * with a poisoned untouched snapshot).
     *
+    * The rewrite lands fully in a sibling temp dir (named so
+    * [[GenerationedTable.generations]] never lists it); the swap
+    * renames the original ASIDE (`_purge_old_g<g>`), renames the temp
+    * into place, then deletes the aside copy — so a COMPLETE snapshot
+    * exists on disk at every instant (r19 advice: the old
+    * delete-then-rename left a window with no gen dir at all, a
+    * hard-fail for every unpinned reader of a compliance-critical
+    * store). Recovery after a crash between the two renames: rename
+    * `_purge_old_g<g>` back to `gen=<g>` (the purge then re-runs
+    * idempotently); a leftover aside dir after a crash post-swap is
+    * garbage to delete. Single-writer by contract, like every
+    * generation write. A purged snapshot that loses ALL rows is
+    * written through one task so the parquet schema survives (an
+    * empty dir would be unreadable).
+    *
+    * @param onlyGenerations generations known to hold hits (e.g. parsed
+    *        from a [[survivorsFromGenerations]] certificate); None =
+    *        detect here
     * @return (generation, rows removed) for each rewritten generation
     */
   def purgeGenerations(
       s: org.apache.spark.sql.SparkSession, deleted: DataFrame,
-      dir: String, idCols: Seq[String]): Seq[(Int, Long)] = {
+      dir: String, idCols: Seq[String],
+      onlyGenerations: Option[Seq[Int]] = None): Seq[(Int, Long)] = {
     import org.apache.hadoop.fs.Path
-    val del = broadcast(deleted.select(
-      col(deleted.columns.head).cast("string").as("_del_id")))
+    // distinct: the detection join below MARKS rows (left join), and a
+    // duplicated delete request must not double-mark or double-count
+    val delRows = deleted.select(
+      col(deleted.columns.head).cast("string").as("_del_id")).distinct()
+    val del = broadcast(delRows)
     val fs = new Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    GenerationedTable.generations(s, dir).flatMap { g =>
+    val gens = GenerationedTable.generations(s, dir)
+      .filter(g => onlyGenerations.forall(_.contains(g)))
+    gens.flatMap { g =>
       val snap = GenerationedTable.read(s, dir, Some(g))
-      val purged = idCols.foldLeft(snap)((df, c) =>
-        df.join(del, col(c).cast("string") === col("_del_id"), "left_anti"))
-      val total = snap.count()
-      val kept = purged.count()
-      if (kept == total) None
+      // one scan: mark per id column, count rows + offending rows
+      val marked = idCols.zipWithIndex.foldLeft(snap) { case (df, (c, i)) =>
+        df.join(del.withColumnRenamed("_del_id", s"_del_$i"),
+          col(c).cast("string") === col(s"_del_$i"), "left")
+      }
+      val offCol = idCols.indices
+        .map(i => col(s"_del_$i").isNotNull)
+        .reduce(_ || _)
+      val r = marked.agg(
+        count(lit(1)).as("total"),
+        // coalesce: an already-empty snapshot (e.g. a previously purged
+        // all-rows delta) sums to NULL, and the idempotent re-purge
+        // must read that as zero offenders, not throw
+        coalesce(sum(when(offCol, 1L).otherwise(0L)), lit(0L)).as("off"))
+        .head()
+      val (total, off) = (r.getLong(0), r.getLong(1))
+      if (off == 0L) None
       else {
+        val purged = idCols.foldLeft(snap)((df, c) =>
+          df.join(del, col(c).cast("string") === col("_del_id"), "left_anti"))
         val tmp = new Path(dir, s"_purge_tmp_g$g")
         fs.delete(tmp, true)
-        val w = if (kept == 0) purged.repartition(1) else purged
+        val w = if (off == total) purged.repartition(1) else purged
         w.write.mode("overwrite").parquet(tmp.toString)
         val orig = new Path(dir, s"gen=$g")
-        fs.delete(orig, true)
+        val aside = new Path(dir, s"_purge_old_g$g")
+        fs.delete(aside, true)
+        require(fs.rename(orig, aside), s"cannot set aside $dir/gen=$g")
         require(fs.rename(tmp, orig), s"cannot swap purged $dir/gen=$g")
-        Some(g -> (total - kept))
+        fs.delete(aside, true)
+        Some(g -> off)
       }
     }
   }

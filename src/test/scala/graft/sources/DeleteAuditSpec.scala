@@ -389,4 +389,37 @@ class DeleteAuditSpec extends SparkSpec {
     assert(log.read(spark).filter(col("vec_id") === 8L).count() == 1)
     cleanup()
   }
+
+  test("purgeGenerations scoped by a prior report never reads untouched " +
+       "generations (poisoned-snapshot I/O assertion)") {
+    cleanup()
+    val dir = s"$base/scoped/log"
+    val log = LogTable(dir, Seq("vec_id"), "version")
+    log.append(Seq((1L, 1L, "a"), (7L, 1L, "b"))
+      .toDF("vec_id", "version", "payload")) // gen 1: holds the hit
+    log.append(Seq((2L, 2L, "c"))
+      .toDF("vec_id", "version", "payload")) // gen 2: no hits
+    val deleted = Seq(7L).toDF("vec_id")
+    // report first (the hits-shaped flow): only gen 1 offends
+    val report = DeleteAudit
+      .survivorsFromGenerations(spark, deleted, Seq(log.auditRelation))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(report(s"log:$dir#gen=1") == 1 && report(s"log:$dir#gen=2") == 0)
+    // POISON the untouched generation: any read of it now throws, so
+    // the assertion below proves the scoped purge never opened it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g2 = new org.apache.hadoop.fs.Path(dir, "gen=2")
+    fs.delete(g2, true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(g2, "part-poison.parquet"))
+    try out.write("not a parquet file".getBytes("UTF-8")) finally out.close()
+    assert(DeleteAudit.purgeGenerations(spark, deleted, dir, Seq("vec_id"),
+      onlyGenerations = Some(Seq(1))) == Seq(1 -> 1L))
+    // the offending generation was rewritten; a complete snapshot
+    // existed throughout (rename-aside swap) and no aside dir remains
+    assert(GenerationedTable.read(spark, dir, Some(1))
+      .filter(col("vec_id") === 7L).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_purge_old_g1")))
+    cleanup()
+  }
 }
