@@ -585,6 +585,36 @@ object LangModelQueries {
       .select(col("doc_id"), col("source"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg")))
 
+  /** Row gate for broadcasting a FROZEN-MODEL frame (the KN bigram /
+    * marginal tables) onto an instance stream. Below the gate the join
+    * side is hinted broadcast (the measured-fastest plan at every
+    * tested SF — vocabulary ≪ the gate); above it the join is left
+    * unhinted, so it stays an equi-keyed join and AQE picks
+    * sort-merge / shuffled-hash — at 100 TB the bigram-type frame is
+    * corpus-vocabulary-sized and will NOT fit the 8 GB broadcast cap
+    * (r19 verdict item 3: the documented caveat, now an implemented
+    * path instead of a scaladoc promise). Conf-tunable per deployment;
+    * the default (10M rows ≈ a few hundred MB of (bg, cvw) strings,
+    * inside the guide's "a few hundred MB is usually fine") keeps the
+    * bench and every gate SF on the broadcast path, so timings stay
+    * comparable. ModelBroadcastGateSpec pins both regimes and their
+    * value-identity. */
+  private[graft] def modelBroadcastRows(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("spark.graft.model.broadcast.rows", "10000000").toLong
+
+  /** Left-join a vocabulary-sized frozen-model frame onto an instance
+    * stream with the [[modelBroadcastRows]] gate. `modelRows` is the
+    * model's known row count — for the KN tier that is the type total
+    * `t` the model already carries (an upper bound for the marginal
+    * frames), so the gate costs no extra count job. */
+  private[graft] def joinFrozen(
+      stream: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      key: String, modelRows: Long): org.apache.spark.sql.DataFrame =
+    if (modelRows <= modelBroadcastRows(stream.sparkSession))
+      stream.join(broadcast(model), Seq(key), "left")
+    else stream.join(model, Seq(key), "left")
+
   /** Bigram-type KN statistics over any (…, bg) bigram-instance frame:
     * one row per distinct bigram with (bg, v, wd, cvw, cv, n1v, n1w) —
     * the whole trainable state of the order-1 KN model except the

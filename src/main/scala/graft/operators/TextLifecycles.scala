@@ -351,13 +351,15 @@ object KnLifecycle {
     val conts = GenerationedTable.read(s, contsDir(store), Some(gen))
     val t = GenerationedTable.read(s, totalDir(store), Some(gen))
       .head().getLong(0)
-    // the QualityStreams scoring joins, with OOV flags kept — 1 agg row
+    // the QualityStreams scoring joins, with OOV flags kept — 1 agg
+    // row; same size gate as the twin (broadcast under the conf gate,
+    // equi-keyed past it — t is the bigram frame's row count)
     val r = instOf(docs)
       .withColumn("v", substring_index(col("bg"), " ", 1))
       .withColumn("wd", substring_index(col("bg"), " ", -1))
-      .join(broadcast(bigrams), Seq("bg"), "left")
-      .join(broadcast(firsts), Seq("v"), "left")
-      .join(broadcast(conts), Seq("wd"), "left")
+      .transform(LangModelQueries.joinFrozen(_, bigrams, "bg", t))
+      .transform(LangModelQueries.joinFrozen(_, firsts, "v", t))
+      .transform(LangModelQueries.joinFrozen(_, conts, "wd", t))
       .select(
         when(col("cv").isNull || col("n1w").isNull, 1L).otherwise(0L).as("oovw"),
         (length(bin(coalesce(col("cv"), lit(1L)) * 4 * lit(t))) -

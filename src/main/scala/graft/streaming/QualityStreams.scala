@@ -19,9 +19,11 @@ import graft.operators.LangModelQueries
   * Frozen state, resolved ONCE at stream start:
   *  - the bigram-type frame (bg → cvw) and the two word-marginal
   *    frames (v → cv, N1+(v·); w → N1+(·w)) — vocabulary-sized,
-  *    broadcast onto each batch (a deployment whose vocabulary
-  *    outgrows broadcast swaps these to persisted bucketed tables and
-  *    the joins stay equi-keyed);
+  *    SIZE-GATED onto each batch ([[LangModelQueries.joinFrozen]],
+  *    r19 verdict item 3): broadcast while the type total is under
+  *    `spark.graft.model.broadcast.rows`, plain equi-keyed joins past
+  *    it (AQE picks sort-merge/shuffled-hash) — a vocabulary that
+  *    outgrows the 8 GB broadcast cap demotes instead of failing;
   *  - the 1-row type total T (driver long, [[TokenizeStreams
   *    .trainedMerges]] pattern);
   *  - per-source band cutpoints (c1 = head's hi_ppm, c2 = middle's
@@ -132,9 +134,12 @@ object QualityStreams {
     instOf(one)
       .withColumn("v", substring_index(col("bg"), " ", 1))
       .withColumn("wd", substring_index(col("bg"), " ", -1))
-      .join(broadcast(m.bigrams), Seq("bg"), "left")
-      .join(broadcast(m.firsts), Seq("v"), "left")
-      .join(broadcast(m.conts), Seq("wd"), "left")
+      // size-gated (r19 verdict item 3): broadcast while the vocabulary
+      // frames fit (m.t IS the bigram frame's row count and bounds the
+      // marginals — no extra count job), plain equi-joins past the gate
+      .transform(LangModelQueries.joinFrozen(_, m.bigrams, "bg", m.t))
+      .transform(LangModelQueries.joinFrozen(_, m.firsts, "v", m.t))
+      .transform(LangModelQueries.joinFrozen(_, m.conts, "wd", m.t))
       .select(col("doc_id"), col("source"),
         (length(bin(coalesce(col("cv"), lit(1L)) * 4 * lit(m.t))) -
           length(bin(
