@@ -97,7 +97,11 @@ object ClassifyQueries {
     val docWords = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("keyword"))
       .filter(col("keyword") =!= "")
+    // applyDistinct consumes its input twice (the distinct mapping side
+    // + the join-back probe) — materialize the exploded union once so
+    // the doc-text split and the event-log scan run a single pass
     val all = docWords.unionByName(searchLog(s, d).select("keyword"))
+      .localCheckpoint(true)
     RuleClassifier.applyDistinct(s, all, "keyword", "category")
       .groupBy("category")
       .agg(count(lit(1)).as("n_rows"),
@@ -154,8 +158,12 @@ object ClassifyQueries {
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("half", "user_id")
       .orderBy(col("n").desc, col("keyword"))
+    // ≤2 rows per user after the rank-1 filter — materialize once so
+    // applyDistinct's two consumptions (mapping + probe) don't re-run
+    // the event-log agg + window
     val top1 = counts.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
+      .localCheckpoint(true)
     val cls = RuleClassifier.applyDistinct(s, top1, "keyword", "category")
     // ≤1 row per (half, user): conditional aggregation IS the H1×H2 join
     cls.groupBy("user_id")

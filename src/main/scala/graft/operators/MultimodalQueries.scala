@@ -247,9 +247,21 @@ object MultimodalQueries {
     * frame exists. */
   private def hammingNearDup(
       hashFrame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the representative frame feeds the band explode, which itself
+    // feeds three arms (bucket guard + both candidate sides) —
+    // materialize it once; and decode the 64-char '0'/'1' signature to
+    // two 32-bit longs HERE, before banding multiplies it 4×, so the
+    // candidate shuffle/distinct carries 4 longs instead of two 64-char
+    // strings and Hamming is two codegen bit_count(xor) terms instead
+    // of 64 substring comparisons (the q_mm_contamination move; the
+    // decode is injective on the fixed-width string, so groups and
+    // distances are unchanged)
     val reps = hashFrame.filter(col("phash") =!= "")
       .groupBy("phash").agg(min("doc_id").as("doc_id"))
-    val bands = reps.select(col("doc_id"), col("phash"),
+      .withColumn("h1", conv(substring(col("phash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("phash"), 33, 32), 2, 10).cast("long"))
+      .localCheckpoint(true)
+    val bands = reps.select(col("doc_id"), col("h1"), col("h2"),
       posexplode(array((0 until 4).map(b =>
         substring(col("phash"), b * 16 + 1, 16)): _*)).as(Seq("b", "bits")))
     val okb = bands.groupBy("b", "bits")
@@ -257,18 +269,16 @@ object MultimodalQueries {
       .select("b", "bits")
     val bounded = bands.join(okb, Seq("b", "bits"))
     val cand = bounded
-      .select(col("doc_id").as("doc_a"), col("phash").as("ha"),
-        col("b"), col("bits"))
-      .join(bounded.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
-        col("b"), col("bits")), Seq("b", "bits"))
+      .select(col("doc_id").as("doc_a"), col("h1").as("a1"),
+        col("h2").as("a2"), col("b"), col("bits"))
+      .join(bounded.select(col("doc_id").as("doc_b"), col("h1").as("b1"),
+        col("h2").as("b2"), col("b"), col("bits")), Seq("b", "bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
+      .select("doc_a", "doc_b", "a1", "a2", "b1", "b2")
       .distinct()
-    val hamming = (1 to 64).map(j =>
-      when(substring(col("ha"), j, 1) =!= substring(col("hb"), j, 1), 1L)
-        .otherwise(0L)).reduce(_ + _)
     cand
-      .withColumn("hamming", hamming)
+      .withColumn("hamming",
+        (expr("bit_count(a1 ^ b1)") + expr("bit_count(a2 ^ b2)")).cast("long"))
       .filter(col("hamming").between(1L, 3L))
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
